@@ -1,0 +1,53 @@
+"""Cross-engine deterministic hashing expressions.
+
+SimHash / MinHash need a token hash that Spark and the DuckDB oracle
+compute bit-for-bit identically. Neither engine's native 64-bit hash
+matches the other (Spark xxhash64 vs DuckDB hash), but both implement
+md5 → hex string, substring, instr identically — so we derive integer
+hashes from md5 hex digits using SQL text that is valid, and equal,
+in BOTH dialects. Spark evaluates it via F.expr (still JVM-side,
+codegen'd — no UDF), DuckDB runs the same text in the oracle.
+"""
+
+from __future__ import annotations
+
+HEX = "0123456789abcdef"
+
+
+def hex_digit_sql(str_expr: str, pos: int) -> str:
+    """0-based value of the 1-based ``pos``-th hex char of ``str_expr``.
+
+    BIGINT-typed: downstream multiplications exceed int32 and Spark's
+    ANSI mode makes that a hard error instead of a wrap.
+    """
+    return f"CAST(instr('{HEX}', substring({str_expr}, {pos}, 1)) - 1 AS BIGINT)"
+
+
+def md5_u32_sql(expr: str) -> str:
+    """First 8 hex chars of md5(expr) as a non-negative 32-bit integer."""
+    terms = [
+        f"{hex_digit_sql(f'md5({expr})', c + 1)} * {16 ** (7 - c)}" for c in range(8)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def md5_bit_sql(expr: str, bit: int) -> str:
+    """Bit ``bit`` (0..127, 0 = low bit of first hex char) of md5(expr)."""
+    pos = bit // 4 + 1  # 1-based hex char index
+    k = bit % 4
+    d = hex_digit_sql(f"md5({expr})", pos)
+    return f"((CAST(floor({d} / {2 ** k}) AS BIGINT)) % 2)"
+
+
+# MinHash permutation constants: h_j(x) = (a_j * x + b_j) mod P, P prime > 2^32.
+MINHASH_P = 4294967311
+N_MINHASH = 32
+LSH_BANDS = 8  # 8 bands × 4 rows
+MINHASH_A = [1 + 104729 * (j + 1) for j in range(N_MINHASH)]
+MINHASH_B = [3 + 7919 * j for j in range(N_MINHASH)]
+
+
+def minhash_perm_sql(x_expr: str, j: int) -> str:
+    return (
+        f"((CAST({MINHASH_A[j]} AS BIGINT) * {x_expr} + {MINHASH_B[j]}) % {MINHASH_P})"
+    )

@@ -1,0 +1,262 @@
+"""Scalar function families (SURVEY §2.8).
+
+All built-in `pyspark.sql.functions` — JVM-side, whole-stage-codegen'd;
+no Python in the hot path. Engine-convention divergences vs the DuckDB
+oracle are normalized inside the queries (documented per query):
+dayofweek origin, floor/length return types, double→string formatting
+(avoided), json extraction types.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distributed_causal_stream_processing_spark.io import load
+from distributed_causal_stream_processing_spark.plans.registry import query
+
+
+@query(
+    "q_str_funcs",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) AS name_upper,
+           lower(c_mktsegment) AS seg_lower,
+           substring(c_name, 10, 9) AS custno,
+           trim(concat('  ', c_name, '  ')) AS trimmed,
+           CAST(length(c_name) AS INTEGER) AS name_len,
+           regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+           regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
+           lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+           string_split(c_name, '#')[1] AS prefix
+    FROM customer
+    """,
+)
+def q_str_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family: upper/lower/substring/trim/concat/length/regex/lpad/split.
+
+    substring is 1-based in both engines; length → INT on both sides
+    (DuckDB's BIGINT cast down); split index: Spark getItem(0) ==
+    DuckDB 1-based [1].
+    """
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.substring("c_name", 10, 9).alias("custno"),
+        F.trim(F.concat(F.lit("  "), F.col("c_name"), F.lit("  "))).alias("trimmed"),
+        F.length("c_name").cast("int").alias("name_len"),
+        F.regexp_extract("c_name", r"([0-9]+)", 1).alias("digits"),
+        F.regexp_replace("c_name", r"[0-9]", "#").alias("masked"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded"),
+        F.split("c_name", "#").getItem(0).alias("prefix"),
+    )
+
+
+@query(
+    "q_date_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(year(l_shipdate) AS INTEGER)  AS ship_year,
+           CAST(month(l_shipdate) AS INTEGER) AS ship_month,
+           CAST(day(l_shipdate) AS INTEGER)   AS ship_day,
+           CAST(dayofweek(l_shipdate) AS INTEGER) AS ship_dow,
+           CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month_start,
+           CAST(l_shipdate AS DATE) + 30 AS ship_plus_30,
+           CAST(datediff('day', TIMESTAMP '1995-01-01 00:00:00', l_shipdate)
+                AS INTEGER) AS days_since_95,
+           CAST(extract(quarter FROM l_shipdate) AS INTEGER) AS ship_quarter
+    FROM lineitem
+    WHERE l_orderkey < 200
+    """,
+)
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family. Convention note: Spark dayofweek is 1=Sunday,
+    DuckDB dayofweek is 0=Sunday → Spark side subtracts 1."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.year("l_shipdate").alias("ship_year"),
+        F.month("l_shipdate").alias("ship_month"),
+        F.dayofmonth("l_shipdate").alias("ship_day"),
+        (F.dayofweek("l_shipdate") - 1).alias("ship_dow"),
+        F.date_trunc("month", "l_shipdate").alias("ship_month_start"),
+        F.date_add(F.col("l_shipdate").cast("date"), 30).alias("ship_plus_30"),
+        F.datediff(F.col("l_shipdate"), F.lit("1995-01-01").cast("timestamp")).alias(
+            "days_since_95"
+        ),
+        F.quarter("l_shipdate").alias("ship_quarter"),
+    )
+
+
+@query(
+    "q_math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice, 1) AS price_r1,
+           CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+           CAST(ceil(l_extendedprice) AS BIGINT)  AS price_ceil,
+           round(abs(l_discount - 0.05), 4) AS disc_dev,
+           round(pow(l_quantity, 2), 2) AS qty_sq,
+           round(sqrt(l_extendedprice), 4) AS price_sqrt,
+           round(ln(l_extendedprice + 1), 6) AS price_ln,
+           round(log10(l_extendedprice + 1), 6) AS price_log10,
+           CAST(l_orderkey % 7 AS BIGINT) AS key_mod7,
+           CAST(sign(l_discount - 0.05) AS INTEGER) AS disc_sign
+    FROM lineitem
+    WHERE l_orderkey < 500
+    """,
+)
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family. floor/ceil → BIGINT on both sides; pmod on
+    non-negative operands ≡ %; sign normalized to INT."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 500)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_r1"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.ceil("l_extendedprice").alias("price_ceil"),
+        F.round(F.abs(F.col("l_discount") - 0.05), 4).alias("disc_dev"),
+        F.round(F.pow("l_quantity", F.lit(2)), 2).alias("qty_sq"),
+        F.round(F.sqrt("l_extendedprice"), 4).alias("price_sqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+        F.round(F.log10(F.col("l_extendedprice") + 1), 6).alias("price_log10"),
+        F.pmod(F.col("l_orderkey"), F.lit(7)).cast("bigint").alias("key_mod7"),
+        F.signum(F.col("l_discount") - 0.05).cast("int").alias("disc_sign"),
+    )
+
+
+@query(
+    "q_cond_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 300000 THEN 'big'
+                WHEN o_totalprice > 150000 THEN 'mid'
+                ELSE 'small' END AS size_class,
+           coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_norm,
+           round(greatest(o_totalprice, 100000.0), 2) AS price_floor100k,
+           round(least(o_totalprice, 400000.0), 2) AS price_cap400k
+    FROM orders
+    """,
+)
+def q_cond_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditionals: CASE WHEN / coalesce / nullif / greatest / least."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 300000, "big")
+        .when(F.col("o_totalprice") > 150000, "mid")
+        .otherwise("small")
+        .alias("size_class"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("PENDING")).alias(
+            "status_norm"
+        ),
+        F.round(F.greatest("o_totalprice", F.lit(100000.0)), 2).alias("price_floor100k"),
+        F.round(F.least("o_totalprice", F.lit(400000.0)), 2).alias("price_cap400k"),
+    )
+
+
+@query(
+    "q_cast_types",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey AS DOUBLE) AS key_dbl,
+           CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_roundtrip,
+           CAST(o_totalprice AS DECIMAL(12,2)) AS price_dec,
+           CAST(floor(o_totalprice) AS INTEGER) AS price_int,
+           CAST(o_orderdate AS DATE) AS order_date,
+           CAST(substring(o_orderpriority, 1, 1) AS INTEGER) AS prio_num
+    FROM orders
+    """,
+)
+def q_cast_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Casts int↔double↔string↔date↔decimal(12,2).
+
+    double→string is deliberately absent: Java vs DuckDB float
+    formatting differs (scientific-notation thresholds); all other
+    directions are exact.
+    """
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("double").alias("key_dbl"),
+        F.col("o_orderkey").cast("string").cast("bigint").alias("key_roundtrip"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price_dec"),
+        F.floor("o_totalprice").cast("int").alias("price_int"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("prio_num"),
+    )
+
+
+@query(
+    "q_array_funcs",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+           list_contains(string_split(text, ' '), 'spark') AS has_spark,
+           list_sort(string_split(text, ' '))[1] AS first_token,
+           array_to_string(list_sort(list_distinct(string_split(text, ' '))), ',')
+               AS vocab
+    FROM documents
+    WHERE doc_id < 50
+    """,
+)
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family: split/size/contains/sort/distinct/element_at/join."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("int").alias("n_tokens"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+        F.element_at(F.sort_array(toks), 1).alias("first_token"),
+        F.array_join(F.sort_array(F.array_distinct(toks)), ",").alias("vocab"),
+    )
+
+
+@query(
+    "q_json_funcs",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value,
+           CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50
+                THEN 'high' ELSE 'low' END AS k_class
+    FROM events
+    """,
+)
+def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the events.props payload column."""
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.select(
+        "event_id",
+        k.alias("k_value"),
+        F.when(k >= 50, "high").otherwise("low").alias("k_class"),
+    )
+
+
+@query(
+    "q_map_funcs",
+    oracle="""
+    SELECT event_id,
+           map([event_type], [round(value, 2)])[event_type][1] AS mapped_value,
+           array_to_string(map_keys(map([event_type], [value])), ',') AS keys_str
+    FROM events
+    WHERE event_id < 100
+    """,
+)
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction + element_at + map_keys, reduced to scalar output
+    so hashes compare across engines' different map literals."""
+    e = load(spark, sf_dir, "events").filter(F.col("event_id") < 100)
+    m = F.create_map(F.col("event_type"), F.round("value", 2))
+    return e.select(
+        "event_id",
+        F.element_at(m, F.col("event_type")).alias("mapped_value"),
+        F.array_join(F.map_keys(F.create_map(F.col("event_type"), F.col("value"))), ",").alias(
+            "keys_str"
+        ),
+    )

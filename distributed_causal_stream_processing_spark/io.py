@@ -1,0 +1,69 @@
+"""Fixture I/O: parquet loaders + temp-view registration.
+
+Schemas are fixed and explicit (FIXTURES.md); we still read with
+``spark.read.parquet`` (the footer IS the schema — no inference risk)
+so predicate pushdown / column pruning stay on the vectorized reader.
+
+At 100 TB these tables would be partitioned directories (e.g. lineitem
+partitioned by ship-month, events by event-date); the loaders take a
+directory per table so that layout drops in without code changes —
+Catalyst then gets partition pruning on top of row-group pruning.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table as a DataFrame.
+
+    ``events.ts`` is parquet INT64 TIMESTAMP(NANOS), which Spark 4
+    refuses by default (PARQUET_TYPE_ILLEGAL). We read it via the
+    nanos-as-long escape hatch and rebuild a proper µs TimestampType
+    column (the data is µs-granular, so `DIV 1000` is exact). Set on
+    the session lazily so this works under any caller's SparkSession.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        return spark.read.parquet(table_path(sf_dir, name)).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+        )
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
+    """Register fixture tables as temp views so SQL-form queries run.
+
+    Skips tables whose parquet file is absent (some SF dirs may only
+    carry the star schema).
+    """
+    for name in tables:
+        path = table_path(sf_dir, name)
+        if os.path.exists(path):
+            load(spark, sf_dir, name).createOrReplaceTempView(name)

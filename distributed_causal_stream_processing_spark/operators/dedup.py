@@ -1,0 +1,248 @@
+"""Document deduplication operators (SURVEY §2.10 + training-pipeline extras).
+
+The dedup ladder for a 100 TB corpus, cheapest first:
+1. exact (`q_dedup_exact`): md5(text) groupBy — one shuffle carrying
+   (hash, doc_id) pairs, never the documents.
+2. SimHash (`q_dedup_simhash`): 16-bit locality-sensitive signature by
+   per-bit majority vote over token hashes; near-dup docs collide.
+3. n-gram Jaccard (`q_dedup_ngram_jaccard`): shingle-set similarity via
+   an inverted-index join — only pairs sharing ≥1 shingle materialize.
+4. MinHash + LSH (`q_minhash_lsh`): 32 deterministic hash permutations
+   → 8 bands of 4 → band-bucket join yields candidate pairs.
+
+All hashing derives from md5 via SQL text valid in BOTH dialects
+(functions/hashing.py), so even SimHash and MinHash/LSH are fully
+DuckDB-oracle-checked — bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from distributed_causal_stream_processing_spark.functions.hashing import (
+    LSH_BANDS,
+    N_MINHASH,
+    md5_bit_sql,
+    md5_u32_sql,
+    minhash_perm_sql,
+)
+from distributed_causal_stream_processing_spark.io import load
+from distributed_causal_stream_processing_spark.plans.registry import query
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+    SELECT doc_id, md5(text) AS text_hash
+    FROM (
+        SELECT doc_id, text,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM documents
+    )
+    WHERE rn = 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: keep the lowest doc_id per md5(text)."""
+    d = load(spark, sf_dir, "documents")
+    w = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    return (
+        d.select("doc_id", F.md5("text").alias("text_hash"), F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "text_hash")
+    )
+
+
+@query(
+    "q_dedup_ngram_jaccard",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS s
+        FROM documents
+        WHERE doc_id < 100 AND len(string_split(text, ' ')) >= 3
+    ),
+    shingles AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(s) - 1),
+                   i -> s[i] || ' ' || s[i+1] || ' ' || s[i+2])) AS grams
+        FROM toks
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               len(list_intersect(a.grams, b.grams)) AS inter,
+               len(a.grams) + len(b.grams)
+                   - len(list_intersect(a.grams, b.grams)) AS uni
+        FROM shingles a JOIN shingles b ON a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE) / uni, 4) AS jaccard
+    FROM pairs
+    WHERE inter > 0 AND CAST(inter AS DOUBLE) / uni >= 0.1
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection: word-3-gram Jaccard ≥ 0.1, doc_id < 100 slice.
+
+    Spark side is the scalable formulation — an inverted-index join
+    (explode shingles, self-join on shingle, count per pair), so the
+    all-pairs product never materializes. The oracle cross-checks with
+    DuckDB's list_intersect over the same pair set.
+    """
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = F.split("text", " ")
+    grams = d.filter(F.size(toks) >= 3).select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(toks, i),
+                    F.element_at(toks, i + 1),
+                    F.element_at(toks, i + 2),
+                ),
+            )
+        ).alias("grams"),
+    )
+    sized = grams.select("doc_id", "grams", F.size("grams").alias("n_grams"))
+    exploded = sized.select("doc_id", "n_grams", F.explode("grams").alias("gram"))
+    a = exploded.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("na"), "gram")
+    b = exploded.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("nb"), "gram")
+    common = (
+        a.join(b, ["gram"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    uni = (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
+    jac = F.col("inter") / uni
+    return common.filter(jac >= 0.1).select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+
+
+def _simhash_sql(table: str, dialect_split: str) -> str:
+    """SimHash-16 SQL, identical logic for both engines.
+
+    dialect_split: Spark 'explode'-style vs DuckDB 'unnest' differ only
+    in the token-explosion clause; the hashing/vote text is shared.
+    """
+    votes = []
+    for bit in range(16):
+        b = md5_bit_sql("tok", bit)
+        votes.append(f"CAST(sum({b}) AS BIGINT) AS s{bit}")
+    bits_expr = " + ".join(
+        f"(CASE WHEN 2 * s{bit} > n_toks THEN {2 ** bit} ELSE 0 END)" for bit in range(16)
+    )
+    return f"""
+    WITH tokens AS ({dialect_split}),
+    votes AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+               {", ".join(votes)}
+        FROM tokens GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({bits_expr} AS BIGINT) AS simhash16
+    FROM votes
+    """
+
+
+_SIMHASH_DUCK = _simhash_sql(
+    "documents",
+    """
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents
+    """,
+)
+
+_SIMHASH_SPARK = _simhash_sql(
+    "documents",
+    """
+        SELECT doc_id, explode(array_distinct(split(text, ' '))) AS tok
+        FROM documents
+    """,
+)
+
+
+@query("q_dedup_simhash", oracle=_SIMHASH_DUCK)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-16 signature per document (per-bit majority vote over
+    md5-derived token bits). Near-duplicate documents receive equal or
+    Hamming-close signatures; grouping by signature buckets near-dups.
+
+    Whole pipeline is explode → hash-agg — JVM-side only, one shuffle
+    on doc_id; scales linearly in corpus size.
+    """
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_SIMHASH_SPARK)
+
+
+def _minhash_cte(split_clause: str, str_type: str) -> str:
+    """Shared SQL text: doc → 32 minhash values → 8 LSH band keys.
+
+    str_type: 'STRING' for Spark, 'VARCHAR' for DuckDB — the only
+    dialect difference besides the token-explosion clause.
+    """
+    x = md5_u32_sql("tok")
+    mins = ", ".join(
+        f"min({minhash_perm_sql('x', j)}) AS mh{j}" for j in range(N_MINHASH)
+    )
+    rows_per_band = N_MINHASH // LSH_BANDS
+    bands = ", ".join(
+        "concat_ws(',', "
+        + ", ".join(
+            f"CAST(mh{b * rows_per_band + r} AS {str_type})" for r in range(rows_per_band)
+        )
+        + f") AS band{b}"
+        for b in range(LSH_BANDS)
+    )
+    return f"""
+    WITH tokens AS ({split_clause}),
+    hashed AS (SELECT doc_id, {x} AS x FROM tokens),
+    sigs AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
+    banded AS (SELECT doc_id, {bands} FROM sigs)
+    """
+
+
+def _minhash_pairs_sql(split_clause: str, str_type: str) -> str:
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_key, {b_idx} AS band_no FROM banded"
+        for b_idx, b in enumerate(f"band{i}" for i in range(LSH_BANDS))
+    )
+    return (
+        _minhash_cte(split_clause, str_type)
+        + f""",
+    band_rows AS ({band_selects}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM band_rows a
+        JOIN band_rows b
+          ON a.band_no = b.band_no AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b FROM cand
+    """
+    )
+
+
+_MINHASH_DUCK = _minhash_pairs_sql(
+    "SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents",
+    "VARCHAR",
+)
+_MINHASH_SPARK = _minhash_pairs_sql(
+    "SELECT doc_id, explode(array_distinct(split(text, ' '))) AS tok FROM documents",
+    "STRING",
+)
+
+
+@query("q_minhash_lsh", oracle=_MINHASH_DUCK)
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup candidate pairs, fully deterministic.
+
+    32 hash permutations over md5-derived token ids → signatures;
+    8 bands × 4 rows; docs sharing any band bucket become a candidate
+    pair. Identical SQL constants run in DuckDB, so unlike the usual
+    rows-only check this LSH is value-hash-checked. At 100 TB the band
+    join shuffles (band_key, doc_id) pairs only — candidate generation
+    without the quadratic product. (MLlib MinHashLSH would work too but
+    its seeded hashes aren't reproducible in the oracle.)
+    """
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_MINHASH_SPARK)

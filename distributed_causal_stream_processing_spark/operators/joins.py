@@ -1,0 +1,331 @@
+"""Join operators (SURVEY §2.3).
+
+Scale notes (100 TB):
+- Equi joins on fact tables (lineitem⋈orders) shuffle both sides on the
+  key; with AQE on, skewed keys are split at runtime. On a real cluster
+  the fact tables would be bucketed by orderkey so this join is
+  shuffle-free — the declarative form here is unchanged by that layout.
+- Dimension joins (nation, region, supplier, part, customer at TPC-H
+  ratios) are explicitly broadcast: `F.broadcast(dim)` pins a
+  BroadcastHashJoin, removing the shuffle of the 100 TB side entirely.
+- Non-equi (theta/band) joins fall back to BroadcastNestedLoopJoin —
+  only sane when one side is broadcastable; the range join bounds the
+  blow-up with an equi key (same user) + time band.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distributed_causal_stream_processing_spark.io import load
+from distributed_causal_stream_processing_spark.plans.registry import query
+
+
+@query(
+    "q_join_inner",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, o.o_custkey, o.o_orderstatus,
+           round(l.l_extendedprice * (1 - l.l_discount), 4) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'F'
+    """,
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join lineitem⋈orders; planner picks SMJ/shuffled-hash."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return li.join(o, li.l_orderkey == o.o_orderkey, "inner").select(
+        "l_orderkey",
+        "l_linenumber",
+        "o_custkey",
+        "o_orderstatus",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
+    )
+
+
+@query(
+    "q_join_left",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    FROM customer c
+    LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 300000) o
+      ON c.c_custkey = o.o_custkey
+    """,
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join with a null-producing right side."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "q_join_full",
+    oracle="""
+    SELECT a.o_orderkey AS f_orderkey, a.o_totalprice, b.o_orderkey AS o_orderkey2,
+           b.o_totalprice AS o_totalprice2
+    FROM (SELECT * FROM orders WHERE o_orderstatus = 'F') a
+    FULL JOIN (SELECT * FROM orders WHERE o_orderstatus = 'O') b
+      ON a.o_orderkey = b.o_orderkey
+    """,
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join (disjoint predicates → all rows null on one side)."""
+    o = load(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderkey").alias("f_orderkey"), "o_totalprice"
+    )
+    b = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_orderkey").alias("o_orderkey2"),
+        F.col("o_totalprice").alias("o_totalprice2"),
+    )
+    return a.join(b, a.f_orderkey == b.o_orderkey2, "full").select(
+        "f_orderkey", "o_totalprice", "o_orderkey2", "o_totalprice2"
+    )
+
+
+@query(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+    )
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join ≡ EXISTS: customers with at least one urgent order."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@query(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P'
+    )
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join ≡ NOT EXISTS."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "q_join_broadcast",
+    oracle="""
+    SELECT n.n_name, round(sum(c.c_acctbal), 2) AS total_acctbal,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-hash join with an explicitly broadcast dimension table.
+
+    tests/test_plans.py asserts BroadcastHashJoin appears in the plan —
+    at 100 TB this removes the shuffle of the fact side entirely.
+    """
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+    )
+
+
+@query(
+    "q_join_multiway",
+    oracle="""
+    SELECT n.n_name, o.o_orderpriority,
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
+                AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lineitems
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderstatus <> 'P'
+    GROUP BY n.n_name, o.o_orderpriority
+    """,
+)
+def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-table star join; AQE/CBO reorder; nation broadcast.
+
+    The revenue sum runs over DECIMAL(18,4)-cast addends: decimal
+    addition is exact and order-independent, so the aggregate is
+    bit-identical across engines and partitionings — no rounding games.
+    """
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "P")
+    li = load(spark, sf_dir, "lineitem")
+    n = load(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", "o_orderpriority")
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@query(
+    "q_join_cross",
+    oracle="""
+    SELECT r.r_name, n.n_name
+    FROM region r CROSS JOIN nation n
+    """,
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of two small dims (5 × 25 rows)."""
+    r = load(spark, sf_dir, "region").select("r_name")
+    n = load(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(n)
+
+
+@query(
+    "q_join_theta",
+    oracle="""
+    SELECT s.s_suppkey, c.c_custkey,
+           round(s.s_acctbal, 2) AS s_acctbal,
+           round(c.c_acctbal, 2) AS c_acctbal
+    FROM supplier s
+    JOIN customer c
+      ON c.c_acctbal > s.s_acctbal AND c.c_acctbal < s.s_acctbal + 500
+    """,
+)
+def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi band join → BroadcastNestedLoopJoin (small side broadcast)."""
+    s = load(spark, sf_dir, "supplier")
+    c = load(spark, sf_dir, "customer")
+    cond = (c.c_acctbal > s.s_acctbal) & (c.c_acctbal < s.s_acctbal + 500)
+    return s.join(c, cond).select(
+        "s_suppkey",
+        "c_custkey",
+        F.round("s_acctbal", 2).alias("s_acctbal"),
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+    )
+
+
+@query(
+    "q_join_range",
+    oracle="""
+    SELECT a.event_id,
+           CAST(count(b.event_id) AS BIGINT) AS n_within_hour
+    FROM events a
+    LEFT JOIN events b
+      ON a.user_id = b.user_id
+     AND CAST(b.ts AS TIMESTAMP) > CAST(a.ts AS TIMESTAMP)
+     AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL '1 hour'
+    GROUP BY a.event_id
+    """,
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range self-join: events of the same user within the next hour.
+
+    Equi key (user_id) + time band: Spark plans SMJ on user_id with the
+    band as post-condition — the scalable range-join shape (never a
+    cartesian product).
+    """
+    e = load(spark, sf_dir, "events")
+    a = e.select(F.col("event_id").alias("event_id"), F.col("user_id").alias("ua"),
+                 F.col("ts").alias("ta"))
+    b = e.select(F.col("event_id").alias("eb"), F.col("user_id").alias("ub"),
+                 F.col("ts").alias("tb"))
+    cond = (
+        (F.col("ua") == F.col("ub"))
+        & (F.col("tb") > F.col("ta"))
+        & (F.col("tb") <= F.col("ta") + F.expr("INTERVAL 1 HOUR"))
+    )
+    return (
+        a.join(b, cond, "left")
+        .groupBy("event_id")
+        .agg(F.count("eb").alias("n_within_hour"))
+    )
+
+
+@query(
+    "q_join_asof",
+    oracle="""
+    WITH merged AS (
+        SELECT o_custkey AS user_id, o_orderdate AS ts, 0 AS kind,
+               o_orderkey, NULL::BIGINT AS event_id
+        FROM orders
+        UNION ALL
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, 1 AS kind,
+               NULL::BIGINT AS o_orderkey, event_id
+        FROM events
+    ),
+    filled AS (
+        SELECT user_id, ts, kind, event_id,
+               last_value(o_orderkey IGNORE NULLS) OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts, kind, coalesce(o_orderkey, event_id)
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS asof_orderkey
+        FROM merged
+    )
+    SELECT event_id, user_id, ts, asof_orderkey
+    FROM filled WHERE kind = 1
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: latest order at/before each event's ts per customer.
+
+    Union-and-window formulation — the 100 TB-safe as-of: one shuffle
+    on the key, one sort, no quadratic candidate join. Orders sort
+    before events at equal ts (kind 0 < 1) so an order exactly at ts
+    matches; equal-date orders tie-break on the highest o_orderkey.
+    """
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("ts"),
+        F.lit(0).alias("kind"),
+        "o_orderkey",
+        F.lit(None).cast("bigint").alias("event_id"),
+    )
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+        "event_id",
+    )
+    merged = o.unionByName(e)
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "kind", F.coalesce("o_orderkey", "event_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        merged.withColumn("asof_orderkey", F.last("o_orderkey", ignorenulls=True).over(w))
+        .filter(F.col("kind") == 1)
+        .select("event_id", "user_id", "ts", "asof_orderkey")
+    )

@@ -1,0 +1,262 @@
+"""Embedding-similarity operators (SURVEY §2.10 + brief extras:
+brute-force cosine top-k baseline, kNN-label vote, LSH-bucketed ANN
+scale path, embedding-cosine near-dup).
+
+Cosine is computed with higher-order functions (`zip_with` +
+`aggregate`) — stays inside whole-stage codegen, no Python. Vectors
+are cast float→double before arithmetic so Spark and the DuckDB oracle
+(`list_cosine_similarity` on DOUBLE[]) agree to rounding precision.
+
+Scale notes (100 TB of embeddings): the brute-force pair product is the
+*baseline* (bounded here by vec_id caps); the scale path is
+`q_sim_ann_lsh` — deterministic random-hyperplane signatures bucket the
+join, so only same-bucket pairs are scored. Swapping bucketing for IVF
+(k-means cells) keeps the same plan shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from distributed_causal_stream_processing_spark.io import load
+from distributed_causal_stream_processing_spark.plans.registry import query
+
+DIM = 64
+
+
+def as_double(col) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a, b) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a, b) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+@query(
+    "q_sim_cosine_topk",
+    oracle="""
+    WITH pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])) AS sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, round(sim, 4) AS cos_sim,
+           CAST(row_number() OVER (ORDER BY sim DESC, vec_a, vec_b) AS BIGINT) AS rnk
+    FROM pairs
+    ORDER BY sim DESC, vec_a, vec_b
+    LIMIT 20
+    """,
+)
+def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-20 most-similar pairs (the exact baseline).
+
+    All-pairs product bounded by `vec_id < vec_id`; top-k via
+    TakeOrderedAndProject so only k rows survive per partition.
+    """
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("emb")
+    )
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"))
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b")).select(
+        "vec_a", "vec_b", cosine(F.col("ea"), F.col("eb")).alias("sim")
+    )
+    w = W.orderBy(F.desc("sim"), F.asc("vec_a"), F.asc("vec_b"))
+    return (
+        pairs.select(
+            "vec_a",
+            "vec_b",
+            F.round("sim", 4).alias("cos_sim"),
+            F.row_number().over(w).cast("bigint").alias("rnk"),
+        )
+        .orderBy(F.asc("rnk"))
+        .limit(20)
+    )
+
+
+@query(
+    "q_sim_knn_label",
+    oracle="""
+    WITH sims AS (
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, n.label,
+               list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(n.embedding AS DOUBLE[])) AS sim
+        FROM embeddings q
+        JOIN embeddings n ON n.vec_id <> q.vec_id
+        WHERE q.vec_id < 20
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+        FROM sims
+    ),
+    votes AS (
+        SELECT query_id, label, CAST(count(*) AS BIGINT) AS n_votes
+        FROM ranked WHERE rn <= 5
+        GROUP BY query_id, label
+    )
+    SELECT query_id, label AS knn_label, n_votes
+    FROM (
+        SELECT *, row_number() OVER (
+                   PARTITION BY query_id ORDER BY n_votes DESC, label ASC) AS vr
+        FROM votes
+    )
+    WHERE vr = 1
+    """,
+)
+def q_sim_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=5 nearest-neighbor majority label for query vectors vec_id<20,
+    ties broken by (votes desc, label asc)."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double("embedding").alias("emb")
+    )
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("eq")
+    )
+    n = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label"), F.col("emb").alias("en")
+    )
+    sims = q.join(n, F.col("neighbor_id") != F.col("query_id")).select(
+        "query_id", "neighbor_id", "label", cosine(F.col("eq"), F.col("en")).alias("sim")
+    )
+    wk = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    votes = (
+        sims.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= 5)
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    wv = W.partitionBy("query_id").orderBy(F.desc("n_votes"), F.asc("label"))
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select("query_id", F.col("label").alias("knn_label"), "n_votes")
+    )
+
+
+# Deterministic integer hyperplanes for LSH: h[i][d] = ((97*(i+1) + 31*d) % 13) - 6.
+# Integer weights → float×int products are exact in double on both engines.
+N_PLANES = 8
+_PLANES = [
+    [((97 * (i + 1) + 31 * d) % 13) - 6 for d in range(DIM)] for i in range(N_PLANES)
+]
+
+
+def _plane_literal_sql(i: int) -> str:
+    return "[" + ", ".join(f"{v}.0" for v in _PLANES[i]) + "]"
+
+
+_DUCK_SIG = " || ".join(
+    f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+    f"CAST({_plane_literal_sql(i)} AS DOUBLE[])) > 0 THEN '1' ELSE '0' END)"
+    for i in range(N_PLANES)
+)
+
+
+@query(
+    "q_sim_ann_lsh",
+    oracle=f"""
+    WITH sigs AS (
+        SELECT vec_id, label, embedding, {_DUCK_SIG} AS bucket
+        FROM embeddings
+    ),
+    cand AS (
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+               list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(n.embedding AS DOUBLE[])) AS sim
+        FROM sigs q
+        JOIN sigs n ON q.bucket = n.bucket AND n.vec_id <> q.vec_id
+        WHERE q.vec_id < 50
+    )
+    SELECT query_id, neighbor_id, round(sim, 4) AS cos_sim
+    FROM (
+        SELECT *, row_number() OVER (
+                   PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+        FROM cand
+    )
+    WHERE rn = 1
+    """,
+)
+def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: random-hyperplane LSH bucketing, exact cosine
+    only within buckets, best in-bucket neighbor per query (vec_id<50).
+
+    The hyperplanes are fixed integer vectors, so the bucket signature
+    is bit-identical in the oracle. At 100 TB the bucket join replaces
+    the quadratic product with a shuffle on the 8-bit signature;
+    recall/cost tunes via the number of planes (and multi-probe).
+    Queries whose bucket has no other member return no row — the
+    recall/latency trade every ANN index makes.
+    """
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double("embedding").alias("emb")
+    )
+    sig = F.concat(
+        *[
+            F.when(dot(F.col("emb"), F.lit(_PLANES[i]).cast("array<double>")) > 0, "1")
+            .otherwise("0")
+            for i in range(N_PLANES)
+        ]
+    )
+    sigs = e.select("vec_id", "emb", sig.alias("bucket"))
+    q = sigs.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("eq"), "bucket"
+    )
+    n = sigs.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("en"), "bucket"
+    )
+    cand = (
+        q.join(n, ["bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("eq"), F.col("en")).alias("sim"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "neighbor_id", F.round("sim", 4).alias("cos_sim"))
+    )
+
+
+@query(
+    "q_dedup_embedding",
+    oracle="""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.3
+    """,
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cos ≥ 0.3) — semantic dedup.
+
+    At 100 TB this predicate runs after LSH/IVF candidate pruning
+    (q_sim_ann_lsh shape); the threshold join itself is the baseline.
+    """
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("emb")
+    )
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cosine(F.col("ea"), F.col("eb")).alias("sim"))
+        .filter(F.col("sim") >= 0.3)
+        .select("vec_a", "vec_b", F.round("sim", 4).alias("cos_sim"))
+    )

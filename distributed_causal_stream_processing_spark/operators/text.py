@@ -1,0 +1,246 @@
+"""Text-analysis operators for training-data pipelines (SURVEY §2.10 +
+brief extras: language-ID, quality scoring, token counting, document
+fingerprinting).
+
+Everything is built-in-expression only (split / explode / filter /
+regexp / md5 — JVM-side, codegen'd; no Python UDFs). At 100 TB:
+tokenize-and-aggregate pipelines are embarrassingly parallel; the only
+shuffles are the final small aggregations (per-word counts, per-lang
+stats).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from distributed_causal_stream_processing_spark.io import load
+from distributed_causal_stream_processing_spark.plans.registry import query
+
+# Tiny deterministic per-language marker lists for the heuristic
+# language-ID scorer. The fixture vocabulary is English-ish; the oracle
+# checks the *mechanism* (token-overlap scoring + argmax with a
+# deterministic alphabetical tie-break), not linguistic accuracy.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "und", "nicht"),
+    "en": ("the", "a", "and", "of"),
+    "es": ("el", "la", "los", "que"),
+    "fr": ("le", "la", "les", "des"),
+    "zh": ("zhe", "shi", "bu", "le"),
+}
+STOPWORDS = ("the", "a", "and", "of")
+
+
+@query(
+    "q_text_wordcount",
+    oracle="""
+    SELECT word, CAST(count(*) AS BIGINT) AS n,
+           CAST(row_number() OVER (ORDER BY count(*) DESC, word ASC) AS BIGINT) AS rnk
+    FROM (
+        SELECT unnest(string_split(lower(text), ' ')) AS word
+        FROM documents
+    )
+    GROUP BY word
+    ORDER BY n DESC, word ASC
+    LIMIT 20
+    """,
+)
+def q_text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic wordcount: tokenize → explode → count → top 20."""
+    d = load(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.orderBy(F.desc("n"), F.asc("word"))
+    return (
+        counts.select("word", "n", F.row_number().over(w).cast("bigint").alias("rnk"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(20)
+    )
+
+
+@query(
+    "q_text_stats",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(n_chars), 2) AS avg_chars,
+           CAST(min(length(text)) AS BIGINT) AS min_len,
+           CAST(max(length(text)) AS BIGINT) AS max_len,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus stats."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.min(F.length("text")).cast("bigint").alias("min_len"),
+        F.max(F.length("text")).cast("bigint").alias("max_len"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+_STOP_IN = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+
+@query(
+    "q_text_quality",
+    oracle=f"""
+    WITH feat AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS n_distinct,
+               CAST(length(replace(text, ' ', '')) AS DOUBLE) AS n_letters,
+               CAST(len(list_filter(string_split(text, ' '),
+                                    t -> t IN ({_STOP_IN}))) AS DOUBLE) AS n_stop
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(n_distinct / n_tokens, 4) AS distinct_ratio,
+           round(n_letters / n_tokens, 4) AS avg_token_len,
+           round(n_stop / n_tokens, 4) AS stopword_ratio,
+           round(0.4 * (n_distinct / n_tokens)
+                 + 0.3 * least(n_tokens / 100.0, 1.0)
+                 + 0.3 * (1.0 - n_stop / n_tokens), 4) AS quality_score
+    FROM feat
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score: length + lexical diversity + stopword mix.
+
+    The standard cheap pre-filter stage of a training-data pipeline —
+    pure column expressions, linear scan, no shuffle at all.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks).cast("double")
+    n_distinct = F.size(F.array_distinct(toks)).cast("double")
+    n_letters = F.length(F.regexp_replace("text", " ", "")).cast("double")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("double")
+    quality = (
+        0.4 * (n_distinct / n_tokens)
+        + 0.3 * F.least(n_tokens / 100.0, F.lit(1.0))
+        + 0.3 * (1.0 - n_stop / n_tokens)
+    )
+    return d.select(
+        "doc_id",
+        n_tokens.cast("bigint").alias("n_tokens"),
+        F.round(n_distinct / n_tokens, 4).alias("distinct_ratio"),
+        F.round(n_letters / n_tokens, 4).alias("avg_token_len"),
+        F.round(n_stop / n_tokens, 4).alias("stopword_ratio"),
+        F.round(quality, 4).alias("quality_score"),
+    )
+
+
+def _lang_score_sql(markers: tuple[str, ...]) -> str:
+    in_list = ", ".join(f"'{m}'" for m in markers)
+    return f"len(list_filter(string_split(text, ' '), t -> t IN ({in_list})))"
+
+
+_LANG_SCORES = ", ".join(
+    f"{_lang_score_sql(m)} AS s_{lang}" for lang, m in sorted(LANG_MARKERS.items())
+)
+_LANG_MAX = "greatest(" + ", ".join(f"s_{la}" for la in sorted(LANG_MARKERS)) + ")"
+_LANG_PICK = (
+    "CASE "
+    + " ".join(f"WHEN s_{la} = m THEN '{la}'" for la in sorted(LANG_MARKERS))
+    + " END"
+)
+
+
+@query(
+    "q_text_langid",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang, {_LANG_SCORES} FROM documents
+    ),
+    m AS (SELECT *, {_LANG_MAX} AS m FROM scored)
+    SELECT doc_id, lang AS labeled_lang, {_LANG_PICK} AS predicted_lang,
+           CAST(m AS BIGINT) AS marker_hits
+    FROM m
+    """,
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID: marker-token overlap, argmax with
+    alphabetical tie-break. Linear scan, no shuffle."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+
+    def marker_filter(markers):
+        # closure, not a default arg: a 2-arg lambda would make F.filter
+        # pass the element *index* as the second argument
+        return lambda t: t.isin(*markers)
+
+    scores = {
+        lang: F.size(F.filter(toks, marker_filter(markers)))
+        for lang, markers in sorted(LANG_MARKERS.items())
+    }
+    m = F.greatest(*scores.values())
+    expr = None
+    for lang in sorted(LANG_MARKERS):
+        cond = scores[lang] == m
+        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        expr.alias("predicted_lang"),
+        m.cast("bigint").alias("marker_hits"),
+    )
+
+
+@query(
+    "q_text_tokens",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]{1,4}', 0)) AS BIGINT) AS n_subwords,
+           CAST(ceil(length(replace(text, ' ', '')) / 4.0) AS BIGINT) AS est_bpe_tokens
+    FROM documents
+    """,
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, BPE-ish greedy ≤4-char
+    subword chunks (regex), and a chars/4 estimator."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]{1,4}"), 0))
+        .cast("bigint")
+        .alias("n_subwords"),
+        F.ceil(F.length(F.regexp_replace("text", " ", "")) / 4.0)
+        .cast("bigint")
+        .alias("est_bpe_tokens"),
+    )
+
+
+@query(
+    "q_text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+               AS vocab_fp,
+           substring(md5(text), 1, 8) AS content_fp8
+    FROM documents
+    """,
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: order-insensitive vocabulary fingerprint
+    (sorted distinct tokens → md5) + short exact-content fingerprint.
+    The vocab fingerprint buckets bag-of-words duplicates that exact
+    md5 misses — a cheap dedup key between exact and MinHash."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.array_join(F.sort_array(F.array_distinct(F.split("text", " "))), " ")).alias(
+            "vocab_fp"
+        ),
+        F.substring(F.md5("text"), 1, 8).alias("content_fp8"),
+    )

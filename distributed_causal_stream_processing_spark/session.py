@@ -1,0 +1,50 @@
+"""SparkSession builder.
+
+Local testing runs a single JVM (``local[N]``), but every config here is
+chosen to also be the right call on a large cluster:
+
+- AQE on (runtime partition coalescing, skew-join splitting, join
+  re-selection) — at 100 TB the static plan is always wrong somewhere.
+- Explicit ``spark.sql.shuffle.partitions`` sized to the parallelism at
+  hand (32 locally; thousands on a real cluster — AQE coalesces down).
+- UTC session timezone so timestamp semantics match the DuckDB oracle
+  and are reproducible across clusters.
+- Arrow enabled for the (rare, deliberate) Python↔JVM crossings.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "distributed_causal_stream_processing_spark",
+    cpus: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession."""
+    n = cpus or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.cbo.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.filterPushdown", "true")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,274 @@
+"""Causal / streaming operators — batch-equivalent formulations (SURVEY §2.9).
+
+This is the reference's home turf re-expressed Spark-first. The
+reference (zapletal-martin/distributed-causal-stream-processing — a
+causal, effectively-once stream-processing PoC; checkout empty in this
+environment, see SURVEY.md §0) processes partitioned event logs in
+causal (per-key happened-before) order, maintains per-key *views*, and
+writes them idempotently (effectively-once).
+
+Mapping:
+- per-key causal order      → window `row_number` over (key, ts, id)
+                              [streaming: keyed state, streaming/causal.py]
+- windowed view maintenance → `F.window` / `F.session_window` groupBys
+- idempotent write / dedup  → `dropDuplicates(event_id)`
+                              [streaming: dropDuplicatesWithinWatermark +
+                              foreachBatch idempotent sink, streaming/sinks.py]
+
+Every query here is expressible in batch SQL, so each carries a DuckDB
+oracle; the true streaming executions (readStream → writeStream) of the
+same logic live in `streaming/jobs.py` and are semantic-tested in
+tests/test_streaming.py.
+
+events.ts is parquet timestamp[ns]; Spark truncates to µs. The data is
+µs-granular (verified: no sub-µs components), so DuckDB oracles CAST to
+µs TIMESTAMP for exact alignment.
+
+Scale notes (100 TB): tumbling/sliding window aggs shuffle one partial
+row per (window, key) per map partition — the 100 TB-safe shape. The
+per-key window functions (causal seq) shuffle the full event stream on
+user_id once; skewed users would be handled by time-bucketing the key
+(sequence within day, then offset by per-day counts) — noted, not
+needed at fixture scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from distributed_causal_stream_processing_spark.io import load
+from distributed_causal_stream_processing_spark.plans.registry import query
+
+
+@query(
+    "q_stream_tumbling",
+    oracle="""
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling window count/sum per event_type (windowed view)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "q_stream_sliding",
+    oracle="""
+    WITH buckets AS (
+        SELECT unnest([
+                   time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)),
+                   time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
+                       - INTERVAL '30 minutes'
+               ]) AS window_start,
+               event_type, value
+        FROM events
+    )
+    SELECT window_start, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM buckets
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour window sliding every 30 min (each event lands in 2 windows)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "q_stream_session",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+               CASE WHEN CAST(ts AS TIMESTAMP)
+                         - lag(CAST(ts AS TIMESTAMP)) OVER
+                             (PARTITION BY user_id ORDER BY ts, event_id)
+                        <= INTERVAL '15 minutes'
+                    THEN 0 ELSE 1 END AS new_session
+        FROM events
+    ),
+    sessions AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS session_no
+        FROM marked
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) AS last_event_ts,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_no
+    """,
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 15-minute inactivity gap.
+
+    Spark: native `session_window`. Oracle: gaps-and-islands SQL.
+    Output keys on (session_start, last_event_ts) — both defined by the
+    event timestamps, independent of the gap-padded window end.
+    """
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "15 minutes").alias("w"), "user_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("last_event_ts"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start", "last_event_ts", "n_events")
+    )
+
+
+@query(
+    "q_stream_dedup",
+    oracle="""
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+           round(value, 2) AS value
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY event_id) AS rn
+        FROM (SELECT * FROM events UNION ALL SELECT * FROM events)
+    )
+    WHERE rn = 1
+    """,
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once by event_id under at-least-once delivery.
+
+    Models the reference's core guarantee: replayed input (here the
+    stream unioned with itself) deduplicated on the unique event id
+    restores effectively-once output. Streaming form:
+    `dropDuplicatesWithinWatermark` (streaming/jobs.py).
+    """
+    e = load(spark, sf_dir, "events")
+    replayed = e.unionAll(e)  # simulate at-least-once redelivery
+    return replayed.dropDuplicates(["event_id"]).select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        F.round("value", 2).alias("value"),
+    )
+
+
+@query(
+    "q_causal_seq",
+    oracle="""
+    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+           CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+           ) AS BIGINT) AS seq
+    FROM events
+    """,
+)
+def q_causal_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE reference concept: per-key causal (happened-before) sequence.
+
+    Assigns each user's events a monotonic sequence number in
+    (event-time, event_id) order — the batch formulation of the
+    reference's causal merge. Concurrent events (equal ts) are ordered
+    by the unique event id, a deterministic arbitrary order consistent
+    with causality. Streaming form: keyed max-seq state via
+    transformWithState (streaming/causal.py).
+    """
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.row_number().over(w).cast("bigint").alias("seq"),
+    )
+
+
+@query(
+    "q_stream_stateful_agg",
+    oracle="""
+    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+           CAST(count(*) OVER w AS BIGINT) AS running_count,
+           round(sum(value) OVER w, 2) AS running_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_stream_stateful_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key view state evolution: running count + running value sum.
+
+    Batch analogue of the reference's per-key *view* (materialized
+    state updated by each event): row N shows the view contents after
+    event N. Streaming form: update-mode groupBy agg (streaming/jobs.py).
+    """
+    e = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("running_count"),
+        F.round(F.sum("value").over(w), 2).alias("running_value"),
+    )
+
+
+@query(
+    "q_stream_join_enrich",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.event_type,
+           round(e.value, 2) AS value,
+           c.c_name, c.c_mktsegment
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def q_stream_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: events joined to the customer dim.
+
+    Batch form of the stream-static join (the dim is broadcast — at
+    100 TB of events the stream side never shuffles).
+    """
+    e = load(spark, sf_dir, "events")
+    c = load(spark, sf_dir, "customer")
+    return e.join(F.broadcast(c), e.user_id == c.c_custkey).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round("value", 2).alias("value"),
+        "c_name",
+        "c_mktsegment",
+    )

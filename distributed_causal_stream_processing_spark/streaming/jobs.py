@@ -1,0 +1,194 @@
+"""True Structured Streaming executions of the causal/streaming operators.
+
+The batch-equivalent (oracle-checked) forms live in ``batch_views.py``;
+this module runs the same logic as real unbounded jobs:
+
+- ``events_stream``: file-based streaming source over the events
+  fixture (parquet dir), with watermarking.
+- ``run_tumbling_stream`` / ``run_dedup_stream`` /
+  ``run_stateful_agg_stream``: streaming counterparts of
+  q_stream_tumbling / q_stream_dedup / q_stream_stateful_agg.
+- ``IdempotentForeachBatchSink``: the reference's effectively-once
+  contract — idempotent write keyed by batch id, commit marker written
+  AFTER the data (write-then-commit), so at-least-once redelivery of a
+  batch cannot duplicate output.
+
+Tests (tests/test_streaming.py) assert the semantic invariants the
+oracle can't: late-data drop past the watermark, replay idempotence,
+per-key monotone sequences across micro-batches.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stage_events_as_stream_dir(spark: SparkSession, sf_dir: str, out_dir: str, n_files: int = 4) -> None:
+    """Materialize the events fixture as N parquet files so a file
+    source replays it as a stream of micro-batches."""
+    from distributed_causal_stream_processing_spark.io import load
+
+    load(spark, sf_dir, "events").repartition(n_files).write.mode("overwrite").parquet(out_dir)
+
+
+def events_stream(spark: SparkSession, stream_dir: str, watermark: str = "10 minutes") -> DataFrame:
+    """Unbounded read of the staged events dir, watermarked on ts.
+
+    maxFilesPerTrigger=1 forces multiple micro-batches so cross-batch
+    state (dedup, running aggs) is actually exercised.
+    """
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+        .withWatermark("ts", watermark)
+    )
+
+
+def run_tumbling_stream(spark: SparkSession, stream_dir: str) -> list:
+    """Streaming q_stream_tumbling: 1h windows per event_type, complete mode."""
+    agg = (
+        events_stream(spark, stream_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("tumbling_out")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        return spark.sql(
+            "SELECT w.start AS window_start, event_type, n_events FROM tumbling_out"
+        ).collect()
+    finally:
+        q.stop()
+
+
+def run_dedup_stream(spark: SparkSession, stream_dir: str) -> list:
+    """Streaming q_stream_dedup: exactly-once by event_id across batches."""
+    deduped = events_stream(spark, stream_dir).dropDuplicates(["event_id"])
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        return spark.sql("SELECT event_id FROM dedup_out").collect()
+    finally:
+        q.stop()
+
+
+class IdempotentForeachBatchSink:
+    """Effectively-once parquet sink: the reference's write-then-commit.
+
+    Layout:  <root>/data/batch_id=N/...parquet   (the write)
+             <root>/_commits/N                   (the commit marker)
+
+    ``process(df, batch_id)`` is the foreachBatch callback. A batch
+    whose commit marker exists is skipped entirely, so redelivery
+    (Structured Streaming replays the last uncommitted batch after a
+    crash) cannot duplicate rows — at-least-once delivery + idempotent
+    write = effectively-once output. The marker is written only after
+    the data write returns, matching the reference's commit-after-write
+    ordering.
+    """
+
+    def __init__(self, root: str):
+        self.root = root
+        self.data_dir = os.path.join(root, "data")
+        self.commits_dir = os.path.join(root, "_commits")
+        os.makedirs(self.data_dir, exist_ok=True)
+        os.makedirs(self.commits_dir, exist_ok=True)
+
+    def _marker(self, batch_id: int) -> str:
+        return os.path.join(self.commits_dir, str(batch_id))
+
+    def is_committed(self, batch_id: int) -> bool:
+        return os.path.exists(self._marker(batch_id))
+
+    def process(self, df: DataFrame, batch_id: int) -> None:
+        if self.is_committed(batch_id):
+            return  # replayed batch: idempotent no-op
+        out = os.path.join(self.data_dir, f"batch_id={batch_id}")
+        # overwrite, not append: a torn previous attempt of this batch
+        # is replaced wholesale, never double-counted
+        df.write.mode("overwrite").parquet(out)
+        with open(self._marker(batch_id), "w") as fh:
+            json.dump({"batch_id": batch_id, "rows": df.count()}, fh)
+
+    def read_all(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.data_dir, "batch_id=*"))
+
+
+def run_effectively_once_sink(spark: SparkSession, stream_dir: str, sink_root: str) -> "IdempotentForeachBatchSink":
+    """Stream events into the idempotent sink with checkpointing."""
+    sink = IdempotentForeachBatchSink(sink_root)
+    checkpoint = os.path.join(sink_root, "_checkpoint")
+    q = (
+        events_stream(spark, stream_dir)
+        .writeStream.foreachBatch(sink.process)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return sink
+
+
+def run_stateful_agg_stream(spark: SparkSession, stream_dir: str) -> list:
+    """Streaming q_stream_stateful_agg: per-user view (count + sum) in
+    update mode — the reference's per-key materialized view."""
+    agg = (
+        events_stream(spark, stream_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("stateful_out")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        return spark.sql("SELECT * FROM stateful_out").collect()
+    finally:
+        q.stop()
+
+
+def temp_dir(prefix: str) -> str:
+    return tempfile.mkdtemp(prefix=prefix)
+
+
+def cleanup(path: str) -> None:
+    shutil.rmtree(path, ignore_errors=True)
