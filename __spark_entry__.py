@@ -17,6 +17,12 @@ from pyspark.sql import DataFrame, SparkSession
 _REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 if _REPO_DIR not in sys.path:
     sys.path.insert(0, _REPO_DIR)
+# Python workers inherit the driver's environment (not its sys.path);
+# worker-crossing closures are pickled by value, but keep the package
+# importable for workers spawned after this point as a belt-and-braces.
+os.environ["PYTHONPATH"] = (
+    _REPO_DIR + os.pathsep + os.environ.get("PYTHONPATH", "")
+).rstrip(os.pathsep)
 
 from distributed_causal_stream_processing_spark import all_oracle_sql, all_queries  # noqa: E402
 

@@ -1,0 +1,127 @@
+"""Multimodal-column operators: opaque binary payloads + typed metadata
+(brief requirement; no image/audio libs in this container, so the
+decode kernel is STUBBED — the Spark-side plumbing is real).
+
+Pattern for 100 TB of media:
+- media lives in an opaque ``binary`` column next to typed metadata
+  (media_type, n_bytes, width/height/duration) so pruning/filtering
+  happens on cheap metadata columns without touching payload bytes;
+- decode / resize / frame-sample run as Arrow-batched ``mapInPandas``
+  kernels — per-partition, streaming batches, no driver involvement;
+- the fixture has no binary media, so ``as_media_table`` derives a
+  deterministic payload from documents.text (utf-8 bytes). The decode
+  stub (`_decode_stub`) replaces a real codec (PIL/ffmpeg) with a
+  deterministic fake; swap `DECODERS` entries when codecs exist.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from distributed_causal_stream_processing_spark.io import load
+from distributed_causal_stream_processing_spark.plans.registry import query
+
+MEDIA_TYPES = ("image", "audio", "video")
+
+
+def as_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (doc_id, media_type, payload binary, meta struct)."""
+    d = load(spark, sf_dir, "documents")
+    payload = F.encode("text", "UTF-8")
+    return d.select(
+        "doc_id",
+        F.element_at(
+            F.array(*[F.lit(t) for t in MEDIA_TYPES]),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        payload.alias("payload"),
+        F.struct(
+            F.length(payload).alias("n_bytes"),
+            (F.col("doc_id") % 640 + 64).cast("int").alias("width"),
+            (F.col("doc_id") % 480 + 48).cast("int").alias("height"),
+        ).alias("meta"),
+    )
+
+
+@query(
+    "q_multimodal_meta",
+    oracle="""
+    SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                           ELSE 'video' END AS media_type,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+           CAST(max(doc_id % 640 + 64) AS INTEGER) AS max_width
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only aggregation over the media table — payload bytes
+    are never read (column pruning drops the binary column)."""
+    m = as_media_table(spark, sf_dir)
+    return m.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("meta.n_bytes").cast("bigint").alias("total_bytes"),
+        F.max("meta.width").alias("max_width"),
+    )
+
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("feat_mean", T.DoubleType()),
+        T.StructField("feat_dim", T.IntegerType()),
+    ]
+)
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    mapInPandas streams Arrow record batches through the Python worker
+    — the payload column transfers zero-copy-ish, per partition, and
+    the 100 TB scan parallelizes over file splits like any other scan.
+
+    Everything worker-side is nested so cloudpickle ships it by value
+    (workers don't need this package importable).
+    """
+
+    def decode_stub(payload: bytes, media_type: str) -> list[float]:
+        # STUB decoder. A real deployment decodes image/audio/video
+        # here (PIL / torchaudio / ffmpeg — not in this container) and
+        # returns a feature vector. The stub derives a deterministic
+        # fake from raw bytes so the pipeline is testable end-to-end.
+        dim = {"image": 8, "audio": 4, "video": 6}[media_type]
+        return [float(payload[i % len(payload)]) for i in range(dim)]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                decode_stub(p, m)
+                for p, m in zip(pdf["payload"], pdf["media_type"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "feat_mean": [sum(f) / len(f) for f in feats],
+                    "feat_dim": [len(f) for f in feats],
+                }
+            )
+
+    return media.mapInPandas(kernel, FEATURE_SCHEMA)
+
+
+@query("q_multimodal_features", oracle=None)  # decode stub is Spark-only → rows-only
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over binary media via mapInPandas (stubbed
+    decode; real Spark plumbing: schema, batching, partitioning)."""
+    return extract_features(as_media_table(spark, sf_dir))

@@ -62,6 +62,7 @@ _QUERY_MODULES = (
     "distributed_causal_stream_processing_spark.operators.dedup",
     "distributed_causal_stream_processing_spark.operators.text",
     "distributed_causal_stream_processing_spark.operators.similarity",
+    "distributed_causal_stream_processing_spark.operators.multimodal",
 )
 
 _loaded = False

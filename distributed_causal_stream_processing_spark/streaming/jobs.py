@@ -85,9 +85,16 @@ def run_tumbling_stream(spark: SparkSession, stream_dir: str) -> list:
         q.stop()
 
 
-def run_dedup_stream(spark: SparkSession, stream_dir: str) -> list:
-    """Streaming q_stream_dedup: exactly-once by event_id across batches."""
-    deduped = events_stream(spark, stream_dir).dropDuplicates(["event_id"])
+def run_dedup_stream(spark: SparkSession, stream_dir: str, watermark: str = "35 days") -> list:
+    """Streaming q_stream_dedup: exactly-once by event_id across batches.
+
+    Default watermark exceeds the fixture's 30-day span so replayed
+    (old) events are deduplicated rather than dropped as late — this
+    test isolates the dedup guarantee; late-drop is covered separately.
+    """
+    deduped = events_stream(spark, stream_dir, watermark=watermark).dropDuplicates(
+        ["event_id"]
+    )
     q = (
         deduped.writeStream.format("memory")
         .queryName("dedup_out")

@@ -1,0 +1,177 @@
+"""Semantic tests for the true streaming layer — the invariants the
+DuckDB oracle cannot check (SURVEY §5.2.4):
+
+- streaming results == batch results for windowed aggregation;
+- dedup under replay (at-least-once → effectively-once);
+- idempotent foreachBatch sink: reprocessing a batch adds no rows;
+- watermark drops data later than the bound;
+- causal sequencer: per-key monotone, gapless sequences across
+  micro-batches.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+pytestmark = pytest.mark.streaming
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, tmp_path_factory):
+    from distributed_causal_stream_processing_spark.streaming import jobs
+
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    jobs.stage_events_as_stream_dir(spark, SF_SMOKE, d, n_files=4)
+    return d
+
+
+def test_tumbling_stream_matches_batch(spark, stream_dir):
+    from distributed_causal_stream_processing_spark.io import load
+    from distributed_causal_stream_processing_spark.streaming import jobs
+
+    got = {
+        (r.window_start, r.event_type): r.n_events
+        for r in jobs.run_tumbling_stream(spark, stream_dir)
+    }
+    batch = (
+        load(spark, SF_SMOKE, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    want = {(r.w.start, r.event_type): r.n for r in batch}
+    assert got == want
+
+
+def test_dedup_stream_effectively_once(spark, stream_dir, tmp_path):
+    """Replayed input (staged twice) still yields each event_id once."""
+    from distributed_causal_stream_processing_spark.streaming import jobs
+
+    # stage the same events twice = at-least-once redelivery
+    replay_dir = str(tmp_path / "replayed")
+    from distributed_causal_stream_processing_spark.io import load
+
+    e = load(spark, SF_SMOKE, "events")
+    e.repartition(3).write.mode("overwrite").parquet(replay_dir)
+    e.repartition(2).write.mode("append").parquet(replay_dir)
+
+    rows = jobs.run_dedup_stream(spark, replay_dir)
+    ids = [r.event_id for r in rows]
+    assert len(ids) == len(set(ids)) == e.count()
+
+
+def test_effectively_once_sink_idempotent(spark, stream_dir, tmp_path):
+    """Re-invoking process() with an already-committed batch id is a no-op
+    (the write-then-commit contract)."""
+    from distributed_causal_stream_processing_spark.io import load
+    from distributed_causal_stream_processing_spark.streaming import jobs
+
+    sink_root = str(tmp_path / "sink")
+    sink = jobs.run_effectively_once_sink(spark, stream_dir, sink_root)
+
+    total = load(spark, SF_SMOKE, "events").count()
+    written = sink.read_all(spark)
+    assert written.count() == total
+
+    # replay every committed batch: counts must not change
+    some_batch = sorted(os.listdir(sink.commits_dir))[0]
+    sink.process(load(spark, SF_SMOKE, "events").limit(50), int(some_batch))
+    assert sink.read_all(spark).count() == total
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """An event arriving (in a later file/batch) far behind the watermark
+    is excluded from windowed aggregation."""
+    from pyspark.sql import Row
+    from distributed_causal_stream_processing_spark.streaming import jobs
+    import datetime as dt
+
+    d = str(tmp_path / "late_stream")
+
+    def ev(i, ts):
+        return Row(
+            event_id=i, ts=ts, user_id=1, event_type="click", value=1.0, props="{}"
+        )
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    batch_a = [ev(i, base + dt.timedelta(minutes=i)) for i in range(60)]
+    batch_b = [ev(200 + i, base + dt.timedelta(minutes=60 + i)) for i in range(30)]
+    late = [ev(100, base - dt.timedelta(hours=3))]  # 3h behind max seen
+
+    import glob
+    import time as _time
+
+    # Three files = three micro-batches, ordered by mtime. The watermark
+    # advances one batch behind the data, so the late row goes in batch
+    # 3 — by then the watermark (≈12:49) is live and must drop it.
+    seen: set[str] = set()
+    for i, rows in enumerate([batch_a, batch_b, late]):
+        mode = "overwrite" if i == 0 else "append"
+        spark.createDataFrame(rows, jobs.EVENT_SCHEMA).coalesce(1).write.mode(
+            mode
+        ).parquet(d)
+        new_files = set(glob.glob(os.path.join(d, "part-*.parquet"))) - seen
+        seen |= new_files
+        t = _time.time() + 1000 * i
+        for f in new_files:
+            os.utime(f, (t, t))
+
+    agg = (
+        spark.readStream.schema(jobs.EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_out")
+        .outputMode("append")  # append mode only emits finalized windows
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        finalized = spark.sql("SELECT window.start AS s, n FROM late_out").collect()
+    finally:
+        q.stop()
+
+    # the 09:00 window (where the late row would land) must not contain it
+    for r in finalized:
+        if r.s.hour == 9:
+            pytest.fail("late row past watermark was aggregated")
+
+
+def test_causal_sequence_stream(spark, stream_dir):
+    """Per-key sequences are 1..n, gapless, exactly one per event,
+    accumulated correctly across micro-batches."""
+    from distributed_causal_stream_processing_spark.io import load
+    from distributed_causal_stream_processing_spark.streaming import causal, jobs
+
+    events = jobs.events_stream(spark, stream_dir, watermark="1 day")
+    seq = causal.causal_sequence_stream(events)
+    q = (
+        seq.writeStream.format("memory")
+        .queryName("causal_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT user_id, event_id, seq FROM causal_out").collect()
+    finally:
+        q.stop()
+
+    n_events = load(spark, SF_SMOKE, "events").count()
+    assert len(rows) == n_events  # each event sequenced exactly once
+
+    by_user: dict[int, list[int]] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r.seq)
+    for user, seqs in by_user.items():
+        assert sorted(seqs) == list(range(1, len(seqs) + 1)), f"user {user} gap"
