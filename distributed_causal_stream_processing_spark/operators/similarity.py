@@ -316,6 +316,101 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_CELLS = 16  # IVF cells; centroids = vectors vec_id < N_CELLS (deterministic seed)
+N_PROBE = 2  # cells probed per query
+
+
+@query(
+    "q_sim_ann_ivf",
+    oracle=f"""
+    WITH cent AS (
+        SELECT vec_id AS cell_id, embedding AS cemb
+        FROM embeddings WHERE vec_id < {N_CELLS}
+    ),
+    assign AS (
+        SELECT vec_id, cell_id,
+               row_number() OVER (
+                   PARTITION BY vec_id
+                   ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                   CAST(c.cemb AS DOUBLE[])) DESC,
+                            cell_id) AS crn
+        FROM embeddings e CROSS JOIN cent c
+    ),
+    cells AS (SELECT vec_id, cell_id FROM assign WHERE crn = 1),
+    probes AS (
+        SELECT vec_id AS query_id, cell_id
+        FROM assign WHERE vec_id < 50 AND crn <= {N_PROBE}
+    ),
+    cand AS (
+        SELECT p.query_id, m.vec_id AS neighbor_id,
+               list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(n.embedding AS DOUBLE[])) AS sim
+        FROM probes p
+        JOIN cells m ON m.cell_id = p.cell_id AND m.vec_id <> p.query_id
+        JOIN embeddings q ON q.vec_id = p.query_id
+        JOIN embeddings n ON n.vec_id = m.vec_id
+    )
+    SELECT query_id, neighbor_id, round(sim, 4) AS cos_sim
+    FROM (
+        SELECT *, row_number() OVER (
+                   PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+        FROM cand
+    )
+    WHERE rn = 1
+    """,
+)
+def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse quantize to the nearest of 16 deterministic
+    centroids (the vectors vec_id<16 — a real deployment k-means-trains
+    them offline; the *search* plan is identical), probe each query's 2
+    nearest cells, exact cosine only inside probed cells, best neighbor
+    per query (vec_id<50).
+
+    Scale: assignment is a broadcast of the centroid table (tiny even
+    at 100 TB corpus — centroid count grows with sqrt(n), not n), one
+    narrow (vec_id, cell_id) shuffle to co-locate cells, and exact
+    scoring touches ~n_probe/n_cells of the corpus per query. Same
+    plan as q_sim_ann_lsh with the hash buckets swapped for learned
+    cells; recall tunes via N_PROBE.
+    """
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("emb")
+    )
+    cent = e.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cell_id"), F.col("emb").alias("cemb")
+    )
+    wc = W.partitionBy("vec_id").orderBy(
+        F.desc("sim_c"), F.asc("cell_id")
+    )
+    assign = (
+        e.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id", "cell_id", cosine(F.col("emb"), F.col("cemb")).alias("sim_c")
+        )
+        .withColumn("crn", F.row_number().over(wc))
+    )
+    cells = assign.filter(F.col("crn") == 1).select("vec_id", "cell_id")
+    probes = assign.filter((F.col("vec_id") < 50) & (F.col("crn") <= N_PROBE)).select(
+        F.col("vec_id").alias("query_id"), "cell_id"
+    )
+    qv = e.select(F.col("vec_id").alias("query_id"), F.col("emb").alias("eq"))
+    nv = e.select(F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("en"))
+    cand = (
+        probes.join(cells, ["cell_id"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .join(qv, ["query_id"])
+        .join(nv, ["neighbor_id"])
+        .select("query_id", "neighbor_id", cosine(F.col("eq"), F.col("en")).alias("sim"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "neighbor_id", F.round("sim", 4).alias("cos_sim"))
+    )
+
+
 @query(
     "q_dedup_embedding",
     oracle="""

@@ -103,3 +103,86 @@ def causal_sequence_stream(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def tws_available() -> bool:
+    """transformWithState's Python state protocol speaks protobuf to the
+    JVM state server; without the `protobuf` package the driver worker
+    crashes at pre-init (verified in this container). Gate, don't fail.
+    """
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def causal_sequence_stream_tws(events: DataFrame) -> DataFrame:
+    """Same sequencer on Spark 4's transformWithState API.
+
+    transformWithState is the successor to applyInPandasWithState:
+    typed state variables (ValueState/ListState/MapState), timers, TTL,
+    and state-schema evolution. Identical semantics to
+    ``causal_sequence_stream``; kept alongside it because TWS requires
+    (a) the RocksDB state-store provider — set
+    ``spark.sql.streaming.stateStore.providerClass`` to
+    ``ROCKSDB_PROVIDER`` before starting the query — and (b) the
+    `protobuf` package (check ``tws_available()``), while the classic
+    API runs anywhere.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class CausalProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("causal_seq", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timer_values):  # noqa: ANN001
+            (user_id,) = key
+            if self._state.exists():
+                max_seq, last_ts_us, last_eid = self._state.get()
+            else:
+                max_seq, last_ts_us, last_eid = 0, -(2**62), -1
+            out = []
+            for pdf in rows:
+                pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+                ts_us = pdf["ts"].astype("int64") // 1000
+                seqs, lates = [], []
+                for t, eid in zip(ts_us.tolist(), pdf["event_id"].tolist()):
+                    max_seq += 1
+                    late = (t, eid) < (last_ts_us, last_eid)
+                    if not late:
+                        last_ts_us, last_eid = t, eid
+                    seqs.append(max_seq)
+                    lates.append(late)
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "user_id": user_id,
+                            "event_id": pdf["event_id"].to_numpy(),
+                            "ts": pdf["ts"].to_numpy(),
+                            "seq": seqs,
+                            "late": lates,
+                        }
+                    )
+                )
+            self._state.update((max_seq, last_ts_us, last_eid))
+            yield from out
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=CausalProcessor(),
+        outputStructType=CAUSAL_OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )

@@ -147,6 +147,43 @@ def test_watermark_drops_late_rows(spark, tmp_path):
             pytest.fail("late row past watermark was aggregated")
 
 
+def test_causal_sequence_stream_tws(spark, stream_dir):
+    """transformWithState variant: same gapless-sequence invariant.
+    Skips where the TWS Python protocol can't run (no protobuf)."""
+    from distributed_causal_stream_processing_spark.io import load
+    from distributed_causal_stream_processing_spark.streaming import causal, jobs
+
+    if not causal.tws_available():
+        pytest.skip("transformWithState needs protobuf (not in container)")
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", causal.ROCKSDB_PROVIDER
+    )
+    try:
+        events = jobs.events_stream(spark, stream_dir, watermark="1 day")
+        seq = causal.causal_sequence_stream_tws(events)
+        q = (
+            seq.writeStream.format("memory")
+            .queryName("causal_tws_out")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            rows = spark.sql("SELECT user_id, seq FROM causal_tws_out").collect()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+    assert len(rows) == load(spark, SF_SMOKE, "events").count()
+    by_user: dict[int, list[int]] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r.seq)
+    for user, seqs in by_user.items():
+        assert sorted(seqs) == list(range(1, len(seqs) + 1)), f"user {user} gap"
+
+
 def test_causal_sequence_stream(spark, stream_dir):
     """Per-key sequences are 1..n, gapless, exactly one per event,
     accumulated correctly across micro-batches."""
