@@ -125,3 +125,101 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction over binary media via mapInPandas (stubbed
     decode; real Spark plumbing: schema, batching, partitioning)."""
     return extract_features(as_media_table(spark, sf_dir))
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("out_width", T.IntegerType()),
+        T.StructField("out_height", T.IntegerType()),
+        T.StructField("resized", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(media: DataFrame, target_w: int = 64, target_h: int = 48) -> DataFrame:
+    """Resize kernel for image rows: metadata-filtered BEFORE the Python
+    boundary (only `image` rows cross; audio/video never pay the Arrow
+    transfer), then an Arrow-batched mapInPandas pass rewrites payloads.
+
+    The resample itself is STUBBED (no PIL in this container): a real
+    deployment decodes, resamples to (target_w, target_h), re-encodes;
+    the stub emits a deterministic byte slice with the same output
+    contract (binary payload + new dims) so schema/partitioning/batch
+    plumbing is testable end-to-end.
+    """
+    images = media.filter(F.col("media_type") == "image")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_out = target_w * target_h // 64  # stand-in for re-encoded size
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "out_width": target_w,
+                    "out_height": target_h,
+                    "resized": [
+                        bytes(p[i % len(p)] for i in range(n_out)) for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return images.mapInPandas(kernel, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_no", T.IntegerType()),
+        T.StructField("frame_offset", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame sampling for video rows: one input row fans out to
+    n_frames output rows (a flatMap through mapInPandas — the iterator
+    contract allows output cardinality != input cardinality).
+
+    STUBBED decode: real ffmpeg would seek to n uniformly-spaced
+    timestamps; the stub slices n uniformly-spaced byte windows, which
+    preserves exactly the plumbing that matters on a cluster — fan-out
+    ratio, per-batch memory (frames stream out batch by batch, the
+    whole video never materializes), and a binary output column.
+    """
+    videos = media.filter(F.col("media_type") == "video")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nos, offs, frames = [], [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                step = max(len(p) // n_frames, 1)
+                for k in range(n_frames):
+                    off = (k * step) % len(p)
+                    ids.append(doc_id)
+                    nos.append(k)
+                    offs.append(off)
+                    frames.append(bytes(p[off : off + 16]))
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_no": nos, "frame_offset": offs, "frame": frames}
+            )
+
+    return videos.mapInPandas(kernel, FRAME_SCHEMA)
+
+
+@query(
+    "q_multimodal_frames",
+    oracle="""
+    SELECT doc_id, CAST(frame_no AS INTEGER) AS frame_no
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 2),
+         (SELECT unnest(range(4)) AS frame_no)
+    """,
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sample fan-out: every video row yields exactly 4 frame
+    rows. The (doc_id, frame_no) spine is oracle-checked (the stubbed
+    frame bytes themselves are Spark-only, so they stay out of the
+    projection)."""
+    frames = sample_frames(as_media_table(spark, sf_dir), n_frames=4)
+    return frames.select("doc_id", "frame_no")

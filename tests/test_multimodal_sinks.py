@@ -31,6 +31,42 @@ def test_feature_extraction_deterministic(spark):
     assert dims == {"image": 8, "audio": 4, "video": 6}
 
 
+def test_resize_images_contract(spark):
+    """Resize kernel: only image rows cross the Python boundary, output
+    carries the target dims and a non-empty binary payload."""
+    from distributed_causal_stream_processing_spark.operators.multimodal import (
+        as_media_table,
+        resize_images,
+    )
+
+    m = as_media_table(spark, SF_SMOKE)
+    out = resize_images(m, target_w=32, target_h=16).collect()
+    n_images = m.filter("media_type = 'image'").count()
+    assert len(out) == n_images > 0
+    for r in out:
+        assert (r.out_width, r.out_height) == (32, 16)
+        assert isinstance(r.resized, (bytes, bytearray)) and len(r.resized) == 32 * 16 // 64
+
+
+def test_sample_frames_fanout(spark):
+    """Frame sampler: each video row fans out to exactly n_frames rows,
+    deterministically, with bounded frame payloads."""
+    from distributed_causal_stream_processing_spark.operators.multimodal import (
+        as_media_table,
+        sample_frames,
+    )
+
+    m = as_media_table(spark, SF_SMOKE)
+    frames = sample_frames(m, n_frames=3).collect()
+    n_videos = m.filter("media_type = 'video'").count()
+    assert len(frames) == 3 * n_videos > 0
+    per_doc: dict[int, list[int]] = {}
+    for r in frames:
+        per_doc.setdefault(r.doc_id, []).append(r.frame_no)
+        assert 0 < len(r.frame) <= 16
+    assert all(sorted(v) == [0, 1, 2] for v in per_doc.values())
+
+
 def test_parquet_sink_roundtrip(spark, tmp_path):
     """§2.1 parquet sink: write a result table, read it back unchanged."""
     from distributed_causal_stream_processing_spark import all_queries
