@@ -329,3 +329,50 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("kind") == 1)
         .select("event_id", "user_id", "ts", "asof_orderkey")
     )
+
+
+N_SALTS = 8
+
+
+@query(
+    "q_join_salted",
+    oracle="""
+    SELECT p.p_brand, CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size <= 10
+    GROUP BY p.p_brand
+    """,
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted equi join — identical RESULT to the plain join (the
+    oracle is the unsalted SQL), different SHUFFLE: the fact side's key
+    is extended with salt = pmod(hash(row-unique cols), 8) and the dim
+    side is replicated across all 8 salts, so one hot key spreads over
+    8 reducers instead of melting one.
+
+    This is the manual fallback for when AQE's runtime skew-join split
+    can't apply (e.g. skew into a broadcast-disabled join, or a
+    stateful streaming join where AQE is unavailable). The replicated
+    dim costs 8× its (small) size — never salt with a big dim; bucket
+    or pre-aggregate instead.
+    """
+    n_salts = F.lit(N_SALTS)
+    li = load(spark, sf_dir, "lineitem").withColumn(
+        "salt", F.pmod(F.hash("l_orderkey", "l_linenumber"), n_salts)
+    )
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_size") <= 10)
+        .crossJoin(spark.range(N_SALTS).select(F.col("id").cast("int").alias("salt")))
+    )
+    return (
+        li.join(p, (li.l_partkey == p.p_partkey) & (li.salt == p.salt))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_qty"),
+        )
+    )

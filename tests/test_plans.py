@@ -57,3 +57,62 @@ def test_flagship_wholestage_codegen(spark):
     df.collect()  # materialize so AQE's final plan (with codegen ids) exists
     # "*(n)" prefixes mark whole-stage-codegen'd operators in treeString
     assert "*(" in _plan(df)
+
+
+def test_salted_join_spreads_hot_keys(spark):
+    """Salted join: the physical join key includes the salt column, so a
+    hot p_partkey hashes to N_SALTS different reducers."""
+    df = _registry()["q_join_salted"].fn(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "salt" in plan  # salt participates in the join keys
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Bucketing both fact tables by the join key makes the join
+    shuffle-free: the only Exchange in the plan is for the post-join
+    aggregation, never between the scans and the join. This is the
+    100 TB layout claim for lineitem⋈orders made physical."""
+    from pyspark.sql import functions as F
+    from distributed_causal_stream_processing_spark.io import load
+
+    for name, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        (
+            load(spark, SF_SMOKE, name)
+            .write.mode("overwrite")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .option("path", str(tmp_path / name))
+            .saveAsTable(f"{name}_bucketed")
+        )
+    # At fixture scale the planner would rather broadcast the tiny side
+    # (and then skips bucketed scanning); disable auto-broadcast to get
+    # the plan shape that matters at 100 TB, where neither side fits.
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        joined = (
+            spark.table("orders_bucketed")
+            .join(
+                spark.table("lineitem_bucketed"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            .select("o_orderkey", "l_linenumber", "l_quantity")
+        )
+        joined.collect()
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "Exchange" not in plan  # no shuffle anywhere: bucket-aligned
+        assert "Bucketed: true" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+        spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+        spark.sql("DROP TABLE IF EXISTS lineitem_bucketed")
