@@ -193,6 +193,57 @@ def run_stateful_agg_stream(spark: SparkSession, stream_dir: str) -> list:
         q.stop()
 
 
+def run_stream_stream_join(
+    spark: SparkSession, stream_dir: str, watermark: str = "35 days"
+) -> list:
+    """Stream-stream inner join: click→purchase attribution per user
+    within 1 hour — the reference's multi-stream merge as Spark's
+    watermarked stream-stream join.
+
+    Both sides are unbounded; Spark buffers each side in the state
+    store and the watermark + time-band condition bound that state
+    (rows older than watermark - band are evicted). This is exactly the
+    reference's 'consume N partitioned streams, align on causality'
+    surface: the band is the happened-before tolerance.
+
+    The default watermark exceeds the fixture's 30-day span because the
+    staged files are not time-ordered (micro-batches arrive with
+    arbitrary event times, like partitions of a real log); a production
+    deployment with mostly-ordered arrival would run "2 hours"-ish and
+    hold state proportional to rate × (watermark + band).
+    """
+    def side(event_type: str, prefix: str) -> DataFrame:
+        return (
+            events_stream(spark, stream_dir, watermark=watermark)
+            .filter(F.col("event_type") == event_type)
+            .select(
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+        )
+
+    clicks, purchases = side("click", "c"), side("purchase", "p")
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        return spark.sql("SELECT c_id, p_id FROM ss_join_out").collect()
+    finally:
+        q.stop()
+
+
 def temp_dir(prefix: str) -> str:
     return tempfile.mkdtemp(prefix=prefix)
 

@@ -147,6 +147,33 @@ def test_watermark_drops_late_rows(spark, tmp_path):
             pytest.fail("late row past watermark was aggregated")
 
 
+def test_stream_stream_join_matches_batch(spark, stream_dir):
+    """Watermarked stream-stream join produces exactly the batch join's
+    (click, purchase) attribution pairs."""
+    from distributed_causal_stream_processing_spark.io import load
+    from distributed_causal_stream_processing_spark.streaming import jobs
+
+    got = {(r.c_id, r.p_id) for r in jobs.run_stream_stream_join(spark, stream_dir)}
+
+    e = load(spark, SF_SMOKE, "events")
+    c = e.filter("event_type = 'click'").selectExpr(
+        "user_id AS cu", "event_id AS c_id", "ts AS c_ts"
+    )
+    p = e.filter("event_type = 'purchase'").selectExpr(
+        "user_id AS pu", "event_id AS p_id", "ts AS p_ts"
+    )
+    want = {
+        (r.c_id, r.p_id)
+        for r in c.join(
+            p,
+            (F.col("cu") == F.col("pu"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        ).collect()
+    }
+    assert got == want and len(want) > 0
+
+
 def test_causal_sequence_stream_tws(spark, stream_dir):
     """transformWithState variant: same gapless-sequence invariant.
     Skips where the TWS Python protocol can't run (no protobuf)."""
