@@ -244,6 +244,94 @@ def run_stream_stream_join(
         q.stop()
 
 
+def stage_events_split_sources(
+    spark: SparkSession, sf_dir: str, out_a: str, out_b: str, n_files: int = 2
+) -> None:
+    """Split the events fixture into two disjoint staged logs (even /
+    odd event_id) — two 'topics' whose per-key events interleave."""
+    from distributed_causal_stream_processing_spark.io import load
+
+    e = load(spark, sf_dir, "events")
+    e.filter(F.col("event_id") % 2 == 0).repartition(n_files).write.mode(
+        "overwrite"
+    ).parquet(out_a)
+    e.filter(F.col("event_id") % 2 == 1).repartition(n_files).write.mode(
+        "overwrite"
+    ).parquet(out_b)
+
+
+def run_multi_source_causal_stream(
+    spark: SparkSession, dir_a: str, dir_b: str, watermark: str = "35 days"
+) -> list:
+    """THE reference loop: N partitioned input streams → causal merge →
+    per-key sequenced view.
+
+    Two independent unbounded sources are unioned (Structured Streaming
+    unions the micro-batch plans; each source keeps its own offsets in
+    the checkpoint, like the reference's per-topic consumers), then the
+    keyed causal sequencer assigns one monotone, gapless sequence per
+    user across BOTH sources — order within a key decided by
+    (ts, event_id), i.e. happened-before, regardless of which source a
+    row arrived on. The shuffle to `groupBy(user_id)` is the merge
+    point; no global coordination, state O(keys).
+    """
+    from distributed_causal_stream_processing_spark.streaming.causal import (
+        causal_sequence_stream,
+    )
+
+    streams = [
+        events_stream(spark, d, watermark=watermark).select(
+            "event_id", "ts", "user_id"
+        )
+        for d in (dir_a, dir_b)
+    ]
+    merged = streams[0].unionByName(streams[1])
+    seq = causal_sequence_stream(merged)
+    q = (
+        seq.writeStream.format("memory")
+        .queryName("multi_causal_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        return spark.sql(
+            "SELECT user_id, event_id, ts, seq, late FROM multi_causal_out"
+        ).collect()
+    finally:
+        q.stop()
+
+
+def run_session_window_stream(
+    spark: SparkSession, stream_dir: str, watermark: str = "35 days"
+) -> list:
+    """Streaming q_stream_session: per-user session windows with a
+    15-minute inactivity gap — the reference's per-key session view.
+    Complete mode; sessions merge as late-arriving members extend them.
+    Fixture-spanning watermark for the same reason as the other jobs:
+    staged micro-batches are time-unordered.
+    """
+    agg = (
+        events_stream(spark, stream_dir, watermark=watermark)
+        .groupBy(F.session_window("ts", "15 minutes").alias("sw"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("session_out")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        return spark.sql(
+            "SELECT user_id, sw.start AS session_start, sw.end AS session_end,"
+            " n_events FROM session_out"
+        ).collect()
+    finally:
+        q.stop()
+
+
 def temp_dir(prefix: str) -> str:
     return tempfile.mkdtemp(prefix=prefix)
 

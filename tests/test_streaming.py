@@ -147,6 +147,55 @@ def test_watermark_drops_late_rows(spark, tmp_path):
             pytest.fail("late row past watermark was aggregated")
 
 
+def test_multi_source_causal_merge(spark, tmp_path):
+    """The reference's headline loop: two partitioned input streams,
+    causally merged — per-user sequences are gapless across sources and
+    ordered by (ts, event_id) for non-late rows."""
+    from distributed_causal_stream_processing_spark.io import load
+    from distributed_causal_stream_processing_spark.streaming import jobs
+
+    a, b = str(tmp_path / "src_a"), str(tmp_path / "src_b")
+    jobs.stage_events_split_sources(spark, SF_SMOKE, a, b)
+    rows = jobs.run_multi_source_causal_stream(spark, a, b)
+
+    assert len(rows) == load(spark, SF_SMOKE, "events").count()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for user, rs in by_user.items():
+        seqs = sorted(r.seq for r in rs)
+        assert seqs == list(range(1, len(rs) + 1)), f"user {user} gap"
+        # non-late rows sequenced in happened-before order
+        in_order = sorted(rs, key=lambda r: r.seq)
+        prev = None
+        for r in in_order:
+            if getattr(r, "late", False):
+                continue
+            k = (r.ts, r.event_id)
+            if prev is not None:
+                assert k > prev, f"user {user}: causal order violated"
+            prev = k
+
+
+def test_session_window_stream_matches_batch(spark, stream_dir):
+    """Streaming session windows equal the batch session_window result."""
+    from distributed_causal_stream_processing_spark.io import load
+    from distributed_causal_stream_processing_spark.streaming import jobs
+
+    got = {
+        (r.user_id, r.session_start, r.session_end): r.n_events
+        for r in jobs.run_session_window_stream(spark, stream_dir)
+    }
+    batch = (
+        load(spark, SF_SMOKE, "events")
+        .groupBy(F.session_window("ts", "15 minutes").alias("sw"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    want = {(r.user_id, r.sw.start, r.sw.end): r.n for r in batch}
+    assert got == want and len(want) > 0
+
+
 def test_stream_stream_join_matches_batch(spark, stream_dir):
     """Watermarked stream-stream join produces exactly the batch join's
     (click, purchase) attribution pairs."""
