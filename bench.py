@@ -32,8 +32,13 @@ def main() -> None:
     queries = all_queries()
     timings: dict[str, float] = {}
 
-    # Warm the JVM / file cache with the flagship once (not timed).
+    # Warm the JVM / file cache with the flagship once (not timed), and
+    # the Python-worker pool with a tiny mapInPandas pass so the first
+    # pandas-backed query doesn't absorb worker spawn cost.
     queries["q_agg_group"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    spark.range(64).mapInPandas(lambda it: it, "id long").write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     t_suite = time.perf_counter()
     for name in sorted(queries):

@@ -25,17 +25,30 @@ def hex_digit_sql(str_expr: str, pos: int) -> str:
 
 def md5_u32_sql(expr: str) -> str:
     """First 8 hex chars of md5(expr) as a non-negative 32-bit integer."""
-    terms = [
-        f"{hex_digit_sql(f'md5({expr})', c + 1)} * {16 ** (7 - c)}" for c in range(8)
-    ]
+    return hex_u32_sql(f"md5({expr})")
+
+
+def hex_u32_sql(hex_expr: str) -> str:
+    """Same, over an already-computed hex string column — materialize
+    the md5 once in a prior projection instead of 8× (once per digit
+    term) here."""
+    terms = [f"{hex_digit_sql(hex_expr, c + 1)} * {16 ** (7 - c)}" for c in range(8)]
     return "(" + " + ".join(terms) + ")"
 
 
 def md5_bit_sql(expr: str, bit: int) -> str:
     """Bit ``bit`` (0..127, 0 = low bit of first hex char) of md5(expr)."""
+    return hex_bit_sql(f"md5({expr})", bit)
+
+
+def hex_bit_sql(hex_expr: str, bit: int) -> str:
+    """Same, over an ALREADY-COMPUTED hex string column. Use this form
+    inside multi-bit aggregates, materializing the md5 once in a prior
+    projection — 16 bits × md5-per-bit was the dominant cost of the
+    SimHash aggregate."""
     pos = bit // 4 + 1  # 1-based hex char index
     k = bit % 4
-    d = hex_digit_sql(f"md5({expr})", pos)
+    d = hex_digit_sql(hex_expr, pos)
     return f"((CAST(floor({d} / {2 ** k}) AS BIGINT)) % 2)"
 
 

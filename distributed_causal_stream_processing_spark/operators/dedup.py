@@ -23,8 +23,8 @@ from pyspark.sql import functions as F
 from distributed_causal_stream_processing_spark.functions.hashing import (
     LSH_BANDS,
     N_MINHASH,
-    md5_bit_sql,
-    md5_u32_sql,
+    hex_bit_sql,
+    hex_u32_sql,
     minhash_perm_sql,
 )
 from distributed_causal_stream_processing_spark.io import load
@@ -136,20 +136,24 @@ def _simhash_sql(table: str, dialect_split: str) -> str:
 
     dialect_split: Spark 'explode'-style vs DuckDB 'unnest' differ only
     in the token-explosion clause; the hashing/vote text is shared.
+    md5(tok) is materialized ONCE per token in the `hashed` projection;
+    the 16 bit-vote aggregates extract hex digits from that column
+    (md5-per-bit inside the aggregate was 16× the hashing work).
     """
     votes = []
     for bit in range(16):
-        b = md5_bit_sql("tok", bit)
+        b = hex_bit_sql("h", bit)
         votes.append(f"CAST(sum({b}) AS BIGINT) AS s{bit}")
     bits_expr = " + ".join(
         f"(CASE WHEN 2 * s{bit} > n_toks THEN {2 ** bit} ELSE 0 END)" for bit in range(16)
     )
     return f"""
     WITH tokens AS ({dialect_split}),
+    hashed AS (SELECT doc_id, md5(tok) AS h FROM tokens),
     votes AS (
         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
                {", ".join(votes)}
-        FROM tokens GROUP BY doc_id
+        FROM hashed GROUP BY doc_id
     )
     SELECT doc_id, CAST({bits_expr} AS BIGINT) AS simhash16
     FROM votes
@@ -192,7 +196,7 @@ def _minhash_cte(split_clause: str, str_type: str) -> str:
     str_type: 'STRING' for Spark, 'VARCHAR' for DuckDB — the only
     dialect difference besides the token-explosion clause.
     """
-    x = md5_u32_sql("tok")
+    x = hex_u32_sql("h")  # md5 materialized once in `md5hex`, not 8× here
     mins = ", ".join(
         f"min({minhash_perm_sql('x', j)}) AS mh{j}" for j in range(N_MINHASH)
     )
@@ -207,7 +211,8 @@ def _minhash_cte(split_clause: str, str_type: str) -> str:
     )
     return f"""
     WITH tokens AS ({split_clause}),
-    hashed AS (SELECT doc_id, {x} AS x FROM tokens),
+    md5hex AS (SELECT doc_id, md5(tok) AS h FROM tokens),
+    hashed AS (SELECT doc_id, {x} AS x FROM md5hex),
     sigs AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
     banded AS (SELECT doc_id, {bands} FROM sigs)
     """
