@@ -56,6 +56,7 @@ _QUERY_MODULES = (
     "distributed_causal_stream_processing_spark.operators.windows",
     "distributed_causal_stream_processing_spark.operators.sorts",
     "distributed_causal_stream_processing_spark.operators.sets",
+    "distributed_causal_stream_processing_spark.operators.reshape",
     "distributed_causal_stream_processing_spark.functions.scalars",
     "distributed_causal_stream_processing_spark.functions.udfs",
     "distributed_causal_stream_processing_spark.streaming.batch_views",
