@@ -122,3 +122,25 @@ def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical SQL text runs on both engines."""
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_SCALAR_SUBQ_SQL)
+
+
+_CORR_SUBQ_SQL = """
+    SELECT c_custkey, c_name,
+           (SELECT CAST(count(*) AS BIGINT) FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+               AS n_big_orders
+    FROM customer c
+    WHERE c_custkey <= 200
+"""
+
+
+@query("q_correlated_subquery", oracle=_CORR_SUBQ_SQL)
+def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery per customer row. Catalyst
+    decorrelates it into a left outer join + aggregation — no per-row
+    re-execution, one shuffle — which is exactly the rewrite you'd
+    hand-write at 100 TB; declaring it keeps that choice with the
+    optimizer."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_CORR_SUBQ_SQL)

@@ -144,3 +144,61 @@ def q_win_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@query(
+    "q_win_trailing_interval",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(count(*) OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_us
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_last_hour
+    FROM (
+        SELECT event_id, user_id,
+               CAST(epoch_us(CAST(date_trunc('microsecond', ts) AS TIMESTAMP))
+                    AS BIGINT) AS epoch_us
+        FROM events
+    )
+    """,
+)
+def q_win_trailing_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour event count per user — a time-interval RANGE
+    frame, the time-series workhorse (rate limiting, rolling activity).
+    Expressed over epoch microseconds so the frame bound is a plain
+    number in both engines (DuckDB RANGE over INTERVAL and Spark
+    rangeBetween agree once the axis is numeric)."""
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", (F.unix_micros("ts")).alias("epoch_us")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("epoch_us")
+        .rangeBetween(-3_600_000_000, W.currentRow)
+    )
+    return e.select(
+        "event_id", "user_id", F.count(F.lit(1)).over(w).alias("n_last_hour")
+    )
+
+
+@query(
+    "q_agg_stringagg",
+    oracle="""
+    SELECT l_returnflag,
+           string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses,
+           CAST(count(DISTINCT l_linestatus) AS BIGINT) AS n_statuses
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_stringagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted string aggregation (listagg): distinct statuses per flag,
+    comma-joined in sorted order — sort_array(collect_set) makes the
+    concatenation deterministic under any partitioning."""
+    li = load(spark, sf_dir, "lineitem")
+    statuses = F.sort_array(F.collect_set("l_linestatus"))
+    return li.groupBy("l_returnflag").agg(
+        F.array_join(statuses, ",").alias("statuses"),
+        F.size(statuses).cast("bigint").alias("n_statuses"),
+    )

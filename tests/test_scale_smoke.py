@@ -1,0 +1,86 @@
+"""Scale smoke: the flagship agg and the fact-fact join on a 5×-scaled
+lineitem/orders (~3M lineitem rows, disjoint keys per copy).
+
+Not a benchmark — a guard that the plans stay healthy as data grows:
+row counts scale exactly, runtimes stay within a generous linearity
+envelope (hash agg and sort-merge join are O(n) / O(n log n); a
+quadratic regression would blow straight through it).
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_BASE = "/root/testdata/sf0.1"
+COPIES = 5
+
+
+@pytest.fixture(scope="module")
+def scaled(spark, tmp_path_factory):
+    from distributed_causal_stream_processing_spark.io import load
+
+    root = tmp_path_factory.mktemp("scaled")
+    li, o = load(spark, SF_BASE, "lineitem"), load(spark, SF_BASE, "orders")
+    key_span = 10_000_000  # > max orderkey at sf0.1; keeps copies disjoint
+    for name, df, key in (("lineitem", li, "l_orderkey"), ("orders", o, "o_orderkey")):
+        copies = None
+        for i in range(COPIES):
+            c = df.withColumn(key, F.col(key) + F.lit(i * key_span))
+            copies = c if copies is None else copies.unionByName(c)
+        copies.write.mode("overwrite").parquet(str(root / name))
+    return {
+        "lineitem": spark.read.parquet(str(root / "lineitem")),
+        "orders": spark.read.parquet(str(root / "orders")),
+        "n_li": li.count(),
+        "n_o": o.count(),
+    }
+
+
+def _flagship(df):
+    return (
+        df.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def test_rowcounts_scale_exactly(spark, scaled):
+    assert scaled["lineitem"].count() == COPIES * scaled["n_li"]
+    assert scaled["orders"].count() == COPIES * scaled["n_o"]
+
+
+def test_flagship_agg_scales_linearly(spark, scaled):
+    from distributed_causal_stream_processing_spark.io import load
+
+    base = load(spark, SF_BASE, "lineitem")
+    _flagship(base).collect()  # warm
+    t0 = time.perf_counter()
+    small = _flagship(base).collect()
+    t_small = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    big = _flagship(scaled["lineitem"]).collect()
+    t_big = time.perf_counter() - t0
+
+    small_counts = {(r.l_returnflag, r.l_linestatus): r.count_order for r in small}
+    big_counts = {(r.l_returnflag, r.l_linestatus): r.count_order for r in big}
+    assert big_counts == {k: COPIES * v for k, v in small_counts.items()}
+    # generous envelope: 5× data must not cost more than 20× time
+    assert t_big < max(20 * t_small, 10.0), (t_small, t_big)
+
+
+def test_fact_fact_join_scales_linearly(spark, scaled):
+    joined = scaled["lineitem"].join(
+        scaled["orders"],
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    t0 = time.perf_counter()
+    n = joined.count()
+    t_big = time.perf_counter() - t0
+    assert n == COPIES * scaled["n_li"]  # every lineitem matches exactly once
+    assert t_big < 60.0, t_big
