@@ -124,6 +124,28 @@ def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SCALAR_SUBQ_SQL)
 
 
+_NULL_SEMANTICS_SQL = """
+    SELECT NULLIF(o_orderstatus, 'P') AS status_or_null,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(NULLIF(o_orderstatus, 'P')) AS BIGINT) AS n_nonnull,
+           CAST(count(DISTINCT NULLIF(o_orderstatus, 'P')) AS BIGINT) AS n_distinct,
+           CAST(sum(CASE WHEN NULLIF(o_orderpriority, '1-URGENT') IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent
+    FROM orders
+    GROUP BY NULLIF(o_orderstatus, 'P')
+"""
+
+
+@query("q_null_semantics", oracle=_NULL_SEMANTICS_SQL)
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling parity in one query: NULL as a group key (groups,
+    doesn't drop), count(*) vs count(col) (the latter skips NULLs),
+    count(DISTINCT col) (ignores NULL), and IS NULL predicates —
+    identical ANSI semantics asserted on both engines."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_NULL_SEMANTICS_SQL)
+
+
 _CORR_SUBQ_SQL = """
     SELECT c_custkey, c_name,
            (SELECT CAST(count(*) AS BIGINT) FROM orders o
