@@ -116,3 +116,35 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
                 spark.conf.set(k, v)
         spark.sql("DROP TABLE IF EXISTS orders_bucketed")
         spark.sql("DROP TABLE IF EXISTS lineitem_bucketed")
+
+
+# Queries whose plan legitimately contains a cartesian/nested-loop
+# product: either the operator IS a cross join, or a deliberately tiny
+# side is crossed (salt fan-out, centroid table, packed GEMM blocks,
+# theta/band joins that fall back to BNLJ).
+CARTESIAN_OK = {
+    "q_join_cross",
+    "q_join_theta",
+    "q_join_range",
+    "q_join_asof",
+    "q_join_salted",
+    "q_sim_ann_ivf",
+    "q_sim_cosine_topk",
+    "q_dedup_embedding",
+    "q_sim_knn_label",
+    "q_pivot",
+}
+
+
+def test_no_accidental_cartesian_products(spark):
+    """Registry-wide audit: no query may contain a CartesianProduct or
+    BroadcastNestedLoopJoin unless it is on the explicit allowlist —
+    an equi join degrading to a product is the classic silent
+    100 TB-killer."""
+    bad = []
+    for name, spec in sorted(_registry().items()):
+        df = spec.fn(spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        if ("Join Cross" in plan or "NestedLoop" in plan) and name not in CARTESIAN_OK:
+            bad.append(name)
+    assert not bad, f"unexpected cartesian/NLJ in: {bad}"
