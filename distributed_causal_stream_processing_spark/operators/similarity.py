@@ -135,6 +135,16 @@ def cosine(a, b) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def scored(na: str, nb: str) -> Column:
+    """Pairwise cosine as dot(ea, eb) / (na · nb), with the two norms
+    precomputed as scalar columns on each side BEFORE the join — one
+    higher-order aggregate per pair instead of three (dot + both
+    norms). Norm stays a plain column (never recomputed inside a
+    lambda), and joins materialize their inputs, so each row's norm is
+    evaluated exactly once."""
+    return dot(F.col("ea"), F.col("eb")) / (F.col(na) * F.col(nb))
+
+
 @query(
     "q_sim_cosine_topk",
     oracle="""
@@ -207,15 +217,18 @@ def q_sim_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     ties broken by (votes desc, label asc)."""
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", as_double("embedding").alias("emb")
-    )
+    ).withColumn("nrm", norm(F.col("emb")))
     q = e.filter(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("query_id"), F.col("emb").alias("eq")
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("ea"), F.col("nrm").alias("na")
     )
     n = e.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("label"), F.col("emb").alias("en")
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label"),
+        F.col("emb").alias("eb"),
+        F.col("nrm").alias("nb"),
     )
     sims = q.join(n, F.col("neighbor_id") != F.col("query_id")).select(
-        "query_id", "neighbor_id", "label", cosine(F.col("eq"), F.col("en")).alias("sim")
+        "query_id", "neighbor_id", "label", scored("na", "nb").alias("sim")
     )
     wk = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     votes = (
@@ -288,7 +301,7 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", as_double("embedding").alias("emb")
-    )
+    ).withColumn("nrm", norm(F.col("emb")))
     sig = F.concat(
         *[
             F.when(dot(F.col("emb"), F.lit(_PLANES[i]).cast("array<double>")) > 0, "1")
@@ -296,17 +309,23 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(N_PLANES)
         ]
     )
-    sigs = e.select("vec_id", "emb", sig.alias("bucket"))
+    sigs = e.select("vec_id", "emb", "nrm", sig.alias("bucket"))
     q = sigs.filter(F.col("vec_id") < 50).select(
-        F.col("vec_id").alias("query_id"), F.col("emb").alias("eq"), "bucket"
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("ea"),
+        F.col("nrm").alias("na"),
+        "bucket",
     )
     n = sigs.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("en"), "bucket"
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("emb").alias("eb"),
+        F.col("nrm").alias("nb"),
+        "bucket",
     )
     cand = (
         q.join(n, ["bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", cosine(F.col("eq"), F.col("en")).alias("sim"))
+        .select("query_id", "neighbor_id", scored("na", "nb").alias("sim"))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -373,35 +392,42 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan as q_sim_ann_lsh with the hash buckets swapped for learned
     cells; recall tunes via N_PROBE.
     """
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double("embedding").alias("emb")
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double("embedding").alias("emb"))
+        .withColumn("nrm", norm(F.col("emb")))
     )
     cent = e.filter(F.col("vec_id") < N_CELLS).select(
-        F.col("vec_id").alias("cell_id"), F.col("emb").alias("cemb")
+        F.col("vec_id").alias("cell_id"),
+        F.col("emb").alias("eb"),
+        F.col("nrm").alias("nb"),
     )
     wc = W.partitionBy("vec_id").orderBy(
         F.desc("sim_c"), F.asc("cell_id")
     )
     assign = (
-        e.crossJoin(F.broadcast(cent))
-        .select(
-            "vec_id", "cell_id", cosine(F.col("emb"), F.col("cemb")).alias("sim_c")
-        )
+        e.select("vec_id", F.col("emb").alias("ea"), F.col("nrm").alias("na"))
+        .crossJoin(F.broadcast(cent))
+        .select("vec_id", "cell_id", scored("na", "nb").alias("sim_c"))
         .withColumn("crn", F.row_number().over(wc))
     )
     cells = assign.filter(F.col("crn") == 1).select("vec_id", "cell_id")
     probes = assign.filter((F.col("vec_id") < 50) & (F.col("crn") <= N_PROBE)).select(
         F.col("vec_id").alias("query_id"), "cell_id"
     )
-    qv = e.select(F.col("vec_id").alias("query_id"), F.col("emb").alias("eq"))
-    nv = e.select(F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("en"))
+    qv = e.select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("ea"), F.col("nrm").alias("na")
+    )
+    nv = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("eb"), F.col("nrm").alias("nb")
+    )
     cand = (
         probes.join(cells, ["cell_id"])
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
         .join(qv, ["query_id"])
         .join(nv, ["neighbor_id"])
-        .select("query_id", "neighbor_id", cosine(F.col("eq"), F.col("en")).alias("sim"))
+        .select("query_id", "neighbor_id", scored("na", "nb").alias("sim"))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
