@@ -147,6 +147,54 @@ def test_watermark_drops_late_rows(spark, tmp_path):
             pytest.fail("late row past watermark was aggregated")
 
 
+def test_checkpoint_restart_effectively_once(spark, stream_dir, tmp_path):
+    """Kill the stream mid-run, restart from the same checkpoint: the
+    idempotent sink ends with each event exactly once — offsets resume
+    from the write-ahead log and the replayed batch is a no-op. This is
+    the reference's crash-recovery contract end to end."""
+    import time as _t
+
+    from distributed_causal_stream_processing_spark.io import load
+    from distributed_causal_stream_processing_spark.streaming import jobs
+
+    sink = jobs.IdempotentForeachBatchSink(str(tmp_path / "sink"))
+    checkpoint = str(tmp_path / "checkpoint")
+
+    def start():
+        return (
+            jobs.events_stream(spark, stream_dir)
+            .writeStream.foreachBatch(sink.process)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append")
+            .start()
+        )
+
+    # First run: stop as soon as at least one batch is committed (and
+    # before all 4 are — the staged dir feeds 1 file per trigger).
+    q = start()
+    deadline = _t.time() + 60
+    while _t.time() < deadline:
+        done = len(os.listdir(sink.commits_dir))
+        if done >= 1:
+            break
+        _t.sleep(0.2)
+    q.stop()
+    n_first = len(os.listdir(sink.commits_dir))
+    assert n_first >= 1
+
+    # Second run, same checkpoint: finishes the remaining batches.
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    total = load(spark, SF_SMOKE, "events").count()
+    written = sink.read_all(spark)
+    ids = [r.event_id for r in written.select("event_id").collect()]
+    assert len(ids) == len(set(ids)) == total  # exactly once, no loss
+
+
 def test_rate_source_windowed_agg(spark):
     """SURVEY §2.1 streaming-source row: the built-in rate source feeds
     the same windowed-aggregation plan as the file source — proving the
