@@ -244,3 +244,73 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.substring(F.md5("text"), 1, 8).alias("content_fp8"),
     )
+
+
+_STOP_IN_PIPE = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+
+@query(
+    "q_pipeline_training_data",
+    oracle=f"""
+    WITH feat AS (
+        SELECT doc_id, lang, text,
+               CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   AS n_distinct,
+               CAST(len(list_filter(string_split(text, ' '),
+                                    t -> t IN ({_STOP_IN_PIPE}))) AS DOUBLE) AS n_stop
+        FROM documents
+    ),
+    scored AS (
+        SELECT *,
+               round(0.4 * (n_distinct / n_tokens)
+                     + 0.3 * least(n_tokens / 100.0, 1.0)
+                     + 0.3 * (1.0 - n_stop / n_tokens), 4) AS quality_score
+        FROM feat
+    ),
+    kept AS (
+        SELECT * FROM scored WHERE quality_score >= 0.5 AND n_tokens >= 20
+    ),
+    deduped AS (
+        SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM kept
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CAST(n_tokens AS BIGINT)) AS BIGINT) AS total_tokens,
+           round(avg(quality_score), 4) AS avg_quality
+    FROM deduped WHERE rn = 1
+    GROUP BY lang
+    """,
+)
+def q_pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data pipeline: quality-filter → exact dedup →
+    per-language corpus stats, composed from the same primitives the
+    standalone operators use — one declarative plan, so Catalyst fuses
+    the scan/filter/score into a single stage and the only shuffles are
+    the dedup hash partition and the final tiny aggregation. At 100 TB
+    this is the shape of a real corpus build; swap the exact-dedup
+    stage for the MinHash rep (q_minhash_lsh) for near-dup semantics.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks).cast("double")
+    n_distinct = F.size(F.array_distinct(toks)).cast("double")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("double")
+    quality = F.round(
+        0.4 * (n_distinct / n_tokens)
+        + 0.3 * F.least(n_tokens / 100.0, F.lit(1.0))
+        + 0.3 * (1.0 - n_stop / n_tokens),
+        4,
+    )
+    scored = d.select(
+        "doc_id", "lang", "text", n_tokens.alias("n_tokens"), quality.alias("quality_score")
+    )
+    kept = scored.filter((F.col("quality_score") >= 0.5) & (F.col("n_tokens") >= 20))
+    wd = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = kept.withColumn("rn", F.row_number().over(wd)).filter(F.col("rn") == 1)
+    return deduped.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_tokens").cast("bigint")).alias("total_tokens"),
+        F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+    )
