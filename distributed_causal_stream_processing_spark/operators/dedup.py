@@ -286,3 +286,89 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_MINHASH_SPARK)
+
+
+# Full duplicate-group closure. The oracle walks the bucket-overlap
+# graph with a recursive CTE: reach(doc, r) = r reachable from doc;
+# `r <= src` prunes non-minimal labels (the component min m satisfies
+# m <= every member, so every (x, m) pair survives — the GROUP BY min
+# is exact) and keeps the closure near-linear instead of quadratic.
+_LSH_GROUPS_DUCK = (
+    _minhash_cte(
+        "SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents",
+        "VARCHAR",
+    ).replace("WITH tokens", "WITH RECURSIVE tokens", 1)
+    + f""",
+    band_rows AS ({_UNPIVOT_DUCK}),
+    edges AS (
+        SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+        FROM band_rows a JOIN band_rows b
+          ON a.band_no = b.band_no AND a.band_key = b.band_key
+    ),
+    reach AS (
+        SELECT doc_id, doc_id AS r FROM (SELECT DISTINCT doc_id FROM band_rows)
+        UNION
+        SELECT e.src AS doc_id, reach.r
+        FROM edges e JOIN reach ON e.dst = reach.doc_id
+        WHERE reach.r <= e.src
+    )
+    SELECT doc_id, CAST(min(r) AS BIGINT) AS group_id
+    FROM reach GROUP BY doc_id
+    """
+)
+
+
+@query("q_dedup_lsh_groups", oracle=_LSH_GROUPS_DUCK)
+def q_dedup_lsh_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH duplicate groups with FULL transitive closure (connected
+    components), upgrading q_minhash_lsh's one-hop single-link.
+
+    Spark side is min-label propagation over the doc <-> band-bucket
+    bipartite graph, iterated to a fixpoint:
+
+        bucket_min[b] = min(label[d] for d in bucket b)
+        label[d]      = min(label[d], min over d's buckets of bucket_min)
+
+    Each round is two hash-aggregations + one join — never materializes
+    doc-doc pairs, so a bucket of 10k near-identical docs costs O(10k),
+    not O(10k^2). Rounds needed = graph diameter in bucket-hops (tiny
+    for dup clusters); lineage is cut per round with localCheckpoint so
+    plan depth stays constant. This is the scalable half of
+    large-star/small-star connected components (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14).
+
+    The DuckDB oracle computes true min-reachable via a recursive CTE
+    over the same deterministic buckets, so the fixpoint is value-hash
+    checked against exact connected components — not just row counts.
+    """
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    band_rows = spark.sql(
+        _minhash_cte(
+            "SELECT doc_id, explode(array_distinct(split(text, ' '))) AS tok FROM documents",
+            "STRING",
+        )
+        + f", band_rows AS ({_UNPIVOT_SPARK}) SELECT doc_id, band_no, band_key FROM band_rows"
+    ).localCheckpoint()  # signatures computed once, not re-derived per round
+
+    labels = band_rows.select("doc_id").distinct().withColumn("label", F.col("doc_id"))
+    while True:
+        bucket_min = (
+            band_rows.join(labels, "doc_id")
+            .groupBy("band_no", "band_key")
+            .agg(F.min("label").alias("bmin"))
+        )
+        prop = (
+            band_rows.join(bucket_min, ["band_no", "band_key"])
+            .groupBy("doc_id")
+            .agg(F.min("bmin").alias("cand"))
+        )
+        merged = labels.join(prop, "doc_id", "left").select(
+            "doc_id",
+            F.least("label", F.coalesce("cand", "label")).alias("new_label"),
+            (F.coalesce("cand", "label") < F.col("label")).alias("shrunk"),
+        )
+        merged = merged.localCheckpoint()
+        if merged.filter("shrunk").limit(1).count() == 0:
+            break
+        labels = merged.select("doc_id", F.col("new_label").alias("label"))
+    return merged.select("doc_id", F.col("new_label").cast("bigint").alias("group_id"))
