@@ -458,3 +458,137 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _blocked_cosine_pairs(spark, sf_dir, thresh=0.3).select(
         "vec_a", "vec_b", F.round("sim", 4).alias("cos_sim")
     )
+
+
+# --- IVF k-means trainer -------------------------------------------------
+
+KM_K = 8  # cells
+KM_ITERS = 3  # fixed Lloyd rounds (deterministic, oracle-unrollable)
+
+
+def _kmeans_duck(k: int, iters: int, dim: int) -> str:
+    """Unrolled Lloyd's iterations as one DuckDB query: assign_t =
+    argmin distance to c_{t-1}; c_t = per-dimension member average
+    rounded to 6 dp (the rounding pins both engines to the same
+    centroids despite differing float-summation orders)."""
+    ctes = [
+        f"""c0 AS (
+        SELECT vec_id AS cell_id, CAST(embedding AS DOUBLE[]) AS c
+        FROM embeddings WHERE vec_id < {k})"""
+    ]
+    prev = "c0"
+    for t in range(1, iters + 1):
+        ctes.append(f"""a{t} AS (
+        SELECT vec_id, cell_id FROM (
+            SELECT e.vec_id, c.cell_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.c),
+                                c.cell_id) AS rn
+            FROM embeddings e CROSS JOIN {prev} c)
+        WHERE rn = 1)""")
+        ctes.append(f"""c{t} AS (
+        SELECT cell_id, list(v ORDER BY i) AS c FROM (
+            SELECT a.cell_id, t.i,
+                   round(avg(CAST(e.embedding[t.i] AS DOUBLE)), 6) AS v
+            FROM a{t} a
+            JOIN embeddings e USING (vec_id)
+            CROSS JOIN range(1, {dim + 1}) t(i)
+            GROUP BY a.cell_id, t.i)
+        GROUP BY cell_id)""")
+        prev = f"c{t}"
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f""",
+    fin AS (
+        SELECT vec_id, cell_id, d2 FROM (
+            SELECT e.vec_id, c.cell_id,
+                   list_distance(CAST(e.embedding AS DOUBLE[]), c.c) ** 2 AS d2,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.c),
+                                c.cell_id) AS rn
+            FROM embeddings e CROSS JOIN {prev} c)
+        WHERE rn = 1)
+    SELECT f.cell_id, CAST(count(*) AS BIGINT) AS n_vecs,
+           round(sum(f.d2), 2) AS inertia,
+           round(any_value(list_sum(c.c)), 3) AS centroid_sum
+    FROM fin f JOIN {prev} c USING (cell_id)
+    GROUP BY f.cell_id
+    """
+    )
+
+
+@query("q_sim_ivf_kmeans", oracle=_kmeans_duck(KM_K, KM_ITERS, DIM))
+def q_sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF centroid TRAINER: k-means (Lloyd's), k=8, 3 fixed rounds,
+    seeded from vectors vec_id<8 — closes q_sim_ann_ivf's "centroids
+    are seeded, not trained" gap. Returns per-cell size, inertia and a
+    centroid checksum, value-hash-checked against the same three rounds
+    unrolled as recursive-free DuckDB SQL.
+
+    Spark plan per round — the MLlib pattern:
+      1. assignment: broadcast the k x dim centroid table (tiny; grows
+         with sqrt(corpus), never with corpus) against the cached
+         vector table, argmin of squared L2 inside codegen
+         (zip_with + aggregate — no Python in the hot path);
+      2. update: posexplode members to (cell, dim, val), one hash-agg
+         avg per (cell, dim) with map-side partial aggregation, k*dim
+         rows collected to the driver for the next broadcast.
+    Per round: one broadcast join + one shuffle of k*dim*n_part partial
+    sums. Vectors are localCheckpoint-cached once; centroids rounded to
+    6 dp so both engines quantize identically between rounds.
+    """
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double("embedding").alias("emb"))
+        .localCheckpoint()
+    )
+    cent_rows = (
+        e.filter(F.col("vec_id") < KM_K)
+        .select(F.col("vec_id").alias("cell_id"), F.col("emb").alias("c"))
+        .collect()
+    )
+    cent = [(int(r.cell_id), list(r.c)) for r in cent_rows]
+
+    def assign(cent_df):
+        d2 = F.aggregate(
+            F.zip_with(F.col("emb"), F.col("c"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        w = W.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cell_id"))
+        return (
+            e.crossJoin(F.broadcast(cent_df))
+            .select("vec_id", "cell_id", "emb", d2.alias("d2"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+        )
+
+    for _ in range(KM_ITERS):
+        cent_df = spark.createDataFrame(cent, "cell_id bigint, c array<double>")
+        upd = (
+            assign(cent_df)
+            .select("cell_id", F.posexplode("emb").alias("i", "v"))
+            .groupBy("cell_id", "i")
+            .agg(F.round(F.avg("v"), 6).alias("v"))
+            .groupBy("cell_id")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "v"))).alias("cv"))
+            .select("cell_id", F.col("cv.v").alias("c"))
+            .collect()
+        )
+        cent = sorted((int(r.cell_id), list(r.c)) for r in upd)
+
+    cent_df = spark.createDataFrame(cent, "cell_id bigint, c array<double>")
+    sums = {cid: sum(c) for cid, c in cent}
+    sum_df = spark.createDataFrame(
+        [(cid, s) for cid, s in sums.items()], "cell_id bigint, csum double"
+    )
+    return (
+        assign(cent_df)
+        .groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("n_vecs"), F.round(F.sum("d2"), 2).alias("inertia"))
+        .join(F.broadcast(sum_df), "cell_id")
+        .select("cell_id", "n_vecs", "inertia", F.round("csum", 3).alias("centroid_sum"))
+    )
