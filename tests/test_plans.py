@@ -129,6 +129,7 @@ CARTESIAN_OK = {
     "q_join_asof",
     "q_join_salted",
     "q_sim_ann_ivf",
+    "q_sim_ivf_kmeans",  # broadcast k=8 centroid fan-out, same as ann_ivf
     "q_sim_cosine_topk",
     "q_dedup_embedding",
     "q_sim_knn_label",
@@ -148,3 +149,47 @@ def test_no_accidental_cartesian_products(spark):
         if ("Join Cross" in plan or "NestedLoop" in plan) and name not in CARTESIAN_OK:
             bad.append(name)
     assert not bad, f"unexpected cartesian/NLJ in: {bad}"
+
+
+def test_partitioned_layout_prunes_partitions(spark, tmp_path):
+    """The 100 TB layout claim made physical on a real partitioned
+    layout (fixtures are single files): lineitem written partitioned
+    by ship-month. (1) A literal month predicate must become a
+    PartitionFilter on the scan — directories never listed, not rows
+    filtered. (2) A join against a filtered month dim must trigger
+    dynamic partition pruning, the mechanism that keeps a 100 TB
+    fact scan bounded by the dim predicate at runtime."""
+    from pyspark.sql import functions as F
+    from distributed_causal_stream_processing_spark.io import load
+
+    path = str(tmp_path / "lineitem_by_month")
+    (
+        load(spark, SF_SMOKE, "lineitem")
+        .withColumn("ship_month", F.date_format("l_shipdate", "yyyy-MM"))
+        .write.mode("overwrite")
+        .partitionBy("ship_month")
+        .parquet(path)
+    )
+    fact = spark.read.parquet(path)
+
+    df = (
+        fact.filter(F.col("ship_month") == "1995-03")
+        .groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters:" in plan
+    part_filters = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "ship_month" in part_filters and "1995-03" in part_filters
+
+    months = spark.createDataFrame(
+        [("1995-03", 1), ("1995-04", 2), ("1995-05", 2)], "m string, flag int"
+    )
+    j = (
+        fact.join(months.filter("flag = 1"), fact.ship_month == months.m)
+        .groupBy("l_returnflag")
+        .count()
+    )
+    j.collect()
+    assert "dynamicpruning" in j._jdf.queryExecution().executedPlan().toString().lower()
