@@ -268,3 +268,54 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
     )
+
+
+@query(
+    "q_rollup_timebuckets",
+    oracle="""
+    SELECT event_type, bucket_day, bucket_hour,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM (
+        SELECT event_type, value,
+               CAST(epoch_us(CAST(date_trunc('day', ts) AS TIMESTAMP))
+                    AS BIGINT) AS bucket_day,
+               CAST(epoch_us(CAST(date_trunc('hour', ts) AS TIMESTAMP))
+                    AS BIGINT) AS bucket_hour
+        FROM events
+    )
+    GROUP BY GROUPING SETS ((event_type, bucket_day, bucket_hour),
+                            (event_type, bucket_day),
+                            (event_type))
+    """,
+)
+def q_rollup_timebuckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: hourly, daily, and
+    all-time aggregates per event type in ONE pass over events via
+    grouping sets (continuous-aggregate maintenance shape).
+
+    Scale: grouping sets expand map-side — each input row feeds 3
+    partial aggregates BEFORE the shuffle, so the exchange carries only
+    (type, day, hour)-grained partial sums, never raw events; one scan,
+    one shuffle regardless of how many resolutions are stacked. NULL
+    bucket columns mark coarser resolutions (ts is never null here).
+    """
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        F.unix_micros(F.date_trunc("day", "ts")).alias("bucket_day"),
+        F.unix_micros(F.date_trunc("hour", "ts")).alias("bucket_hour"),
+    )
+    return e.groupingSets(
+        [
+            ["event_type", "bucket_day", "bucket_hour"],
+            ["event_type", "bucket_day"],
+            ["event_type"],
+        ],
+        "event_type",
+        "bucket_day",
+        "bucket_hour",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )

@@ -376,3 +376,75 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_qty"),
         )
     )
+
+
+@query(
+    "q_merge_upsert",
+    oracle="""
+    WITH upd AS (
+        SELECT o_orderkey, round(o_totalprice * 1.1, 2) AS new_price
+        FROM orders WHERE o_orderkey % 97 = 0
+    ),
+    del AS (
+        SELECT o_orderkey FROM orders WHERE o_orderkey % 101 = 0
+    ),
+    ins AS (
+        SELECT o_orderkey + 100000000 AS o_orderkey, 'N' AS o_orderstatus,
+               o_totalprice
+        FROM orders WHERE o_orderkey % 103 = 0
+    ),
+    merged AS (
+        SELECT t.o_orderkey, t.o_orderstatus,
+               coalesce(u.new_price, t.o_totalprice) AS o_totalprice
+        FROM orders t
+        LEFT JOIN upd u USING (o_orderkey)
+        WHERE t.o_orderkey NOT IN (SELECT o_orderkey FROM del)
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM ins
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM merged
+    GROUP BY o_orderstatus
+    """,
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE / CDC-apply semantics on plain parquet tables: a change
+    set (updates: price uplift on keys %97; deletes: keys %101;
+    inserts: new keys from %103) applied to the orders target —
+    update = left join + coalesce, delete = anti join, insert =
+    union — then per-status totals to prove all three verbs landed.
+
+    Scale: this is exactly how table-format-less MERGE runs at 100 TB:
+    one shuffle of target and changes on the merge key (or zero
+    shuffles if both sides are bucketed by it — see
+    test_bucketed_join_has_no_shuffle); the change set is typically
+    <<target, so Spark broadcasts it and the target never moves. With
+    a transactional table format (Delta/Iceberg) the same plan gains
+    file-level pruning + ACID swap, but the join shape is identical.
+    """
+    t = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    upd = t.filter(F.col("o_orderkey") % 97 == 0).select(
+        "o_orderkey", F.round(F.col("o_totalprice") * 1.1, 2).alias("new_price")
+    )
+    dele = t.filter(F.col("o_orderkey") % 101 == 0).select("o_orderkey")
+    ins = t.filter(F.col("o_orderkey") % 103 == 0).select(
+        (F.col("o_orderkey") + 100_000_000).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        F.col("o_totalprice"),
+    )
+    merged = (
+        t.join(F.broadcast(dele), "o_orderkey", "left_anti")
+        .join(F.broadcast(upd), "o_orderkey", "left")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.coalesce("new_price", "o_totalprice").alias("o_totalprice"),
+        )
+        .unionByName(ins)
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from distributed_causal_stream_processing_spark.functions.hashing import hex_u32_sql
 from distributed_causal_stream_processing_spark.io import load
 from distributed_causal_stream_processing_spark.plans.registry import query
 
@@ -313,4 +314,110 @@ def q_pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col("n_tokens").cast("bigint")).alias("total_tokens"),
         F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+    )
+
+
+@query(
+    "q_text_tfidf",
+    oracle="""
+    WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents WHERE doc_id < 100
+    ),
+    terms AS (
+        SELECT doc_id, unnest(toks) AS tok, len(toks) AS doc_len FROM docs
+    ),
+    tf AS (
+        SELECT doc_id, tok, doc_len, count(*) AS n
+        FROM terms GROUP BY doc_id, tok, doc_len
+    ),
+    df AS (
+        SELECT tok, count(DISTINCT doc_id) AS df FROM terms GROUP BY tok
+    ),
+    n AS (SELECT count(*) AS n_docs FROM docs),
+    scored AS (
+        SELECT tf.doc_id, tf.tok,
+               round((CAST(tf.n AS DOUBLE) / tf.doc_len)
+                     * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+        FROM tf JOIN df USING (tok) CROSS JOIN n
+    )
+    SELECT doc_id, tok, tfidf,
+           CAST(rn AS BIGINT) AS rnk
+    FROM (
+        SELECT *, row_number() OVER (
+                   PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rn
+        FROM scored
+    )
+    WHERE rn <= 3
+    """,
+)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by TF-IDF (doc_id<100
+    slice). tf = term count / doc length; idf = ln(N / df).
+
+    Scale: two hash-aggregations (term counts per doc; document
+    frequency per term) and one join on the term key — the classic
+    inverted-index build. The corpus size N is a 1-row broadcast, and
+    scores are rounded to 6 dp BEFORE ranking so the top-3 cutoff is
+    decided on identical numbers in both engines (unrounded float
+    ordering across engines is not stable under reassociation).
+    """
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", F.split("text", " ").alias("toks"))
+    )
+    terms = d.select("doc_id", F.size("toks").alias("doc_len"), F.explode("toks").alias("tok"))
+    tf = terms.groupBy("doc_id", "tok", "doc_len").agg(F.count(F.lit(1)).alias("n"))
+    dfreq = terms.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                (F.col("n").cast("double") / F.col("doc_len"))
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "tok", "tfidf", "rnk")
+    )
+
+
+# Deterministic hash-based sampling: the sample membership is a pure
+# function of doc_id (md5-derived u32 mod 10), so both engines — and
+# any two cluster runs — select the exact same rows. This is the
+# reproducible-training-subset primitive; seeded rand() sampling is
+# engine-specific and non-portable.
+_SAMPLE_BUCKET = "(" + hex_u32_sql("md5(concat('smp', doc_id))") + ") % 10"
+
+
+@query(
+    "q_sample_hash",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE {_SAMPLE_BUCKET} = 0
+    """,
+)
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% document sample by hash bucket (see above).
+
+    Scale: a pure row-local predicate — no shuffle, no state, fully
+    codegen'd, trivially parallel at any corpus size; stratify by
+    combining with any partition column. The SQL text is shared
+    verbatim with the DuckDB oracle (functions/hashing.py).
+    """
+    return (
+        load(spark, sf_dir, "documents")
+        .filter(F.expr(f"{_SAMPLE_BUCKET} = 0"))
+        .select("doc_id", "lang", "n_chars")
     )
