@@ -553,17 +553,22 @@ def q_sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = [(int(r.cell_id), list(r.c)) for r in cent_rows]
 
     def assign(cent_df):
+        # argmin over k cells as min(struct(d2, cell_id)) — a hash
+        # aggregation with map-side partial combine, NOT a window: no
+        # sort, no per-vec_id exchange of the k-fanned rows. The struct
+        # ordering ties-break by cell_id exactly like the oracle's
+        # row_number ORDER BY d2, cell_id.
         d2 = F.aggregate(
             F.zip_with(F.col("emb"), F.col("c"), lambda x, y: (x - y) * (x - y)),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        w = W.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cell_id"))
         return (
             e.crossJoin(F.broadcast(cent_df))
-            .select("vec_id", "cell_id", "emb", d2.alias("d2"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
+            .select("vec_id", "emb", F.struct(d2.alias("d2"), F.col("cell_id")).alias("dc"))
+            .groupBy("vec_id")
+            .agg(F.min("dc").alias("best"), F.first("emb").alias("emb"))
+            .select("vec_id", "emb", F.col("best.cell_id").alias("cell_id"), F.col("best.d2").alias("d2"))
         )
 
     for _ in range(KM_ITERS):
