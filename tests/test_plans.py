@@ -194,3 +194,28 @@ def test_partitioned_layout_prunes_partitions(spark, tmp_path):
     )
     j.collect()
     assert "dynamicpruning" in j._jdf.queryExecution().executedPlan().toString().lower()
+
+
+def test_merge_upsert_broadcasts_change_set(spark):
+    """MERGE applies via broadcast: the delete anti-join and the update
+    left-join must both broadcast the (small) change set so the 100 TB
+    target table never shuffles."""
+    df = _registry()["q_merge_upsert"].fn(spark, SF_SMOKE)
+    df.collect()
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_rollup_timebuckets_single_shuffle(spark):
+    """Grouping sets expand map-side: one Expand over the scan, partial
+    aggregation before the exchange, and exactly one shuffle for all
+    three resolutions — stacking rollup levels must not add passes."""
+    df = _registry()["q_rollup_timebuckets"].fn(spark, SF_SMOKE)
+    df.collect()
+    # AQE prints "== Final Plan ==" and "== Initial Plan ==" sections;
+    # count operators in the final plan only.
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    assert "Expand" in plan
+    assert plan.count("Exchange") == 1
+    assert plan.count("HashAggregate") >= 2  # partial + final
