@@ -48,6 +48,11 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
     total = round(time.perf_counter() - t_suite, 3)
 
+    # Stop the JVM BEFORE printing: Spark's log4j console appender also
+    # writes to stdout, and a straggling WARN line printed after (or
+    # interleaved with) the JSON would corrupt "the last stdout line is
+    # the result" for consumers.
+    spark.stop()
     print(
         json.dumps(
             {
