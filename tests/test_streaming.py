@@ -368,3 +368,22 @@ def test_causal_sequence_stream(spark, stream_dir):
         by_user.setdefault(r.user_id, []).append(r.seq)
     for user, seqs in by_user.items():
         assert sorted(seqs) == list(range(1, len(seqs) + 1)), f"user {user} gap"
+
+
+def test_dedup_bounded_state_effectively_once(spark, stream_dir, tmp_path):
+    """dropDuplicatesWithinWatermark: replayed input still yields each
+    event_id once, with dedup state bounded by the watermark (the
+    scale-correct variant of test_dedup_stream_effectively_once —
+    plain dropDuplicates state grows forever at sustained ingest)."""
+    from distributed_causal_stream_processing_spark.io import load
+    from distributed_causal_stream_processing_spark.streaming import jobs
+
+    replay_dir = str(tmp_path / "replayed_bounded")
+    e = load(spark, SF_SMOKE, "events")
+    e.repartition(3).write.mode("overwrite").parquet(replay_dir)
+    e.repartition(2).write.mode("append").parquet(replay_dir)
+
+    rows, state_rows = jobs.run_dedup_stream_bounded(spark, replay_dir)
+    ids = [r.event_id for r in rows]
+    assert len(ids) == len(set(ids)) == e.count()
+    assert 0 < state_rows <= 2 * e.count()  # state tracked, and bounded
