@@ -202,3 +202,82 @@ def q_agg_stringagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(statuses, ",").alias("statuses"),
         F.size(statuses).cast("bigint").alias("n_statuses"),
     )
+
+
+@query(
+    "q_event_funnel",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, event_type,
+               CAST(epoch_us(CAST(date_trunc('microsecond', ts) AS TIMESTAMP))
+                    AS BIGINT) AS us
+        FROM events
+    ),
+    s1 AS (
+        SELECT user_id, min(us) AS t1 FROM ev
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT ev.user_id, min(us) AS t2
+        FROM ev JOIN s1 USING (user_id)
+        WHERE event_type = 'click' AND us > t1
+        GROUP BY ev.user_id
+    ),
+    s3 AS (
+        SELECT ev.user_id, min(us) AS t3
+        FROM ev JOIN s2 USING (user_id)
+        WHERE event_type = 'purchase' AND us > t2
+        GROUP BY ev.user_id
+    )
+    SELECT stage, n_users FROM (
+        SELECT 'signup' AS stage, CAST(count(*) AS BIGINT) AS n_users, 1 AS o FROM s1
+        UNION ALL
+        SELECT 'click_after_signup', CAST(count(*) AS BIGINT), 2 FROM s2
+        UNION ALL
+        SELECT 'purchase_after_click', CAST(count(*) AS BIGINT), 3 FROM s3
+    )
+    """,
+)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: signup → first later click → first
+    later purchase, counting users surviving each stage. The
+    happened-before chaining (each stage's timestamp must exceed the
+    previous stage's) is the reference's causal-ordering concept
+    applied to product analytics.
+
+    Scale: three hash-aggregations keyed on user_id with the
+    events scan filtered per stage; every join is user_id-equi
+    (shuffle- or bucket-alignable), each stage's output is one row
+    per surviving user — monotonically shrinking, never event-grained.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("us") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("us") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t3"))
+    )
+    def stage(df, name):
+        return df.agg(
+            F.lit(name).alias("stage"), F.count(F.lit(1)).alias("n_users")
+        )
+    return (
+        stage(s1, "signup")
+        .unionByName(stage(s2, "click_after_signup"))
+        .unionByName(stage(s3, "purchase_after_click"))
+    )

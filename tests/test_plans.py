@@ -219,3 +219,54 @@ def test_rollup_timebuckets_single_shuffle(spark):
     assert "Expand" in plan
     assert plan.count("Exchange") == 1
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_aqe_splits_skewed_join(spark, tmp_path):
+    """AQE skew-join: a hot key (75% of the fact rows) must be split
+    into multiple reducer tasks — SortMergeJoin(skew=true) — instead
+    of one straggler task absorbing the whole key. This is the runtime
+    half of the skew story (the planned half is q_join_salted).
+
+    Learned constraint, pinned here: AQE can only split the skewed
+    partition when no downstream operator REQUIRES the join's hash
+    distribution — a groupBy on the join key right after the join
+    suppresses the optimization (splitting would break the required
+    clustering). At 100 TB, aggregate on a different key, pre-aggregate
+    before the join, or salt explicitly when you need groupBy(join_key).
+    """
+    from pyspark.sql import functions as F
+
+    fact = spark.range(0, 400_000).select(
+        F.when(F.col("id") < 300_000, F.lit(0)).otherwise(F.col("id")).alias("k"),
+        F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+    )
+    dim = spark.range(0, 2_000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("w"))
+    fact.write.mode("overwrite").parquet(str(tmp_path / "fact"))
+    dim.write.mode("overwrite").parquet(str(tmp_path / "dim"))
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        # scaled-down skew thresholds so the 24 MB hot partition
+        # registers as skewed at fixture scale
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "128KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        j = (
+            spark.read.parquet(str(tmp_path / "fact"))
+            .join(spark.read.parquet(str(tmp_path / "dim")), "k")
+            .agg(F.count("pad").alias("n"), F.sum("w").alias("s"))
+        )
+        j.collect()
+        assert "skew=true" in _plan(j)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
