@@ -319,3 +319,38 @@ def q_rollup_timebuckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+@query(
+    "q_agg_histogram",
+    oracle="""
+    SELECT CAST(floor(value / 25.0) AS BIGINT) AS bucket,
+           CAST(floor(value / 25.0) * 25.0 AS DOUBLE) AS lo,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(value), 2) AS min_v,
+           round(max(value), 2) AS max_v
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of events.value (width 25): the profiling
+    primitive behind range-partition planning and outlier triage.
+
+    Scale: bucket id is a row-local expression, so this is one
+    partial+final hash-agg — the shuffle carries one row per
+    (partition, bucket), i.e. O(buckets), regardless of input size.
+    """
+    e = load(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / 25.0)
+    return (
+        e.groupBy(
+            bucket.cast("bigint").alias("bucket"),
+            (bucket * 25.0).cast("double").alias("lo"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 2).alias("min_v"),
+            F.round(F.max("value"), 2).alias("max_v"),
+        )
+    )

@@ -421,3 +421,103 @@ def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.expr(f"{_SAMPLE_BUCKET} = 0"))
         .select("doc_id", "lang", "n_chars")
     )
+
+
+@query(
+    "q_text_collocations",
+    oracle="""
+    WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS s
+        FROM documents WHERE doc_id < 200 AND len(string_split(text, ' ')) >= 2
+    ),
+    bigrams AS (
+        SELECT unnest(list_transform(range(1, len(s)),
+                      i -> s[i] || ' ' || s[i+1])) AS bg
+        FROM docs
+    ),
+    unigrams AS (
+        SELECT unnest(s) AS tok FROM docs
+    ),
+    bc AS (SELECT bg, count(*) AS n12 FROM bigrams GROUP BY bg),
+    uc AS (SELECT tok, count(*) AS n FROM unigrams GROUP BY tok),
+    tot AS (
+        SELECT (SELECT count(*) FROM bigrams) AS nb,
+               (SELECT count(*) FROM unigrams) AS nu
+    ),
+    scored AS (
+        SELECT bc.bg,
+               CAST(bc.n12 AS BIGINT) AS n12,
+               round(ln((CAST(bc.n12 AS DOUBLE) / tot.nb)
+                        / ((CAST(u1.n AS DOUBLE) / tot.nu)
+                           * (CAST(u2.n AS DOUBLE) / tot.nu))), 6) AS pmi
+        FROM bc
+        JOIN uc u1 ON u1.tok = string_split(bc.bg, ' ')[1]
+        JOIN uc u2 ON u2.tok = string_split(bc.bg, ' ')[2]
+        CROSS JOIN tot
+        WHERE bc.n12 >= 5
+    )
+    SELECT bg, n12, pmi,
+           CAST(row_number() OVER (ORDER BY pmi DESC, bg) AS BIGINT) AS rnk
+    FROM scored
+    ORDER BY pmi DESC, bg
+    LIMIT 20
+    """,
+)
+def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 collocations (bigrams) by pointwise mutual information,
+    doc_id<200 slice, min count 5 — the corpus-analysis primitive for
+    multi-word expression mining.
+
+    Scale: bigrams come from posexplode + a per-doc lead window (NOT
+    explode(transform(...)) — see q_dedup_ngram_jaccard's pushdown
+    trap); then two hash-aggs (bigram / unigram counts), a join of
+    bigram counts against the unigram table on each side's token, and
+    the two corpus totals as a 1-row broadcast. PMI is rounded to 6 dp
+    before ranking so the cross-engine top-20 cutoff is stable.
+    """
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .filter(F.size("toks") >= 2)
+    )
+    tok = d.select("doc_id", F.posexplode("toks").alias("pos", "tok"))
+    wl = W.partitionBy("doc_id").orderBy("pos")
+    big = tok.withColumn("nxt", F.lead("tok").over(wl)).filter(F.col("nxt").isNotNull())
+    bc = (
+        big.select(F.concat_ws(" ", "tok", "nxt").alias("bg"), "tok", "nxt")
+        .groupBy("bg", "tok", "nxt")
+        .agg(F.count(F.lit(1)).alias("n12"))
+    )
+    uc = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    tot = big.agg(F.count(F.lit(1)).alias("nb")).crossJoin(
+        tok.agg(F.count(F.lit(1)).alias("nu"))
+    )
+    u1 = uc.select(F.col("tok").alias("t1"), F.col("n").alias("n1"))
+    u2 = uc.select(F.col("tok").alias("t2"), F.col("n").alias("n2"))
+    scored = (
+        bc.filter(F.col("n12") >= 5)
+        .join(u1, F.col("tok") == F.col("t1"))
+        .join(u2, F.col("nxt") == F.col("t2"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bg",
+            F.col("n12").cast("bigint").alias("n12"),
+            F.round(
+                F.log(
+                    (F.col("n12").cast("double") / F.col("nb"))
+                    / (
+                        (F.col("n1").cast("double") / F.col("nu"))
+                        * (F.col("n2").cast("double") / F.col("nu"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    w = W.orderBy(F.desc("pmi"), F.asc("bg"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 20)
+        .orderBy("rnk")
+    )

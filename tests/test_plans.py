@@ -132,6 +132,7 @@ CARTESIAN_OK = {
     "q_sim_ivf_kmeans",  # broadcast k=8 centroid fan-out, same as ann_ivf
     "q_sim_cosine_topk",
     "q_text_tfidf",  # 1-row corpus-size broadcast crossed in
+    "q_text_collocations",  # 1-row corpus-totals broadcast crossed in
     "q_dedup_embedding",
     "q_sim_knn_label",
     "q_pivot",
