@@ -64,6 +64,7 @@ _QUERY_MODULES = (
     "distributed_causal_stream_processing_spark.operators.text",
     "distributed_causal_stream_processing_spark.operators.similarity",
     "distributed_causal_stream_processing_spark.operators.multimodal",
+    "distributed_causal_stream_processing_spark.operators.tpch",
 )
 
 _loaded = False
