@@ -1,6 +1,11 @@
-"""Composite TPC-H-style queries (Q3 / Q5 / Q10 analogues, adapted to
-the fixture's 1995-2001 date span and column subset — orders has no
-o_shippriority, so Q3 carries o_orderpriority).
+"""Composite TPC-H-style queries (Q3 / Q5 / Q6 / Q10 / Q14 / Q18 /
+Q19 analogues, adapted to the fixture's 1995-2001 date span and
+column subset — orders has no o_shippriority, so Q3 carries
+o_orderpriority; lineitem has no commitdate/receiptdate/shipmode, so
+Q4/Q12 shapes are out of reach; Q14 uses the fixture's categorical
+``p_type = 'PROMO'``; Q19's shipmode/shipinstruct conjuncts are
+dropped, keeping the brand/size/quantity disjunction that makes it a
+pushdown stress test. Q1 lives as the flagship ``q_agg_group``.
 
 The operator-level registry proves each primitive in isolation; these
 prove the primitives COMPOSE: multi-join star shapes, selective
@@ -160,4 +165,193 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
+    )
+
+
+@query(
+    "q_tpch_q6",
+    oracle="""
+    SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount >= CAST(0.05 AS DOUBLE)
+      AND l_discount <= CAST(0.07 AS DOUBLE)
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecast revenue change): one-row global sum under
+    three range predicates — the canonical pushdown benchmark. The
+    whole WHERE clause reaches the parquet scan as PushedFilters
+    (shipdate/discount/quantity are all plain comparisons), so at
+    100 TB the scan skips row groups on min/max stats and the agg is
+    a single partial/final reduction with no shuffle of data rows."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,4)"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@query(
+    "q_tpch_q14",
+    oracle=f"""
+    SELECT round(
+             100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                                   THEN {_REV_DEC}
+                                   ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                   / CAST(sum({_REV_DEC}) AS DOUBLE),
+             4) AS promo_revenue
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l_shipdate <  TIMESTAMP '1997-10-01'
+    """,
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): share of one month's revenue from
+    PROMO parts. Conditional aggregation over a fact⋈dim join: part is
+    broadcast (dim-sized at any SF a driver can hold; at true 100 TB
+    part graduates to a shuffle join that AQE picks automatically when
+    the broadcast threshold trips), the month filter prunes lineitem at
+    the scan, and both branches of the CASE ride one hash-agg pass."""
+    lo = F.lit("1997-09-01").cast("timestamp")
+    hi = F.lit("1997-10-01").cast("timestamp")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    promo = F.when(F.col("p_type") == "PROMO", _rev()).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0 * F.sum(promo).cast("double") / F.sum(_rev()).cast("double"), 4
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@query(
+    "q_tpch_q18",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+           round(o_totalprice, 2) AS o_totalprice,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING sum(l_quantity) > 200
+    )
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): top-100 orders whose total
+    quantity exceeds 200, with their customer. The HAVING subquery is a
+    semi-join: Spark plans agg(lineitem)→filter as the build side of a
+    LeftSemi against orders, then rejoins lineitem for the final sum.
+    All three heavy operators key on orderkey, so at scale the
+    exchange partitioning is shared across the semi, the rejoin, and
+    the final agg; at bench SF, AQE converts the orderkey joins to
+    broadcasts outright. The plan test pins the invariants that hold
+    at every SF: a semi-join (never a deduplicating inner join), a
+    TakeOrderedAndProject top-k (never a global sort), and no
+    cartesian fallback."""
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("tq"))
+        .filter(F.col("tq") > 200)
+        .select("l_orderkey")
+    )
+    o = load(spark, sf_dir, "orders").join(
+        big, F.col("o_orderkey") == big["l_orderkey"], "left_semi"
+    )
+    c = load(spark, sf_dir, "customer")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@query(
+    "q_tpch_q19",
+    oracle=f"""
+    SELECT CAST(sum({_REV_DEC}) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity >= 1  AND l_quantity <= 11)
+       OR (p_brand = 'Brand#21' AND p_size BETWEEN 1 AND 10
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#25' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue, adapted): disjunction of three
+    brand/size/quantity conjuncts across the join. Catalyst splits the
+    OR: the part-only prefilter (brand ∈ {...} AND size ≤ 15) and the
+    lineitem-only prefilter (quantity ranges union) are inferred and
+    pushed to both scans, while the cross-table residual stays on the
+    join — the plan test asserts the scans are pre-filtered rather
+    than feeding the join raw."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    q = F.col("l_quantity")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & (q >= 1)
+            & (q <= 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#21")
+            & F.col("p_size").between(1, 10)
+            & (q >= 10)
+            & (q <= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#25")
+            & F.col("p_size").between(1, 15)
+            & (q >= 20)
+            & (q <= 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
     )

@@ -281,3 +281,68 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage(s2, "click_after_signup"))
         .unionByName(stage(s3, "purchase_after_click"))
     )
+
+
+@query(
+    "q_sessionize",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id,
+               CAST(epoch_us(CAST(date_trunc('microsecond', ts) AS TIMESTAMP))
+                    AS BIGINT) AS us
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, us,
+               CASE WHEN us - lag(us) OVER w > 14400000000
+                         OR lag(us) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY us)
+    ),
+    sess AS (
+        SELECT user_id, us,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY us) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           min(us) AS session_start_us,
+           CAST(count(*) AS BIGINT) AS n_events,
+           max(us) - min(us) AS duration_us
+    FROM sess
+    GROUP BY user_id, sid
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): split each user's event
+    stream into sessions at >4h inactivity gaps, one output row per
+    session with its start, event count, and duration. The batch twin
+    of q_stream_session's session_window.
+
+    Scale: one shuffle on user_id serves both window passes AND the
+    final agg (same partitioning → no re-exchange); within a partition
+    it's lag + running sum over a single sort. Timestamps stay integer
+    µs end-to-end — no float drift to break oracle parity. Skew note:
+    a pathological single user is bounded by time-bucketing the
+    partition key first (see module docstring)."""
+    gap_us = 4 * 3600 * 1_000_000
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us")
+    )
+    w = W.partitionBy("user_id").orderBy("us")
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(
+            (F.col("us") - F.lag("us").over(w) > gap_us)
+            | F.lag("us").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "sid", F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    return sess.groupBy("user_id", "sid").agg(
+        F.min("us").alias("session_start_us"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("us") - F.min("us")).alias("duration_us"),
+    ).drop("sid")
