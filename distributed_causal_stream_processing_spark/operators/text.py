@@ -423,6 +423,40 @@ def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STRAT_BUCKET = "(" + hex_u32_sql("md5(concat('strat', doc_id))") + ") % 100"
+_STRAT_RATE = (
+    "CASE WHEN lang = 'en' THEN 25 WHEN lang = 'zh' THEN 60 ELSE 90 END"
+)
+
+
+@query(
+    "q_sample_stratified",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE {_STRAT_BUCKET} < {_STRAT_RATE}
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: per-language keep rates
+    (downsample the dominant 'en' to 25%, keep rarer languages at
+    60-90%) — the corpus-rebalancing step of a training-data pipeline.
+    The keep decision is a pure function of doc_id, so the sample is
+    reproducible across runs, engines, and partitionings — unlike
+    ``df.sample``, whose output depends on partition layout.
+
+    Scale: row-local predicate, no shuffle, fully codegen'd; the CASE
+    rate table extends to any stratum column without a join against a
+    rates dim (and if rates come from data, it becomes a broadcast
+    join against a per-stratum count agg).
+    """
+    return (
+        load(spark, sf_dir, "documents")
+        .filter(F.expr(f"{_STRAT_BUCKET} < {_STRAT_RATE}"))
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
 @query(
     "q_text_collocations",
     oracle="""

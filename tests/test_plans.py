@@ -323,3 +323,41 @@ def test_sessionize_single_shuffle(spark):
     df.collect()
     plan = _plan(df).split("== Initial Plan ==")[0]
     assert plan.count("Exchange") == 1
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """Runtime bloom-filter join pruning: when a selective dim filter
+    feeds a shuffle join, Spark builds a bloom filter over the dim's
+    join keys and applies `might_contain` to the fact side BEFORE the
+    shuffle — at 100 TB this drops most fact rows at the scan instead
+    of shuffling them. Thresholds are scaled down so the fixture-sized
+    fact qualifies (the real applicationSideScanSizeThreshold is
+    10 GB, exactly the regime a 100 TB lineitem lives in)."""
+    from pyspark.sql import functions as F
+
+    from distributed_causal_stream_processing_spark.io import load
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = load(spark, SF_SMOKE, "lineitem")
+        s = load(spark, SF_SMOKE, "supplier").filter(F.col("s_acctbal") > 5000)
+        df = (
+            li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+            .agg(F.sum("l_quantity").alias("q"))
+        )
+        df.collect()
+        plan = _plan(df).split("== Initial Plan ==")[0]
+        assert "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
