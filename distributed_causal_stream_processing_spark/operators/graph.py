@@ -1,0 +1,124 @@
+"""Graph analytics over relational fixtures (no GraphFrames in the
+container — and none needed: Pregel-style iteration is a join+agg
+per superstep, which is exactly what a DataFrame engine does well;
+the LSH connected-components closure in dedup.py uses the same
+pattern).
+
+PageRank here runs on the part co-purchase graph: parts are nodes,
+an undirected edge connects parts that appear in the same order.
+
+Scale notes (100 TB): each superstep is one shuffle on the edge src
+(rank⋈edges) plus one on dst (the contribution agg) — both
+keyed-equi, bucket-alignable, with map-side partial aggregation.
+Edges are distinct pairs, so the state per superstep is O(|E|), never
+O(orders × lines²). localCheckpoint after each superstep keeps the
+plan from deepening (learned on the k-means trainer — without it,
+plan depth and analysis time grow linearly with iterations). Both
+engines round ranks to 12 dp per superstep: double addition is
+non-associative and Spark's partial-agg order differs from DuckDB's
+sequential sum, so unrounded drift compounds across iterations and
+breaks the value-hash (same lesson as the k-means centroid parity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distributed_causal_stream_processing_spark.io import load
+from distributed_causal_stream_processing_spark.plans.registry import query
+
+_DAMP = 0.85
+_ITERS = 3
+
+
+@query(
+    "q_graph_pagerank",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a
+        JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_partkey <> b.l_partkey
+    ),
+    deg AS (SELECT src, count(*) AS d FROM pairs GROUP BY src),
+    n AS (SELECT count(*) AS n FROM deg),
+    r0 AS (SELECT src AS node, 1.0 / n.n AS rank FROM deg CROSS JOIN n),
+    r1 AS (
+        SELECT p.dst AS node,
+               round((1 - {_DAMP}) / any_value(n.n)
+                     + {_DAMP} * sum(r.rank / deg.d), 12) AS rank
+        FROM pairs p
+        JOIN r0 r     ON r.node = p.src
+        JOIN deg      ON deg.src = p.src
+        CROSS JOIN n
+        GROUP BY p.dst
+    ),
+    r2 AS (
+        SELECT p.dst AS node,
+               round((1 - {_DAMP}) / any_value(n.n)
+                     + {_DAMP} * sum(r.rank / deg.d), 12) AS rank
+        FROM pairs p
+        JOIN r1 r     ON r.node = p.src
+        JOIN deg      ON deg.src = p.src
+        CROSS JOIN n
+        GROUP BY p.dst
+    ),
+    r3 AS (
+        SELECT p.dst AS node,
+               round((1 - {_DAMP}) / any_value(n.n)
+                     + {_DAMP} * sum(r.rank / deg.d), 12) AS rank
+        FROM pairs p
+        JOIN r2 r     ON r.node = p.src
+        JOIN deg      ON deg.src = p.src
+        CROSS JOIN n
+        GROUP BY p.dst
+    )
+    SELECT node, round(rank, 8) AS rank
+    FROM r3
+    ORDER BY rank DESC, node
+    LIMIT 50
+    """,
+)
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, 3 supersteps) over the part co-purchase
+    graph; top-50 parts by rank. The co-purchase graph is symmetric,
+    so every node has out-degree ≥ 1 and no dangling-mass term is
+    needed; the oracle unrolls the same three supersteps as CTEs
+    (the DuckDB twin of the k-means trainer's unrolled-SQL oracle)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    b = li.withColumnRenamed("l_partkey", "dst_partkey")
+    pairs = (
+        li.join(b, "l_orderkey")
+        .filter(F.col("l_partkey") != F.col("dst_partkey"))
+        .select(F.col("l_partkey").alias("src"), F.col("dst_partkey").alias("dst"))
+        .distinct()
+    )
+    deg = pairs.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    # symmetric graph → node set == src set
+    n_nodes = deg.count()
+    ranks = deg.select(
+        F.col("src").alias("node"), F.lit(1.0 / n_nodes).alias("rank")
+    ).localCheckpoint()
+    # rank⋈edges is keyed-equi on src: AQE broadcasts the O(nodes) rank
+    # side while it fits and falls back to a co-partitioned shuffle
+    # join beyond — no explicit hint so the plan stays scale-correct
+    contrib_base = pairs.join(deg, "src")
+    for _ in range(_ITERS):
+        ranks = (
+            contrib_base.join(ranks, contrib_base.src == ranks.node)
+            .select("dst", (F.col("rank") / F.col("d")).alias("c"))
+            .groupBy("dst")
+            .agg(
+                F.round(
+                    (1 - _DAMP) / n_nodes + _DAMP * F.sum("c"), 12
+                ).alias("rank")
+            )
+            .withColumnRenamed("dst", "node")
+            .localCheckpoint()
+        )
+    return (
+        ranks.select("node", F.round("rank", 8).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("node"))
+        .limit(50)
+    )

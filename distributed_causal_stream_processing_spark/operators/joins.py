@@ -448,3 +448,79 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
+
+
+@query(
+    "q_scd2_apply",
+    oracle="""
+    WITH dim AS (
+        SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS c_acctbal,
+               TIMESTAMP '1995-01-01' AS valid_from,
+               CAST(NULL AS TIMESTAMP) AS valid_to
+        FROM customer
+    ),
+    chg AS (
+        SELECT c_custkey, round(c_acctbal * 1.1, 2) AS new_acctbal,
+               TIMESTAMP '1997-06-01' AS eff_ts
+        FROM customer WHERE c_custkey % 10 = 3
+    ),
+    closed AS (
+        SELECT d.c_custkey, d.c_mktsegment, d.c_acctbal,
+               d.valid_from, c.eff_ts AS valid_to
+        FROM dim d JOIN chg c USING (c_custkey)
+    ),
+    untouched AS (
+        SELECT d.* FROM dim d
+        WHERE d.c_custkey NOT IN (SELECT c_custkey FROM chg)
+    ),
+    fresh AS (
+        SELECT d.c_custkey, d.c_mktsegment, c.new_acctbal AS c_acctbal,
+               c.eff_ts AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to
+        FROM dim d JOIN chg c USING (c_custkey)
+    )
+    SELECT * FROM untouched
+    UNION ALL SELECT * FROM closed
+    UNION ALL SELECT * FROM fresh
+    """,
+)
+def q_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2: apply a change batch to a
+    versioned dimension. Matched current rows are CLOSED (valid_to :=
+    change timestamp) and a NEW open version is inserted; unmatched
+    rows pass through — history is never rewritten, only appended.
+
+    Scale: the change batch is <<dimension, so both the close join and
+    the anti join broadcast the changes and the dimension never
+    shuffles — the SCD2 apply costs one scan of the dim regardless of
+    dim size. The close+fresh branches share one join result; only
+    the union fans it out."""
+    eff = F.lit("1997-06-01").cast("timestamp")
+    dim = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+        F.lit("1995-01-01").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    chg = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 10 == 3)
+        .select(
+            "c_custkey",
+            F.round(F.col("c_acctbal") * 1.1, 2).alias("new_acctbal"),
+            eff.alias("eff_ts"),
+        )
+    )
+    matched = dim.join(F.broadcast(chg), "c_custkey")
+    closed = matched.select(
+        "c_custkey", "c_mktsegment", "c_acctbal", "valid_from",
+        F.col("eff_ts").alias("valid_to"),
+    )
+    fresh = matched.select(
+        "c_custkey", "c_mktsegment",
+        F.col("new_acctbal").alias("c_acctbal"),
+        F.col("eff_ts").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    untouched = dim.join(F.broadcast(chg.select("c_custkey")), "c_custkey", "left_anti")
+    return untouched.unionByName(closed).unionByName(fresh)

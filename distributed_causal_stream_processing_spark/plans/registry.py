@@ -65,6 +65,7 @@ _QUERY_MODULES = (
     "distributed_causal_stream_processing_spark.operators.similarity",
     "distributed_causal_stream_processing_spark.operators.multimodal",
     "distributed_causal_stream_processing_spark.operators.tpch",
+    "distributed_causal_stream_processing_spark.operators.graph",
 )
 
 _loaded = False
