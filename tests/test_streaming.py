@@ -387,3 +387,46 @@ def test_dedup_bounded_state_effectively_once(spark, stream_dir, tmp_path):
     ids = [r.event_id for r in rows]
     assert len(ids) == len(set(ids)) == e.count()
     assert 0 < state_rows <= 2 * e.count()  # state tracked, and bounded
+
+
+def test_cdc_merge_stream_matches_batch(spark, stream_dir, tmp_path):
+    """Streaming CDC apply: the per-user snapshot maintained by
+    micro-batch MERGE must equal the one-shot batch aggregation over
+    all events, and replaying a committed batch must be a no-op —
+    the reference's incrementally-maintained materialized view with
+    effectively-once output."""
+    from distributed_causal_stream_processing_spark.io import load
+    from distributed_causal_stream_processing_spark.streaming.jobs import (
+        run_cdc_merge_stream,
+    )
+
+    sink = run_cdc_merge_stream(spark, stream_dir, str(tmp_path / "cdc"))
+
+    got = {
+        r["user_id"]: (r["n_events"], r["last"]["us"], r["last"]["event_id"])
+        for r in sink.snapshot(spark).collect()
+    }
+    want = {
+        r["user_id"]: (r["n_events"], r["last"]["us"], r["last"]["event_id"])
+        for r in load(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max(
+                F.struct(F.unix_micros("ts").alias("us"), "event_id", "value")
+            ).alias("last"),
+        )
+        .collect()
+    }
+    assert got == want
+
+    # replaying the last committed batch is an idempotent no-op
+    latest = sink._latest_committed()
+    before = sorted(
+        (r["user_id"], r["n_events"]) for r in sink.snapshot(spark).collect()
+    )
+    sink.process(load(spark, SF_SMOKE, "events").limit(50), latest)
+    after = sorted(
+        (r["user_id"], r["n_events"]) for r in sink.snapshot(spark).collect()
+    )
+    assert after == before
