@@ -346,3 +346,38 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         (F.max("us") - F.min("us")).alias("duration_us"),
     ).drop("sid")
+
+
+@query(
+    "q_topk_per_group",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, round(c_acctbal, 2) AS c_acctbal,
+           CAST(rn AS BIGINT) AS rn
+    FROM (
+        SELECT c_mktsegment, c_custkey, c_acctbal,
+               row_number() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY c_acctbal DESC, c_custkey) AS rn
+        FROM customer
+    )
+    WHERE rn <= 3
+    """,
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers by balance per market segment — the per-group
+    twin of q_topk's global TakeOrderedAndProject. Scale: one shuffle
+    on the group key; Spark inserts a WindowGroupLimit before the
+    shuffle (rank-based filter pushdown), so each map task forwards at
+    most k rows per group instead of its whole partition — the window
+    analogue of a partial aggregation."""
+    c = load(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "c_mktsegment",
+            "c_custkey",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+            F.col("rn").cast("bigint").alias("rn"),
+        )
+    )

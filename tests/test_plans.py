@@ -361,3 +361,15 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_topk_per_group_window_group_limit(spark):
+    """Per-group top-k must plan a WindowGroupLimit below the shuffle
+    (each map task forwards ≤k rows per group) with a single exchange
+    — without it, the whole table crosses the wire just to be rank-
+    filtered on the reduce side."""
+    df = _registry()["q_topk_per_group"].fn(spark, SF_SMOKE)
+    df.collect()
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Exchange") == 1
