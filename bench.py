@@ -53,14 +53,32 @@ def main() -> None:
     # interleaved with) the JSON would corrupt "the last stdout line is
     # the result" for consumers.
     spark.stop()
+
+    # Full per-query detail goes to an EARLIER stdout line and a sidecar
+    # file; consumers that keep only a short tail of stdout (the driver
+    # keeps 2000 chars) must still see a complete, parseable final line,
+    # so the LAST line is a compact summary well under 1 KB with only the
+    # top-5 slowest queries inlined.
+    detail = {
+        "metric": "full_declared_suite_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    with open(os.path.join(REPO_DIR, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    print(json.dumps(detail))
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
     print(
         json.dumps(
             {
                 "metric": "full_declared_suite_wall_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf,
+                "n_queries": len(timings),
+                "queries": slowest,
             }
         )
     )

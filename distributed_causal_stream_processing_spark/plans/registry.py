@@ -47,6 +47,87 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
+# The 62 SURVEY.md §2 contract ids, in the exact order they must occupy the
+# head of the registry (and therefore of ``queries()``): the driver grades the
+# FIRST entries of ``queries()`` in insertion order, so the whole contract must
+# sit at the front, ahead of every extra query.
+#
+# Ordering policy (VERDICT.md round 1, item 1):
+# - positions 0-24: the 25 §2 ids the round-1 driver never reached
+#   (§2.8 scalar families, §2.9 streaming views, §2.10 LLM-pipeline,
+#   §2.11 UDFs), with the two P0s — q_causal_seq, q_stream_tumbling — first;
+# - positions 25-61: the 37 §2 ids already driver-green in round 1,
+#   P0 → P1 → P2, so that if a grading window cuts off mid-contract the
+#   overflow hits only P2 ids that already have a green CORRECTNESS row;
+# - positions 62+: extras (TPC-H composites, graph, ANN variants, ...)
+#   in module insertion order.
+CONTRACT_ORDER = (
+    # -- 25 ids with no round-1 driver signal: P0 first ------------------
+    "q_causal_seq",          # P0 — the reference's core concept
+    "q_stream_tumbling",     # P0
+    "q_stream_sliding",
+    "q_stream_session",
+    "q_stream_dedup",
+    "q_stream_stateful_agg",
+    "q_stream_join_enrich",
+    "q_str_funcs",
+    "q_date_funcs",
+    "q_math_funcs",
+    "q_cond_funcs",
+    "q_cast_types",
+    "q_array_funcs",
+    "q_json_funcs",
+    "q_map_funcs",
+    "q_dedup_exact",
+    "q_text_wordcount",
+    "q_text_stats",
+    "q_sim_cosine_topk",
+    "q_sim_knn_label",
+    "q_minhash_lsh",
+    "q_udf_scalar",
+    "q_udf_pandas",
+    "q_udaf_pandas",
+    "q_udtf",
+    # -- 37 ids driver-green in round 1: P0 -> P1 -> P2 ------------------
+    "q_scan_project",        # P0
+    "q_scan_filter",         # P0
+    "q_project_expr",        # P0
+    "q_join_inner",          # P0
+    "q_agg_global",          # P0
+    "q_agg_group",           # P0 flagship
+    "q_filter_compound",     # P1
+    "q_filter_like",
+    "q_join_left",
+    "q_join_full",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_broadcast",
+    "q_join_multiway",
+    "q_agg_having",
+    "q_agg_distinct",
+    "q_agg_stats",
+    "q_win_rank",
+    "q_win_analytic",
+    "q_win_frame_rows",
+    "q_sort_multi",
+    "q_topk",
+    "q_set_union_all",
+    "q_set_union_distinct",
+    "q_join_cross",          # P2
+    "q_join_theta",
+    "q_join_range",
+    "q_join_asof",
+    "q_agg_rollup",
+    "q_agg_cube",
+    "q_agg_grouping_sets",
+    "q_agg_collect",
+    "q_agg_approx_distinct",
+    "q_win_frame_range",
+    "q_win_dist",
+    "q_set_intersect",
+    "q_set_except",
+)
+
 # Modules whose import populates REGISTRY. Order roughly follows SURVEY §2.
 _QUERY_MODULES = (
     "distributed_causal_stream_processing_spark.operators.scans",
@@ -77,6 +158,16 @@ def _load_all() -> None:
         return
     for mod in _QUERY_MODULES:
         importlib.import_module(mod)
+    # Rebuild the registry dict so the 62 §2 contract ids occupy the head in
+    # CONTRACT_ORDER, extras after in module insertion order (dicts preserve
+    # insertion order; queries()/oracle_sql() expose exactly this ordering).
+    missing = [n for n in CONTRACT_ORDER if n not in REGISTRY]
+    if missing:
+        raise RuntimeError(f"contract ids not registered: {missing}")
+    ordered = {n: REGISTRY[n] for n in CONTRACT_ORDER}
+    ordered.update((n, s) for n, s in REGISTRY.items() if n not in ordered)
+    REGISTRY.clear()
+    REGISTRY.update(ordered)
     _loaded = True
 
 
