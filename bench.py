@@ -39,6 +39,10 @@ def main() -> None:
     spark.range(64).mapInPandas(lambda it: it, "id long").write.format("noop").mode(
         "overwrite"
     ).save()
+    # Case-mapping functions load ICU collation data on first use in
+    # Spark 4 (~1.4 s once per JVM) — warm it so the first string query
+    # isn't charged for JVM init.
+    spark.sql("SELECT upper('x'), lower('X')").collect()
 
     t_suite = time.perf_counter()
     for name in sorted(queries):

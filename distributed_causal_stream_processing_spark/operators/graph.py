@@ -100,17 +100,18 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # upstream, turning 3 supersteps into ~5 edge builds (measured
     # 19.9 s → ~6 s at sf0.1)
     contrib_base = pairs.join(deg, "src").localCheckpoint()
-    # symmetric graph → node set == src set
-    n_nodes = contrib_base.select("src").distinct().count()
-    ranks = (
-        contrib_base.select("src")
-        .distinct()
-        .select(F.col("src").alias("node"), F.lit(1.0 / n_nodes).alias("rank"))
-        .localCheckpoint()
-    )
+    # symmetric graph → node set == src set; checkpoint the distinct
+    # node set once — it seeds the rank vector AND supplies the count
+    nodes = contrib_base.select("src").distinct().localCheckpoint()
+    n_nodes = nodes.count()
+    ranks = nodes.select(F.col("src").alias("node"), F.lit(1.0 / n_nodes).alias("rank"))
     # rank⋈edges is keyed-equi on src: AQE broadcasts the O(nodes) rank
     # side while it fits and falls back to a co-partitioned shuffle
-    # join beyond — no explicit hint so the plan stays scale-correct
+    # join beyond — no explicit hint so the plan stays scale-correct.
+    # Per-round localCheckpoint is load-bearing for speed, not just plan
+    # depth: the materialized rank vector gives AQE exact size stats, so
+    # every superstep's join broadcasts (measured: chaining all three
+    # supersteps lazily into one job = 14.5 s vs 9.3 s at sf0.1).
     for _ in range(_ITERS):
         ranks = (
             contrib_base.join(ranks, contrib_base.src == ranks.node)

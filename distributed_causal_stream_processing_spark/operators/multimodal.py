@@ -120,7 +120,27 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(kernel, FEATURE_SCHEMA)
 
 
-@query("q_multimodal_features", oracle=None)  # decode stub is Spark-only → rows-only
+@query(
+    "q_multimodal_features",
+    # The stub decoder is deterministic byte arithmetic over utf-8 text
+    # (documents.text is pure ASCII — verified octet_length == strlen —
+    # so DuckDB character indexing == Spark byte indexing), which makes
+    # the full feature output value-checkable, not just rows-only. The
+    # mean is a single IEEE division of an exact small-integer sum, so
+    # both engines produce bit-identical doubles without rounding.
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS media_type,
+           CAST(strlen(text) AS INTEGER) AS n_bytes,
+           list_avg([ascii(text[CAST(i % strlen(text) AS INTEGER) + 1])
+                     for i in range(CASE doc_id % 3 WHEN 0 THEN 8
+                                    WHEN 1 THEN 4 ELSE 6 END)]) AS feat_mean,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 8 WHEN 1 THEN 4 ELSE 6 END
+                AS INTEGER) AS feat_dim
+    FROM documents
+    """,
+)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction over binary media via mapInPandas (stubbed
     decode; real Spark plumbing: schema, batching, partitioning)."""

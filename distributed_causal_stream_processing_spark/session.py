@@ -20,6 +20,32 @@ from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# State-store provider for stateful streaming at scale. The default
+# HDFS-backed provider keeps every key in executor heap and rewrites full
+# snapshots per commit; RocksDB spills state to local disk and (with
+# changelog checkpointing) uploads only per-batch deltas, so per-key state
+# 100x larger than heap survives. JVM-side only — needs no extra Python
+# deps, unlike transformWithState (see streaming/causal.py:tws_available).
+ROCKSDB_STATE_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def enable_rocksdb_state(spark: SparkSession) -> None:
+    """Route subsequent streaming queries' state to RocksDB.
+
+    Applied via runtime conf (the provider class is read at query start),
+    so batch work on the same session is unaffected."""
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", ROCKSDB_STATE_PROVIDER
+    )
+    # Delta-only commits: upload the changelog per batch, compact snapshots
+    # in the background — the scale knob that makes 100 GB+ state practical.
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true",
+    )
+
 
 def get_spark(
     app_name: str = "distributed_causal_stream_processing_spark",
