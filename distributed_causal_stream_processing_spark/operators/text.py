@@ -555,3 +555,102 @@ def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 20)
         .orderBy("rnk")
     )
+
+
+@query(
+    "q_text_repetition",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    c AS (SELECT doc_id, tok, count(*) AS n FROM w GROUP BY doc_id, tok)
+    SELECT doc_id,
+           CAST(sum(n) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           round(1.0 - count(*) / CAST(sum(n) AS DOUBLE), 6) AS dup_ratio,
+           round(max(n) / CAST(sum(n) AS DOUBLE), 6) AS top_share
+    FROM c GROUP BY doc_id
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals (the Gopher-rule family):
+    duplicate-word ratio and most-frequent-word share per document.
+
+    Two hash aggregations — (doc_id, tok) counts, then per-doc rollup —
+    both with map-side partial combine; at 100 TB this is one shuffle
+    keyed by (doc_id, tok) and one by doc_id, no windows, no Python."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    per_tok = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("n"))
+    total = F.sum("n").cast("double")
+    return per_tok.groupBy("doc_id").agg(
+        F.sum("n").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.round(F.lit(1.0) - F.count(F.lit(1)) / total, 6).alias("dup_ratio"),
+        F.round(F.max("n") / total, 6).alias("top_share"),
+    )
+
+
+@query(
+    "q_text_decontaminate",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS s FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+    ),
+    grams AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(s) - 1),
+                   i -> s[i] || ' ' || s[i+1] || ' ' || s[i+2])) AS g
+        FROM toks
+    ),
+    bench AS (SELECT DISTINCT unnest(g) AS gram FROM grams WHERE doc_id % 97 = 0),
+    corpus AS (SELECT doc_id, unnest(g) AS gram FROM grams WHERE doc_id % 97 <> 0)
+    SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+    FROM corpus c JOIN bench b USING (gram)
+    GROUP BY c.doc_id
+    """,
+)
+def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word-n-gram with a held-out benchmark set (docs with doc_id % 97
+    == 0 stand in for the benchmark; n=3 tuned to the fixture's tiny
+    vocabulary — real pipelines use 8-13-gram overlap, same plan).
+
+    The scale shape is the point: benchmark n-grams are a SMALL
+    distinct set (benchmarks are MBs, corpora are TBs), so they
+    broadcast; the corpus side streams through a broadcast-hash
+    semi-ish join keyed on the gram — no shuffle of the corpus and
+    never an all-pairs product. Shingles use posexplode + window lead
+    (not explode(transform(...)) — see q_dedup_ngram_jaccard)."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .filter(F.size("toks") >= 3)
+    )
+    tok = d.select(
+        "doc_id", F.size("toks").alias("len"), F.posexplode("toks").alias("pos", "tok")
+    )
+    wl = W.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        tok.select(
+            "doc_id",
+            "pos",
+            "len",
+            F.concat_ws(
+                " ", "tok", F.lead("tok", 1).over(wl), F.lead("tok", 2).over(wl)
+            ).alias("gram"),
+        )
+        .filter(F.col("pos") <= F.col("len") - 3)
+        .select("doc_id", "gram")
+        .distinct()
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % 97 == 0).select("gram").distinct()
+    )
+    corpus = grams.filter(F.col("doc_id") % 97 != 0)
+    return (
+        corpus.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )

@@ -373,3 +373,15 @@ def test_topk_per_group_window_group_limit(spark):
     plan = _plan(df).split("== Initial Plan ==")[0]
     assert "WindowGroupLimit" in plan
     assert plan.count("Exchange") == 1
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark):
+    """The benchmark n-gram set must broadcast (benchmarks are MBs,
+    corpora are TBs): the corpus side streams through a broadcast-hash
+    join with no corpus-wide shuffle keyed on the gram."""
+    df = _registry()["q_text_decontaminate"].fn(spark, SF_SMOKE)
+    df.collect()
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in plan
+    # and no sort-merge join anywhere — the gram join must not shuffle
+    assert "SortMergeJoin" not in plan
