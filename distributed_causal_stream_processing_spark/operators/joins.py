@@ -22,6 +22,58 @@ from distributed_causal_stream_processing_spark.io import load
 from distributed_causal_stream_processing_spark.plans.registry import query
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_val: str,
+    out_col: str = "asof_val",
+) -> DataFrame:
+    """Latest ``right_val`` at/before each left row's timestamp per key.
+
+    Union-and-window formulation — the 100 TB-safe as-of join: one
+    shuffle on the key, one sort, no quadratic candidate join (the
+    conditional-join + row_number alternative materializes every
+    (left, earlier-right) candidate pair).
+
+    Semantics: a right row with ``right_ts`` EQUAL to the left row's
+    timestamp matches (right sorts before left at equal ts); among
+    right rows tied on (key, ts), the largest ``right_val`` wins. Left
+    rows with no earlier right row get NULL. Returns all left columns
+    plus ``out_col``.
+    """
+    from pyspark.sql import Window as W
+
+    lcols = [c for c in left.columns if c != key]
+    r2 = right.select(
+        key,
+        F.col(right_ts).cast(left.schema[left_ts].dataType).alias("__ts"),
+        F.lit(0).alias("__kind"),
+        F.col(right_val).alias("__val"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+    )
+    l2 = left.select(
+        key,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__kind"),
+        F.lit(None).cast(right.schema[right_val].dataType).alias("__val"),
+        *lcols,
+    )
+    w = (
+        W.partitionBy(key)
+        .orderBy("__ts", "__kind", "__val")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        r2.unionByName(l2)
+        .withColumn(out_col, F.last("__val", ignorenulls=True).over(w))
+        .filter(F.col("__kind") == 1)
+        .select(key, *lcols, out_col)
+    )
+
+
 @query(
     "q_join_inner",
     oracle="""
@@ -297,37 +349,20 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: latest order at/before each event's ts per customer.
 
-    Union-and-window formulation — the 100 TB-safe as-of: one shuffle
-    on the key, one sort, no quadratic candidate join. Orders sort
-    before events at equal ts (kind 0 < 1) so an order exactly at ts
-    matches; equal-date orders tie-break on the highest o_orderkey.
+    Uses the generic ``asof_join`` (union-and-window — the 100 TB-safe
+    as-of: one shuffle on the key, one sort, no quadratic candidate
+    join; hypothesis-tested against a brute-force reference in
+    tests/test_properties.py). An order exactly at ts matches;
+    equal-date orders tie-break on the highest o_orderkey.
     """
+    e = load(spark, sf_dir, "events").select("user_id", "ts", "event_id")
     o = load(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("user_id"),
-        F.col("o_orderdate").alias("ts"),
-        F.lit(0).alias("kind"),
-        "o_orderkey",
-        F.lit(None).cast("bigint").alias("event_id"),
+        F.col("o_custkey").alias("user_id"), "o_orderdate", "o_orderkey"
     )
-    e = load(spark, sf_dir, "events").select(
-        "user_id",
-        "ts",
-        F.lit(1).alias("kind"),
-        F.lit(None).cast("bigint").alias("o_orderkey"),
-        "event_id",
-    )
-    merged = o.unionByName(e)
-    from pyspark.sql import Window as W
-
-    w = (
-        W.partitionBy("user_id")
-        .orderBy("ts", "kind", F.coalesce("o_orderkey", "event_id"))
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    return (
-        merged.withColumn("asof_orderkey", F.last("o_orderkey", ignorenulls=True).over(w))
-        .filter(F.col("kind") == 1)
-        .select("event_id", "user_id", "ts", "asof_orderkey")
+    return asof_join(
+        e, o, key="user_id", left_ts="ts", right_ts="o_orderdate",
+        right_val="o_orderkey", out_col="asof_orderkey",
+    ).select("event_id", "user_id", "ts", "asof_orderkey"
     )
 
 

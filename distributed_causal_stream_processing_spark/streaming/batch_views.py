@@ -183,6 +183,16 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def causal_sequence_batch(events: DataFrame) -> DataFrame:
+    """Append ``seq`` = per-user happened-before rank by (ts, event_id).
+
+    The batch formulation of the reference's causal merge; also
+    hypothesis-tested against a brute-force reference in
+    tests/test_properties.py. One shuffle on user_id + one sort."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.withColumn("seq", F.row_number().over(w).cast("bigint"))
+
+
 @query(
     "q_causal_seq",
     oracle="""
@@ -204,13 +214,7 @@ def q_causal_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
     transformWithState (streaming/causal.py).
     """
     e = load(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    return e.select(
-        "user_id",
-        "event_id",
-        "ts",
-        F.row_number().over(w).cast("bigint").alias("seq"),
-    )
+    return causal_sequence_batch(e).select("user_id", "event_id", "ts", "seq")
 
 
 @query(

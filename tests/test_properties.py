@@ -1,0 +1,96 @@
+"""Property-based tests (hypothesis): the custom operators whose
+semantics are easy to get subtly wrong are checked against brute-force
+Python references on generated inputs — complementing the fixture
+parity suite, which can only exercise the data distributions the
+fixtures happen to contain.
+
+Spark jobs are slow per-example, so example counts are deliberately
+small; the generators bias toward the hard cases (equal timestamps,
+ties, empty match sets) via tight value ranges.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+pytestmark = pytest.mark.properties
+
+# Tight ranges force collisions: equal ts across sides, ties among
+# right rows, keys with no right rows at all.
+_KEYS = st.integers(min_value=0, max_value=3)
+_TS = st.integers(min_value=0, max_value=12)
+_VAL = st.integers(min_value=0, max_value=5)
+
+_LEFT = st.lists(st.tuples(_KEYS, _TS), min_size=0, max_size=12)
+_RIGHT = st.lists(st.tuples(_KEYS, _TS, _VAL), min_size=0, max_size=12)
+
+
+def _brute_asof(left_rows, right_rows):
+    """id -> latest right val at/before ts (ties: max val), else None."""
+    out = {}
+    for rid, (k, ts) in enumerate(left_rows):
+        cands = [(rts, v) for (rk, rts, v) in right_rows if rk == k and rts <= ts]
+        out[rid] = max(cands)[1] if cands else None
+    return out
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(left=_LEFT, right=_RIGHT)
+def test_asof_join_matches_bruteforce(spark, left, right):
+    from distributed_causal_stream_processing_spark.operators.joins import asof_join
+
+    if not left:
+        return
+    ldf = spark.createDataFrame(
+        [(k, ts, rid) for rid, (k, ts) in enumerate(left)], "k int, ts int, rid int"
+    )
+    rdf = spark.createDataFrame(right or [], "k int, ts int, v int")
+    got = {
+        r.rid: r.asof_v
+        for r in asof_join(
+            ldf, rdf, key="k", left_ts="ts", right_ts="ts",
+            right_val="v", out_col="asof_v",
+        ).collect()
+    }
+    assert got == _brute_asof(left, right)
+
+
+def _brute_sequence(events):
+    """(user, ts, event_id) -> seq: rank of the event within its user's
+    (ts, event_id)-sorted history — the causal ordering contract."""
+    out = {}
+    by_user: dict[int, list[tuple[int, int]]] = {}
+    for user, ts, eid in events:
+        by_user.setdefault(user, []).append((ts, eid))
+    for user, evs in by_user.items():
+        for i, (ts, eid) in enumerate(sorted(evs), start=1):
+            out[eid] = i
+    return out
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    data=st.lists(st.tuples(_KEYS, _TS), min_size=1, max_size=16, unique=True)
+)
+def test_causal_sequence_batch_matches_bruteforce(spark, data):
+    """The batch causal sequencer assigns each event its happened-before
+    rank per user — gapless 1..n, deterministic under ts ties (event_id
+    tie-break)."""
+    from distributed_causal_stream_processing_spark.streaming.batch_views import (
+        causal_sequence_batch,
+    )
+
+    events = [(user, ts, eid) for eid, (user, ts) in enumerate(data)]
+    df = spark.createDataFrame(events, "user_id int, ts int, event_id int")
+    got = {r.event_id: r.seq for r in causal_sequence_batch(df).collect()}
+    assert got == _brute_sequence(events)
