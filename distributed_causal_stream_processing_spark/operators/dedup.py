@@ -372,3 +372,72 @@ def q_dedup_lsh_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         labels = merged.select("doc_id", F.col("new_label").alias("label"))
     return merged.select("doc_id", F.col("new_label").cast("bigint").alias("group_id"))
+
+
+# Best-of-cluster selection: the decision step a training-data pipeline
+# runs AFTER near-dup clustering — keep exactly one (highest-quality)
+# document per duplicate group. Oracle nests the exact recursive-CTE
+# closure and recomputes the same quality formula.
+def _dedup_best_duck() -> str:
+    from distributed_causal_stream_processing_spark.operators.text import _STOP_IN
+
+    return f"""
+    WITH groups AS ({_LSH_GROUPS_DUCK}),
+    quality AS (
+        SELECT doc_id,
+               round(0.4 * (len(list_distinct(string_split(text, ' ')))
+                            / CAST(len(string_split(text, ' ')) AS DOUBLE))
+                     + 0.3 * least(len(string_split(text, ' ')) / 100.0, 1.0)
+                     + 0.3 * (1.0 - len(list_filter(string_split(text, ' '),
+                                                    t -> t IN ({_STOP_IN})))
+                              / CAST(len(string_split(text, ' ')) AS DOUBLE)),
+                     4) AS quality_score
+        FROM documents
+    )
+    SELECT group_id, doc_id AS kept_doc_id, quality_score AS best_quality,
+           n_members
+    FROM (
+        SELECT g.group_id, g.doc_id, q.quality_score,
+               CAST(count(*) OVER (PARTITION BY g.group_id) AS BIGINT)
+                   AS n_members,
+               row_number() OVER (PARTITION BY g.group_id
+                                  ORDER BY q.quality_score DESC, g.doc_id)
+                   AS rn
+        FROM groups g JOIN quality q USING (doc_id))
+    WHERE rn = 1
+    """
+
+
+@query("q_pipeline_dedup_best", oracle=_dedup_best_duck())
+def q_pipeline_dedup_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the highest-quality document of every LSH duplicate group
+    (ties: smallest doc_id) — the selection step after clustering.
+
+    Plan shape at 100 TB: the group labels (q_dedup_lsh_groups) and
+    quality scores (q_text_quality) join on doc_id, then ONE hash
+    aggregation per group computes member count and the argmax as
+    max(struct(quality, -doc_id)) — map-side partial combine, no
+    window, no sort, output linear in the number of groups."""
+    from distributed_causal_stream_processing_spark.operators.text import q_text_quality
+
+    groups = q_dedup_lsh_groups(spark, sf_dir)
+    quality = q_text_quality(spark, sf_dir).select("doc_id", "quality_score")
+    return (
+        groups.join(quality, "doc_id")
+        .groupBy("group_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.max(
+                F.struct(
+                    F.col("quality_score").alias("q"),
+                    (-F.col("doc_id")).alias("neg_id"),
+                )
+            ).alias("best"),
+        )
+        .select(
+            "group_id",
+            (-F.col("best.neg_id")).cast("bigint").alias("kept_doc_id"),
+            F.col("best.q").alias("best_quality"),
+            "n_members",
+        )
+    )

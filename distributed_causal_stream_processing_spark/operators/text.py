@@ -90,6 +90,30 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STOP_IN = ", ".join(f"'{s}'" for s in STOPWORDS)
 
 
+def with_quality_score(d: DataFrame) -> DataFrame:
+    """Append the quality-signal columns to any DataFrame with a
+    ``text`` column — pure stateless column expressions, so the same
+    code runs over a batch scan or a readStream (used by the streaming
+    quality-filter pipeline in tests/test_streaming.py)."""
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks).cast("double")
+    n_distinct = F.size(F.array_distinct(toks)).cast("double")
+    n_letters = F.length(F.regexp_replace("text", " ", "")).cast("double")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("double")
+    quality = (
+        0.4 * (n_distinct / n_tokens)
+        + 0.3 * F.least(n_tokens / 100.0, F.lit(1.0))
+        + 0.3 * (1.0 - n_stop / n_tokens)
+    )
+    return (
+        d.withColumn("n_tokens", n_tokens.cast("bigint"))
+        .withColumn("distinct_ratio", F.round(n_distinct / n_tokens, 4))
+        .withColumn("avg_token_len", F.round(n_letters / n_tokens, 4))
+        .withColumn("stopword_ratio", F.round(n_stop / n_tokens, 4))
+        .withColumn("quality_score", F.round(quality, 4))
+    )
+
+
 @query(
     "q_text_quality",
     oracle=f"""
@@ -119,24 +143,13 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     The standard cheap pre-filter stage of a training-data pipeline —
     pure column expressions, linear scan, no shuffle at all.
     """
-    d = load(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    n_tokens = F.size(toks).cast("double")
-    n_distinct = F.size(F.array_distinct(toks)).cast("double")
-    n_letters = F.length(F.regexp_replace("text", " ", "")).cast("double")
-    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("double")
-    quality = (
-        0.4 * (n_distinct / n_tokens)
-        + 0.3 * F.least(n_tokens / 100.0, F.lit(1.0))
-        + 0.3 * (1.0 - n_stop / n_tokens)
-    )
-    return d.select(
+    return with_quality_score(load(spark, sf_dir, "documents")).select(
         "doc_id",
-        n_tokens.cast("bigint").alias("n_tokens"),
-        F.round(n_distinct / n_tokens, 4).alias("distinct_ratio"),
-        F.round(n_letters / n_tokens, 4).alias("avg_token_len"),
-        F.round(n_stop / n_tokens, 4).alias("stopword_ratio"),
-        F.round(quality, 4).alias("quality_score"),
+        "n_tokens",
+        "distinct_ratio",
+        "avg_token_len",
+        "stopword_ratio",
+        "quality_score",
     )
 
 

@@ -478,3 +478,57 @@ def test_cdc_merge_stream_matches_batch(spark, stream_dir, tmp_path):
         (r["user_id"], r["n_events"]) for r in sink.snapshot(spark).collect()
     )
     assert after == before
+
+
+def test_streaming_quality_filter_matches_batch(spark, tmp_path):
+    """The training-data pre-filter (quality score + exact dedup) runs
+    unchanged over a document STREAM — stateless column expressions +
+    dropDuplicates keyed state — and keeps exactly the same document
+    set as the batch formulation."""
+    from distributed_causal_stream_processing_spark.io import load
+    from distributed_causal_stream_processing_spark.operators.text import (
+        with_quality_score,
+    )
+
+    docs = load(spark, SF_SMOKE, "documents")
+    stream_dir = str(tmp_path / "docs_stream")
+    # stage twice = at-least-once redelivery; dedup must collapse it
+    docs.repartition(3).write.mode("overwrite").parquet(stream_dir)
+    docs.repartition(2).write.mode("append").parquet(stream_dir)
+
+    threshold = 0.5
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(stream_dir)
+    )
+    kept = (
+        with_quality_score(stream)
+        .filter(F.col("quality_score") >= threshold)
+        .withColumn("text_md5", F.md5("text"))
+        .dropDuplicates(["text_md5"])
+    )
+    q = (
+        kept.writeStream.format("memory")
+        .queryName("stream_quality_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r.text_md5
+            for r in spark.sql("SELECT text_md5 FROM stream_quality_out").collect()
+        }
+    finally:
+        q.stop()
+
+    want = {
+        r.text_md5
+        for r in with_quality_score(docs)
+        .filter(F.col("quality_score") >= threshold)
+        .select(F.md5("text").alias("text_md5"))
+        .distinct()
+        .collect()
+    }
+    assert got == want and len(want) > 0
