@@ -33,5 +33,34 @@ from distributed_causal_stream_processing_spark.plans.registry import (  # noqa:
     all_queries,
 )
 
-__all__ = ["REGISTRY", "all_queries", "all_oracle_sql"]
+
+def __getattr__(name):  # pragma: no cover - thin lazy-import shims
+    """Lazy re-exports of the engine's standalone building blocks, so
+    `from distributed_causal_stream_processing_spark import asof_join`
+    works without importing pyspark-heavy modules at package import."""
+    lazy = {
+        "asof_join": "operators.joins",
+        "causal_sequence_batch": "streaming.batch_views",
+        "with_quality_score": "operators.text",
+        "get_spark": "session",
+        "enable_rocksdb_state": "session",
+    }
+    if name in lazy:
+        import importlib
+
+        mod = importlib.import_module(f"{__name__}.{lazy[name]}")
+        return getattr(mod, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+__all__ = [
+    "REGISTRY",
+    "all_queries",
+    "all_oracle_sql",
+    "asof_join",
+    "causal_sequence_batch",
+    "with_quality_score",
+    "get_spark",
+    "enable_rocksdb_state",
+]
 __version__ = "0.1.0"

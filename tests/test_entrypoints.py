@@ -79,3 +79,33 @@ def test_csv_json_sources_roundtrip(spark, tmp_path):
     back_json = spark.read.schema(schema).json(json_dir)
     assert sorted(map(tuple, back_csv.collect())) == want
     assert sorted(map(tuple, back_json.collect())) == want
+
+
+def test_orc_source_roundtrip(spark, tmp_path):
+    """ORC is the other columnar format Spark ships a native reader
+    for — orders written as ORC read back identical to parquet."""
+    from distributed_causal_stream_processing_spark.io import load
+
+    o = load(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    want = sorted(map(tuple, o.collect()))
+    orc_dir = str(tmp_path / "orc")
+    o.write.mode("overwrite").orc(orc_dir)
+    back = spark.read.schema(o.schema).orc(orc_dir)
+    assert sorted(map(tuple, back.collect())) == want
+
+
+def test_public_api_exports():
+    """The engine's standalone building blocks are importable from the
+    package root (the API a user migrating from the reference calls)."""
+    import distributed_causal_stream_processing_spark as pkg
+
+    for name in (
+        "asof_join",
+        "causal_sequence_batch",
+        "with_quality_score",
+        "get_spark",
+        "enable_rocksdb_state",
+    ):
+        assert callable(getattr(pkg, name)), name

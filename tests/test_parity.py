@@ -44,3 +44,36 @@ def test_entry_smoke(spark):
     assert e.queries().keys() >= {"q_agg_group", "q_causal_seq", "q_stream_tumbling"}
     missing = set(e.oracle_sql()) - set(e.queries())
     assert not missing
+
+
+def test_approx_distinct_within_5pct(spark):
+    """The HLL++ sketch (rows-only in the oracle gate because DuckDB's
+    sketch differs) is still bounded: within 5% of the exact count per
+    group — the error contract SURVEY §2.4 declares."""
+    rows = _registry()["q_agg_approx_distinct"].fn(spark, SF_CORRECT).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.approx_parts - r.exact_parts) <= 0.05 * r.exact_parts, (
+            f"{r.l_returnflag}: approx {r.approx_parts} vs exact {r.exact_parts}"
+        )
+
+
+def test_scd2_apply_invariants(spark):
+    """Dimension-history invariants the value-hash can't state directly:
+    exactly one OPEN version per key, closed versions end exactly where
+    the change became effective, and version intervals never overlap."""
+    rows = _registry()["q_scd2_apply"].fn(spark, SF_CORRECT).collect()
+    by_key: dict[int, list] = {}
+    for r in rows:
+        by_key.setdefault(r.c_custkey, []).append(r)
+    assert by_key
+    for key, versions in by_key.items():
+        opens = [v for v in versions if v.valid_to is None]
+        assert len(opens) == 1, f"key {key}: {len(opens)} open versions"
+        closed = sorted(
+            (v for v in versions if v.valid_to is not None),
+            key=lambda v: v.valid_from,
+        )
+        # intervals chain without overlap, ending at the open version
+        for a, b in zip(closed, closed[1:] + opens):
+            assert a.valid_to <= b.valid_from, f"key {key}: overlapping versions"
