@@ -44,6 +44,8 @@ def __getattr__(name):  # pragma: no cover - thin lazy-import shims
         "with_quality_score": "operators.text",
         "get_spark": "session",
         "enable_rocksdb_state": "session",
+        "write_partitioned_sorted": "sinks",
+        "read_partitioned": "sinks",
     }
     if name in lazy:
         import importlib
@@ -62,5 +64,7 @@ __all__ = [
     "with_quality_score",
     "get_spark",
     "enable_rocksdb_state",
+    "write_partitioned_sorted",
+    "read_partitioned",
 ]
 __version__ = "0.1.0"
