@@ -354,3 +354,144 @@ def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("value"), 2).alias("max_v"),
         )
     )
+
+
+@query("q_agg_approx_percentile", oracle=None)  # sketch differs per engine → rows-only
+def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (Greenwald-Khanna sketch) next to exact,
+    per group — the mergeable-quantile companion to the HLL++ row.
+
+    Tests assert the sketch lands within 1% relative error of the exact
+    percentile (accuracy=10000 ⇒ ε=1e-4 rank error; the value gate is
+    looser because rank→value error depends on the distribution).
+    Sketches merge associatively, so the shuffle carries one fixed-size
+    sketch per (group, partition), never the values — the property that
+    makes percentiles tractable at 100 TB where exact percentile_disc
+    must shuffle every row.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias("approx_p"),
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)"
+        ).alias("exact_p50"),
+        F.expr(
+            "percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice)"
+        ).alias("exact_p95"),
+    )
+
+
+@query(
+    "q_timeseries_gapfill",
+    oracle="""
+    WITH agg AS (
+        SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket_ts,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+        FROM events WHERE user_id < 20
+        GROUP BY user_id, date_trunc('hour', CAST(ts AS TIMESTAMP))
+    ),
+    spine AS (
+        SELECT user_id,
+               unnest(generate_series(min(bucket_ts), max(bucket_ts),
+                                      INTERVAL 1 HOUR)) AS bucket_ts
+        FROM agg GROUP BY user_id
+    )
+    SELECT s.user_id, s.bucket_ts,
+           coalesce(a.n, 0) AS n_events,
+           last_value(a.v IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.bucket_ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS value_locf
+    FROM spine s LEFT JOIN agg a USING (user_id, bucket_ts)
+    """,
+)
+def q_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill + forward-fill (the TimescaleDB
+    gapfill/locf shape): every hour between each user's first and last
+    event exists in the output — empty hours carry n_events = 0 and
+    the last observed hourly value total (forward-filled).
+
+    Scale shape: the dense spine is GENERATED per key with
+    sequence()+explode — never a calendar cross join against the key
+    universe — so spine size is sum of per-key active ranges, and the
+    forward-fill is one window pass over data already shuffled by key.
+    """
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    # hourly value total via exact DECIMAL sum (fixture values are 2 dp
+    # doubles, so the cast is lossless): order-independent and free of
+    # Spark's shortest-repr double rounding, which disagreed with
+    # DuckDB's binary rounding exactly at a .xx5 boundary
+    agg = e.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("bucket_ts")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("v"),
+    )
+    spine = (
+        agg.groupBy("user_id")
+        .agg(F.min("bucket_ts").alias("lo"), F.max("bucket_ts").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("bucket_ts"),
+        )
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("bucket_ts")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        spine.join(agg, ["user_id", "bucket_ts"], "left")
+        .select(
+            "user_id",
+            "bucket_ts",
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            F.last("v", ignorenulls=True).over(w).alias("value_locf"),
+        )
+    )
+
+
+@query(
+    "q_retention_cohorts",
+    oracle="""
+    WITH activity AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day
+        FROM events
+    ),
+    cohorts AS (
+        SELECT user_id, min(day) AS cohort_day FROM activity GROUP BY user_id
+    )
+    SELECT c.cohort_day,
+           CAST(date_diff('day', c.cohort_day, a.day) AS INTEGER) AS day_offset,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM activity a JOIN cohorts c USING (user_id)
+    WHERE date_diff('day', c.cohort_day, a.day) <= 7
+    GROUP BY c.cohort_day, day_offset
+    """,
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention-triangle cohort analysis: users grouped by first-seen
+    day, counted on each of the next 7 active days.
+
+    Scale shape: activity is pre-collapsed to DISTINCT (user, day)
+    before anything else — the per-event volume never reaches the
+    cohort join — and the cohort table is keyed by user, so the join
+    is key-equi and co-partitioned with the activity shuffle."""
+    e = load(spark, sf_dir, "events")
+    activity = e.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).distinct()
+    cohorts = activity.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    offset = F.datediff(F.col("day"), F.col("cohort_day"))
+    return (
+        activity.join(cohorts, "user_id")
+        .filter(offset <= 7)
+        .groupBy("cohort_day", offset.cast("int").alias("day_offset"))
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
+    )

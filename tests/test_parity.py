@@ -77,3 +77,15 @@ def test_scd2_apply_invariants(spark):
         # intervals chain without overlap, ending at the open version
         for a, b in zip(closed, closed[1:] + opens):
             assert a.valid_to <= b.valid_from, f"key {key}: overlapping versions"
+
+
+def test_approx_percentile_within_1pct(spark):
+    """GK-sketch percentiles stay within 1% relative error of the exact
+    per-group percentile values."""
+    rows = _registry()["q_agg_approx_percentile"].fn(spark, SF_CORRECT).collect()
+    assert rows
+    for r in rows:
+        for approx, exact in zip(r.approx_p, (r.exact_p50, r.exact_p95)):
+            assert abs(approx - exact) <= 0.01 * abs(exact), (
+                f"{r.l_returnflag}: approx {approx} vs exact {exact}"
+            )
