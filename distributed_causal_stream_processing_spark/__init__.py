@@ -40,6 +40,7 @@ def __getattr__(name):  # pragma: no cover - thin lazy-import shims
     works without importing pyspark-heavy modules at package import."""
     lazy = {
         "asof_join": "operators.joins",
+        "sessionize": "operators.windows",
         "causal_sequence_batch": "streaming.batch_views",
         "with_quality_score": "operators.text",
         "get_spark": "session",
@@ -60,6 +61,7 @@ __all__ = [
     "all_queries",
     "all_oracle_sql",
     "asof_join",
+    "sessionize",
     "causal_sequence_batch",
     "with_quality_score",
     "get_spark",

@@ -283,6 +283,40 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sessionize(df: DataFrame, key: str, ts_us: str, gap_us: int) -> DataFrame:
+    """Gaps-and-islands sessionization over integer-µs timestamps:
+    split each key's event stream into sessions at inactivity gaps
+    STRICTLY GREATER than ``gap_us``; one row per session with
+    (key, session_start_us, n_events, duration_us).
+
+    One shuffle on the key serves the lag pass, the running-sum pass,
+    and the final per-session aggregation (same partitioning — no
+    re-exchange). Hypothesis-tested against a brute-force reference in
+    tests/test_properties.py; equal-timestamp events always share a
+    session, so ties cannot destabilize the output."""
+    w = W.partitionBy(key).orderBy(ts_us)
+    flagged = df.withColumn(
+        "new_sess",
+        F.when(
+            (F.col(ts_us) - F.lag(ts_us).over(w) > gap_us)
+            | F.lag(ts_us).over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "sid", F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    return (
+        sess.groupBy(key, "sid")
+        .agg(
+            F.min(ts_us).alias("session_start_us"),
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max(ts_us) - F.min(ts_us)).alias("duration_us"),
+        )
+        .drop("sid")
+    )
+
+
 @query(
     "q_sessionize",
     oracle="""
@@ -325,27 +359,10 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     µs end-to-end — no float drift to break oracle parity. Skew note:
     a pathological single user is bounded by time-bucketing the
     partition key first (see module docstring)."""
-    gap_us = 4 * 3600 * 1_000_000
     ev = load(spark, sf_dir, "events").select(
         "user_id", F.unix_micros("ts").alias("us")
     )
-    w = W.partitionBy("user_id").orderBy("us")
-    flagged = ev.withColumn(
-        "new_sess",
-        F.when(
-            (F.col("us") - F.lag("us").over(w) > gap_us)
-            | F.lag("us").over(w).isNull(),
-            1,
-        ).otherwise(0),
-    )
-    sess = flagged.withColumn(
-        "sid", F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, 0))
-    )
-    return sess.groupBy("user_id", "sid").agg(
-        F.min("us").alias("session_start_us"),
-        F.count(F.lit(1)).alias("n_events"),
-        (F.max("us") - F.min("us")).alias("duration_us"),
-    ).drop("sid")
+    return sessionize(ev, key="user_id", ts_us="us", gap_us=4 * 3600 * 1_000_000)
 
 
 @query(

@@ -104,6 +104,7 @@ def test_public_api_exports():
     for name in (
         "asof_join",
         "causal_sequence_batch",
+        "sessionize",
         "with_quality_score",
         "get_spark",
         "enable_rocksdb_state",

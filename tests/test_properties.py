@@ -94,3 +94,44 @@ def test_causal_sequence_batch_matches_bruteforce(spark, data):
     df = spark.createDataFrame(events, "user_id int, ts int, event_id int")
     got = {r.event_id: r.seq for r in causal_sequence_batch(df).collect()}
     assert got == _brute_sequence(events)
+
+
+def _brute_sessions(rows, gap):
+    """[(key, ts)] -> sorted [(key, start, n, duration)] per session."""
+    by_key: dict[int, list[int]] = {}
+    for k, ts in rows:
+        by_key.setdefault(k, []).append(ts)
+    out = []
+    for k, tss in by_key.items():
+        tss.sort()
+        cur = [tss[0]]
+        for t in tss[1:]:
+            if t - cur[-1] > gap:
+                out.append((k, cur[0], len(cur), cur[-1] - cur[0]))
+                cur = [t]
+            else:
+                cur.append(t)
+        out.append((k, cur[0], len(cur), cur[-1] - cur[0]))
+    return sorted(out)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    rows=st.lists(st.tuples(_KEYS, _TS), min_size=1, max_size=20),
+    gap=st.integers(min_value=1, max_value=4),
+)
+def test_sessionize_matches_bruteforce(spark, rows, gap):
+    """Sessions split exactly at gaps > threshold; boundary gaps
+    (== threshold) and duplicate timestamps stay in-session."""
+    from distributed_causal_stream_processing_spark.operators.windows import sessionize
+
+    df = spark.createDataFrame(rows, "k int, us int")
+    got = sorted(
+        (r.k, r.session_start_us, r.n_events, r.duration_us)
+        for r in sessionize(df, key="k", ts_us="us", gap_us=gap).collect()
+    )
+    assert got == _brute_sessions(rows, gap)
