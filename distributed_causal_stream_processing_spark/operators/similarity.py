@@ -597,3 +597,41 @@ def q_sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sum_df), "cell_id")
         .select("cell_id", "n_vecs", "inertia", F.round("csum", 3).alias("centroid_sum"))
     )
+
+
+@query(
+    "q_embed_normalize",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        WHERE vec_id < 200
+    ),
+    n AS (
+        SELECT vec_id, e,
+               sqrt(list_sum(list_transform(e, x -> x * x))) AS l2 FROM v
+    )
+    SELECT vec_id, round(l2, 6) AS l2,
+           list_transform(e, x -> round(x / l2, 6)) AS unit
+    FROM n
+    """,
+)
+def q_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-normalize embeddings (the prep step before any cosine work —
+    normalized vectors turn cosine into a plain dot product).
+
+    Pure per-row higher-order expressions (zip-free: transform +
+    aggregate), no shuffle, no Python; the array-valued output is
+    value-hash-checked element-wise against DuckDB."""
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200).select(
+        "vec_id", as_double("embedding").alias("e")
+    )
+    l2 = F.sqrt(
+        F.aggregate(
+            F.transform("e", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
+    )
+    return e.select(
+        "vec_id",
+        F.round(l2, 6).alias("l2"),
+        F.transform("e", lambda x: F.round(x / l2, 6)).alias("unit"),
+    )

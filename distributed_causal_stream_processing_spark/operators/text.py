@@ -667,3 +667,49 @@ def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
     )
+
+
+@query(
+    "q_text_chunk",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS s FROM documents
+    )
+    SELECT doc_id,
+           CAST(start // 24 AS INTEGER) AS chunk_no,
+           array_to_string(s[start + 1 : start + 32], ' ') AS chunk_text,
+           CAST(least(32, len(s) - start) AS INTEGER) AS n_tokens
+    FROM toks, (SELECT unnest(range(0, 10000, 24)) AS start)
+    WHERE start < len(s)
+    """,
+)
+def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping document chunking (size 32, stride 24 → 8-token
+    overlap): the pre-embedding step of a training pipeline, one output
+    row per (doc, chunk).
+
+    Plan shape: chunk START positions are generated per doc with
+    sequence() and exploded, then each chunk is an O(size) array slice
+    of the doc's token array — no window, no shuffle at all (the whole
+    operator is scan → generate → project), and output size is
+    len/stride per doc regardless of overlap."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("s")
+    )
+    size, stride = 32, 24
+    starts = F.sequence(
+        F.lit(0), F.size("s") - 1, F.lit(stride)
+    )
+    return (
+        d.select("doc_id", "s", F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            (F.col("start") / stride).cast("int").alias("chunk_no"),
+            F.array_join(F.slice("s", F.col("start") + 1, size), " ").alias(
+                "chunk_text"
+            ),
+            F.least(F.lit(size), F.size("s") - F.col("start"))
+            .cast("int")
+            .alias("n_tokens"),
+        )
+    )
