@@ -85,6 +85,35 @@ def run_tumbling_stream(spark: SparkSession, stream_dir: str) -> list:
         q.stop()
 
 
+def run_windowed_distinct_stream(spark: SparkSession, stream_dir: str) -> list:
+    """Streaming distinct-user count per 1h window via the HLL++ sketch.
+
+    Exact count(DISTINCT) is unsupported in streaming aggregation (state
+    would hold every user id per window); the sketch is the production
+    pattern — fixed-size per-window state, mergeable across
+    micro-batches. HLL registers are max-merged, so the result is
+    deterministic and equals the batch sketch over the same data
+    regardless of batch boundaries (asserted in tests)."""
+    agg = (
+        events_stream(spark, stream_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("n_users"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_distinct_out")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        return spark.sql(
+            "SELECT w.start AS window_start, n_users FROM win_distinct_out"
+        ).collect()
+    finally:
+        q.stop()
+
+
 def run_dedup_stream(spark: SparkSession, stream_dir: str, watermark: str = "35 days") -> list:
     """Streaming q_stream_dedup: exactly-once by event_id across batches.
 

@@ -385,3 +385,23 @@ def test_decontaminate_broadcasts_benchmark_grams(spark):
     assert "BroadcastHashJoin" in plan
     # and no sort-merge join anywhere — the gram join must not shuffle
     assert "SortMergeJoin" not in plan
+
+
+def test_chunk_and_normalize_have_no_exchange(spark):
+    """q_text_chunk and q_embed_normalize claim scan→project plans with
+    no shuffle at all — assert no Exchange operator appears."""
+    for name in ("q_text_chunk", "q_embed_normalize"):
+        df = _registry()[name].fn(spark, SF_SMOKE)
+        df.collect()
+        plan = _plan(df).split("== Initial Plan ==")[0]
+        assert "Exchange" not in plan, f"{name} shuffles"
+
+
+def test_gapfill_filter_pushdown(spark):
+    """q_timeseries_gapfill's user_id bound must reach the parquet scan
+    (PushedFilters), not run post-scan — at 100 TB the spine generation
+    must never see filtered-out keys."""
+    df = _registry()["q_timeseries_gapfill"].fn(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan
+    assert "LessThan(user_id" in plan

@@ -532,3 +532,30 @@ def test_streaming_quality_filter_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_windowed_distinct_stream_matches_batch(spark, stream_dir):
+    """Streaming per-window distinct-user sketches equal the batch
+    sketch over the same data (HLL registers max-merge, so micro-batch
+    boundaries cannot change the estimate), and every estimate is
+    within 5% of the exact per-window distinct count."""
+    from distributed_causal_stream_processing_spark.io import load
+    from distributed_causal_stream_processing_spark.streaming import jobs
+
+    got = {
+        r.window_start: r.n_users
+        for r in jobs.run_windowed_distinct_stream(spark, stream_dir)
+    }
+    batch = (
+        load(spark, SF_SMOKE, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
+            F.countDistinct("user_id").alias("exact"),
+        )
+        .collect()
+    )
+    want = {r.w.start: r.approx for r in batch}
+    assert got == want
+    for r in batch:
+        assert abs(r.approx - r.exact) <= max(1, 0.05 * r.exact)
