@@ -84,3 +84,39 @@ def test_fact_fact_join_scales_linearly(spark, scaled):
     t_big = time.perf_counter() - t0
     assert n == COPIES * scaled["n_li"]  # every lineitem matches exactly once
     assert t_big < 60.0, t_big
+
+
+def test_decontaminate_scales_linearly(spark, tmp_path_factory):
+    """5×-scaled documents (disjoint doc_ids, same benchmark subset
+    membership rule): contaminated-doc hits scale exactly 5× and the
+    broadcast-gram join stays within the linearity envelope — the
+    all-pairs alternative would scale 25×."""
+    import time
+
+    from distributed_causal_stream_processing_spark.io import load
+    from distributed_causal_stream_processing_spark.operators.text import (
+        q_text_decontaminate,
+    )
+
+    d = load(spark, SF_BASE, "documents")
+    root = tmp_path_factory.mktemp("docs_scaled")
+    span = 10_000_000 * 97  # multiple of 97 keeps doc_id % 97 stable per copy
+    copies = None
+    for i in range(COPIES):
+        c = d.withColumn("doc_id", F.col("doc_id") + F.lit(i * span))
+        copies = c if copies is None else copies.unionByName(c)
+    out = str(root / "documents.parquet")
+    copies.coalesce(4).write.mode("overwrite").parquet(out)
+
+    q_text_decontaminate(spark, SF_BASE).collect()  # warm
+    t0 = time.perf_counter()
+    small = q_text_decontaminate(spark, SF_BASE).collect()
+    t_small = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    big = q_text_decontaminate(spark, str(root)).collect()
+    t_big = time.perf_counter() - t0
+
+    # same corpus 5× with the same benchmark grams → 5× the hits
+    assert len(big) == COPIES * len(small)
+    assert sum(r.n_shared for r in big) == COPIES * sum(r.n_shared for r in small)
+    assert t_big < max(20 * t_small, 10.0), (t_small, t_big)
