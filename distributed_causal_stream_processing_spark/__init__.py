@@ -40,6 +40,7 @@ def __getattr__(name):  # pragma: no cover - thin lazy-import shims
     works without importing pyspark-heavy modules at package import."""
     lazy = {
         "asof_join": "operators.joins",
+        "connected_components": "operators.graph",
         "sessionize": "operators.windows",
         "causal_sequence_batch": "streaming.batch_views",
         "with_quality_score": "operators.text",
@@ -61,6 +62,7 @@ __all__ = [
     "all_queries",
     "all_oracle_sql",
     "asof_join",
+    "connected_components",
     "sessionize",
     "causal_sequence_batch",
     "with_quality_score",

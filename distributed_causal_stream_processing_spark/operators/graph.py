@@ -22,7 +22,7 @@ breaks the value-hash (same lesson as the k-means centroid parity).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from distributed_causal_stream_processing_spark.io import load
@@ -132,4 +132,99 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranks.select("node", F.round("rank", 8).alias("rank"))
         .orderBy(F.desc("rank"), F.asc("node"))
         .limit(50)
+    )
+
+
+def connected_components(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
+    """Connected components of an undirected edge list (src, dst) →
+    (node, component) where component = min node id in the component.
+
+    Min-label propagation to a fixpoint: each round every node takes
+    the minimum label among itself and its neighbors — one hash-agg +
+    one join per round over O(|E|) rows, never node-pair
+    materialization; rounds needed = graph diameter in hops (the
+    doc↔bucket variant of the same loop powers q_dedup_lsh_groups).
+    Lineage is cut per round with localCheckpoint so plan depth stays
+    constant. Hypothesis-tested against union-find in
+    tests/test_properties.py.
+    """
+    # symmetrize once so propagation runs both directions
+    sym = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        neigh_min = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        merged = (
+            labels.join(neigh_min, labels.node == neigh_min.src, "left")
+            .select(
+                "node",
+                F.least("label", F.coalesce("nmin", "label")).alias("new_label"),
+                (F.coalesce("nmin", "label") < F.col("label")).alias("shrunk"),
+            )
+            .localCheckpoint()
+        )
+        changed = merged.filter("shrunk").limit(1).count() > 0
+        labels = merged.select("node", F.col("new_label").alias("label")).localCheckpoint()
+        if not changed:
+            break
+    return labels.select("node", F.col("label").alias("component"))
+
+
+@query(
+    "q_graph_components",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a
+        JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_partkey <> b.l_partkey
+        WHERE a.l_partkey < 200 AND b.l_partkey < 200
+    ),
+    reach AS (
+        SELECT src AS node, src AS r FROM pairs
+        UNION
+        SELECT p.src AS node, reach.r
+        FROM pairs p JOIN reach ON p.dst = reach.node
+        WHERE reach.r <= p.src
+    )
+    SELECT node, CAST(min(r) AS BIGINT) AS component,
+           CAST(count(*) OVER (PARTITION BY min(r)) AS BIGINT) AS component_size
+    FROM reach GROUP BY node
+    """,
+)
+def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the (bounded) part co-purchase graph,
+    with per-component sizes — min-label propagation checked against a
+    DuckDB recursive-CTE exact closure."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .filter(F.col("l_partkey") < 200)
+    )
+    b = li.withColumnRenamed("l_partkey", "dst_partkey")
+    edges = (
+        li.join(b, "l_orderkey")
+        .filter(F.col("l_partkey") != F.col("dst_partkey"))
+        .select(F.col("l_partkey").alias("src"), F.col("dst_partkey").alias("dst"))
+        .distinct()
+    )
+    comp = connected_components(edges)
+    w = W.partitionBy("component")
+    return comp.select(
+        "node",
+        F.col("component").cast("bigint").alias("component"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("component_size"),
     )

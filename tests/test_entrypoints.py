@@ -105,6 +105,7 @@ def test_public_api_exports():
         "asof_join",
         "causal_sequence_batch",
         "sessionize",
+        "connected_components",
         "with_quality_score",
         "get_spark",
         "enable_rocksdb_state",

@@ -135,3 +135,43 @@ def test_sessionize_matches_bruteforce(spark, rows, gap):
         for r in sessionize(df, key="k", ts_us="us", gap_us=gap).collect()
     )
     assert got == _brute_sessions(rows, gap)
+
+
+def _union_find_components(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: min(m for m in nodes if find(m) == find(n)) for n in nodes}
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)), min_size=1, max_size=15
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """Min-label propagation reaches the exact component minima on
+    arbitrary small graphs (self-loops, multi-edges, chains longer than
+    one hop — the case one-round propagation gets wrong)."""
+    from distributed_causal_stream_processing_spark.operators.graph import (
+        connected_components,
+    )
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.component for r in connected_components(df).collect()}
+    nodes = sorted({n for e in edges for n in e})
+    assert got == _union_find_components(edges, nodes)
