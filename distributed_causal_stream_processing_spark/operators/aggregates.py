@@ -495,3 +495,44 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", offset.cast("int").alias("day_offset"))
         .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
     )
+
+
+@query(
+    "q_agg_mode",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_type, count(*) AS cnt
+        FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id, event_type AS mode_event, CAST(cnt AS BIGINT) AS n_events
+    FROM (
+        SELECT *, row_number() OVER (
+                   PARTITION BY user_id ORDER BY cnt DESC, event_type) AS rn
+        FROM c
+    )
+    WHERE rn = 1
+    """,
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-key mode: each user's most frequent event type
+    (ties → lexicographically smallest — built-in mode() has no defined
+    tie order in either engine, so the argmax is explicit).
+
+    Spark side is two hash aggregations — (key, value) counts, then
+    argmax as min(struct(-cnt, value)) with map-side partial combine —
+    no window, no sort, so the hot path stays one shuffle narrower
+    than the oracle's row_number formulation."""
+    e = load(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    best = F.min(
+        F.struct((-F.col("cnt")).alias("neg"), F.col("event_type").alias("et"))
+    )
+    return (
+        counts.groupBy("user_id")
+        .agg(best.alias("b"))
+        .select(
+            "user_id",
+            F.col("b.et").alias("mode_event"),
+            (-F.col("b.neg")).cast("bigint").alias("n_events"),
+        )
+    )

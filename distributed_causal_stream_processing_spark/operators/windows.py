@@ -398,3 +398,62 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("bigint").alias("rn"),
         )
     )
+
+
+@query(
+    "q_win_share",
+    oracle="""
+    WITH rev AS (
+        SELECT n.n_name AS nation, r.r_name AS region,
+               CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        GROUP BY n.n_name, r.r_name
+    )
+    SELECT region, nation, round(revenue, 2) AS revenue,
+           round(revenue / sum(revenue) OVER (PARTITION BY region), 6) AS share,
+           round(sum(revenue) OVER (
+                     PARTITION BY region ORDER BY revenue DESC, nation
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 / sum(revenue) OVER (PARTITION BY region), 6) AS cum_share
+    FROM rev
+    """,
+)
+def q_win_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto analysis: each nation's revenue share of its region and
+    the cumulative share in descending-revenue order (the "which 20%
+    of nations carry 80%" question).
+
+    Revenue sums run over DECIMAL addends (exact, order-independent),
+    so the two window ratios divide identical numerators on both
+    engines; the window passes share one shuffle on region."""
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    w_all = W.partitionBy("region")
+    w_cum = w_all.orderBy(F.desc("revenue"), F.asc("nation")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return rev.select(
+        "region",
+        "nation",
+        F.round("revenue", 2).alias("revenue"),
+        F.round(F.col("revenue") / F.sum("revenue").over(w_all), 6).alias("share"),
+        F.round(
+            F.sum("revenue").over(w_cum) / F.sum("revenue").over(w_all), 6
+        ).alias("cum_share"),
+    )
