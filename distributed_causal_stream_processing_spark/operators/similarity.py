@@ -635,3 +635,53 @@ def q_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(l2, 6).alias("l2"),
         F.transform("e", lambda x: F.round(x / l2, 6)).alias("unit"),
     )
+
+
+@query(
+    "q_dedup_semantic_clusters",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.3
+    ),
+    sym AS (
+        SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs
+    ),
+    reach AS (
+        SELECT src AS node, src AS r FROM sym
+        UNION
+        SELECT s.src AS node, reach.r
+        FROM sym s JOIN reach ON s.dst = reach.node
+        WHERE reach.r <= s.src
+    )
+    SELECT node AS vec_id, CAST(min(r) AS BIGINT) AS cluster_id,
+           CAST(count(*) OVER (PARTITION BY min(r)) AS BIGINT) AS cluster_size
+    FROM reach GROUP BY node
+    """,
+)
+def q_dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup CLUSTERS: embedding near-dup pairs (cos >= 0.3,
+    blocked GEMM) closed into connected components — the grouping a
+    pipeline needs to keep one representative per meaning, composing
+    two primitives that are each independently oracle-checked.
+
+    Scale: pair discovery is the blocked/LSH-prunable kernel (output
+    linear-ish after thresholding), and the closure is min-label
+    propagation with O(|pairs|) state per round — at no point does a
+    node-pair set beyond the thresholded pairs materialize."""
+    from distributed_causal_stream_processing_spark.operators.graph import (
+        connected_components,
+    )
+
+    pairs = _blocked_cosine_pairs(spark, sf_dir, thresh=0.3).select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+    )
+    comp = connected_components(pairs)
+    w = W.partitionBy("component")
+    return comp.select(
+        F.col("node").alias("vec_id"),
+        F.col("component").cast("bigint").alias("cluster_id"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("cluster_size"),
+    )

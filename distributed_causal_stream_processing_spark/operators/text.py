@@ -713,3 +713,45 @@ def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_tokens"),
         )
     )
+
+
+@query(
+    "q_text_logprob",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    freq AS (SELECT tok, count(*) AS c FROM w GROUP BY tok),
+    tot AS (SELECT count(*) AS t FROM w)
+    SELECT doc_id,
+           round(avg(-ln(c / CAST(t AS DOUBLE))), 6) AS avg_neg_logprob,
+           CAST(count(*) AS BIGINT) AS n_tokens
+    FROM w JOIN freq USING (tok) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def q_text_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram negative log-probability per document — the cheap
+    perplexity proxy quality filters use (high = rare-token-heavy /
+    off-distribution text; the corpus itself is the language model).
+
+    Scale shape: the unigram table is vocabulary-sized — tiny relative
+    to any corpus — so it BROADCASTS to the exploded token stream; the
+    only corpus-sized shuffles are the freq hash-agg and the per-doc
+    rollup, both with map-side partial combine (same plan family as
+    TF-IDF)."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = toks.agg(F.count(F.lit(1)).alias("t"))
+    return (
+        toks.join(F.broadcast(freq), "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.avg(-F.log(F.col("c") / F.col("t").cast("double"))), 6
+            ).alias("avg_neg_logprob"),
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        )
+    )

@@ -133,6 +133,7 @@ CARTESIAN_OK = {
     "q_sim_cosine_topk",
     "q_text_tfidf",  # 1-row corpus-size broadcast crossed in
     "q_text_collocations",  # 1-row corpus-totals broadcast crossed in
+    "q_text_logprob",  # 1-row token-total broadcast crossed in
     "q_dedup_embedding",
     "q_sim_knn_label",
     "q_pivot",
