@@ -44,6 +44,7 @@ def __getattr__(name):  # pragma: no cover - thin lazy-import shims
         "sessionize": "operators.windows",
         "causal_sequence_batch": "streaming.batch_views",
         "with_quality_score": "operators.text",
+        "chunk_documents": "operators.text",
         "get_spark": "session",
         "enable_rocksdb_state": "session",
         "write_partitioned_sorted": "sinks",
@@ -66,6 +67,7 @@ __all__ = [
     "sessionize",
     "causal_sequence_batch",
     "with_quality_score",
+    "chunk_documents",
     "get_spark",
     "enable_rocksdb_state",
     "write_partitioned_sorted",

@@ -693,15 +693,17 @@ def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the doc's token array — no window, no shuffle at all (the whole
     operator is scan → generate → project), and output size is
     len/stride per doc regardless of overlap."""
-    d = load(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("s")
-    )
-    size, stride = 32, 24
-    starts = F.sequence(
-        F.lit(0), F.size("s") - 1, F.lit(stride)
-    )
+    return chunk_documents(load(spark, sf_dir, "documents"))
+
+
+def chunk_documents(d: DataFrame, size: int = 32, stride: int = 24) -> DataFrame:
+    """Overlapping chunker over any DataFrame with (doc_id, text) —
+    stateless column expressions, so it runs identically over a batch
+    scan or a readStream (see the streaming-ingest test)."""
+    toks = d.select("doc_id", F.split("text", " ").alias("s"))
+    starts = F.sequence(F.lit(0), F.size("s") - 1, F.lit(stride))
     return (
-        d.select("doc_id", "s", F.explode(starts).alias("start"))
+        toks.select("doc_id", "s", F.explode(starts).alias("start"))
         .select(
             "doc_id",
             (F.col("start") / stride).cast("int").alias("chunk_no"),
@@ -753,5 +755,40 @@ def q_text_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.avg(-F.log(F.col("c") / F.col("t").cast("double"))), 6
             ).alias("avg_neg_logprob"),
             F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+_SPLIT_BUCKET = "(" + hex_u32_sql("md5(concat('split', doc_id))") + ") % 100"
+_SPLIT_EXPR = (
+    f"CASE WHEN {_SPLIT_BUCKET} < 80 THEN 'train' "
+    f"WHEN {_SPLIT_BUCKET} < 90 THEN 'val' ELSE 'test' END"
+)
+
+
+@query(
+    "q_split_train_val_test",
+    oracle=f"""
+    SELECT {_SPLIT_EXPR} AS split, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY split, lang
+    """,
+)
+def q_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split audit by language.
+
+    The split is a pure function of doc_id (salted md5 bucket — the
+    same cross-engine hashing as q_sample_hash), so membership is
+    stable under any repartitioning, re-run, or engine: the property
+    that keeps eval sets leak-free as the corpus is rebuilt. The audit
+    itself is one partial-agg hash aggregation."""
+    return (
+        load(spark, sf_dir, "documents")
+        .groupBy(F.expr(_SPLIT_EXPR).alias("split"), "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
         )
     )

@@ -107,6 +107,7 @@ def test_public_api_exports():
         "sessionize",
         "connected_components",
         "with_quality_score",
+        "chunk_documents",
         "get_spark",
         "enable_rocksdb_state",
     ):

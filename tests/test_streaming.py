@@ -559,3 +559,52 @@ def test_windowed_distinct_stream_matches_batch(spark, stream_dir):
     assert got == want
     for r in batch:
         assert abs(r.approx - r.exact) <= max(1, 0.05 * r.exact)
+
+
+def test_streaming_ingest_pipeline_to_shards(spark, tmp_path):
+    """Capstone: the full training-data ingest — quality filter →
+    overlapping chunking → parquet shards — runs as ONE streaming query
+    (all transforms stateless) with checkpointing, and the shard
+    dataset equals the batch formulation row for row."""
+    from distributed_causal_stream_processing_spark.io import load
+    from distributed_causal_stream_processing_spark.operators.text import (
+        chunk_documents,
+        with_quality_score,
+    )
+
+    docs = load(spark, SF_SMOKE, "documents")
+    stream_dir = str(tmp_path / "docs_in")
+    docs.repartition(4).write.mode("overwrite").parquet(stream_dir)
+
+    out_dir = str(tmp_path / "shards")
+    checkpoint = str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    chunks = chunk_documents(
+        with_quality_score(stream).filter(F.col("quality_score") >= 0.5)
+    )
+    q = (
+        chunks.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = sorted(
+        map(tuple, spark.read.parquet(out_dir).select(
+            "doc_id", "chunk_no", "chunk_text", "n_tokens").collect())
+    )
+    want = sorted(
+        map(tuple, chunk_documents(
+            with_quality_score(docs).filter(F.col("quality_score") >= 0.5)
+        ).select("doc_id", "chunk_no", "chunk_text", "n_tokens").collect())
+    )
+    assert got == want and len(want) > 0
