@@ -49,6 +49,7 @@ def __getattr__(name):  # pragma: no cover - thin lazy-import shims
         "enable_rocksdb_state": "session",
         "write_partitioned_sorted": "sinks",
         "read_partitioned": "sinks",
+        "compact_files": "sinks",
     }
     if name in lazy:
         import importlib
@@ -72,5 +73,6 @@ __all__ = [
     "enable_rocksdb_state",
     "write_partitioned_sorted",
     "read_partitioned",
+    "compact_files",
 ]
 __version__ = "0.1.0"

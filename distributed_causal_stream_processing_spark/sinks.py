@@ -53,3 +53,25 @@ def read_partitioned(spark: SparkSession, path: str, fmt: str = "parquet") -> Da
     """Read a dataset written by ``write_partitioned_sorted`` (partition
     columns come back from directory names)."""
     return spark.read.format(fmt).load(path)
+
+
+def compact_files(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    records_per_file: int,
+    fmt: str = "parquet",
+) -> int:
+    """Compact a small-file-fragmented dataset into ``ceil(n / records_per_file)``
+    evenly-sized files at ``dst``; returns the output file count.
+
+    The 100 TB housekeeping job: streaming appends and fine-grained
+    ingest leave thousands of KB-sized files whose per-file open/footer
+    cost dominates scans. One round-robin repartition to the target
+    count rewrites them; writing to a NEW directory keeps the operation
+    crash-safe (readers never see a half-compacted dataset — swap the
+    location after success, as a table format's commit would)."""
+    df = spark.read.format(fmt).load(src)
+    n_files = max(1, -(-df.count() // records_per_file))  # ceil
+    df.repartition(n_files).write.mode("overwrite").format(fmt).save(dst)
+    return n_files

@@ -110,5 +110,6 @@ def test_public_api_exports():
         "chunk_documents",
         "get_spark",
         "enable_rocksdb_state",
+        "compact_files",
     ):
         assert callable(getattr(pkg, name)), name

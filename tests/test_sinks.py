@@ -56,3 +56,26 @@ def test_write_partitioned_sorted_layout(spark, tmp_path):
     pruned = back.filter(F.col("lang") == sorted(langs)[0])
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan and "lang" in plan.split("PartitionFilters:")[1].splitlines()[0]
+
+
+def test_compact_files(spark, tmp_path):
+    """50-file fragmentation → the computed file count, lossless, with
+    every output file close to the target size."""
+    from distributed_causal_stream_processing_spark.io import load
+    from distributed_causal_stream_processing_spark.sinks import compact_files
+
+    docs = load(spark, SF_SMOKE, "documents")
+    frag = str(tmp_path / "fragmented")
+    docs.repartition(50).write.mode("overwrite").parquet(frag)
+    assert len(glob.glob(os.path.join(frag, "part-*.parquet"))) == 50
+
+    out = str(tmp_path / "compacted")
+    n_files = compact_files(spark, frag, out, records_per_file=200)
+    files = glob.glob(os.path.join(out, "part-*.parquet"))
+    assert len(files) == n_files == -(-docs.count() // 200)
+
+    back = spark.read.parquet(out)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, docs.collect()))
+    for f in files:  # round-robin → near-even sizes
+        n = spark.read.parquet(f).count()
+        assert n <= 200 + 50, f"{f}: {n} rows"
