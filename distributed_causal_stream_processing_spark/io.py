@@ -67,3 +67,29 @@ def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
         path = table_path(sf_dir, name)
         if os.path.exists(path):
             load(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_json_robust(spark: SparkSession, path: str, schema: str):
+    """Read newline-JSON with corrupt-line quarantine: returns
+    (good, corrupt) DataFrames. Malformed lines don't fail the job
+    (100 TB of scraped input always contains garbage) and aren't
+    silently dropped either — they land whole in ``_corrupt_record``
+    for a quarantine sink, while well-formed rows parse against the
+    explicit schema (never inference; inference re-scans and drifts).
+    """
+    from pyspark.sql import functions as F
+
+    raw = (
+        spark.read.schema(schema + ", _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        # PERMISSIVE parsing is lazy per-column; cache so the good/bad
+        # split below reads one consistent parse
+        .cache()
+    )
+    good = raw.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    corrupt = raw.filter(F.col("_corrupt_record").isNotNull()).select(
+        "_corrupt_record"
+    )
+    return good, corrupt

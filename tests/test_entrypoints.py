@@ -113,3 +113,25 @@ def test_public_api_exports():
         "compact_files",
     ):
         assert callable(getattr(pkg, name)), name
+
+
+def test_read_json_robust_quarantines_corrupt_lines(spark, tmp_path):
+    """Malformed ingest lines neither fail the job nor vanish: good
+    rows parse against the explicit schema, corrupt lines are captured
+    whole for a quarantine sink."""
+    from distributed_causal_stream_processing_spark.io import read_json_robust
+
+    p = tmp_path / "in.json"
+    p.write_text(
+        '{"doc_id": 1, "text": "alpha"}\n'
+        "this is not json at all\n"
+        '{"doc_id": 2, "text": "beta"}\n'
+        '{"doc_id": "NOT_A_NUMBER", "text": "gamma"}\n'
+    )
+    good, corrupt = read_json_robust(spark, str(p), "doc_id BIGINT, text STRING")
+    rows = sorted(map(tuple, good.collect()))
+    assert rows == [(1, "alpha"), (2, "beta")]
+    bad = [r._corrupt_record for r in corrupt.collect()]
+    assert len(bad) == 2
+    assert any("not json" in b for b in bad)
+    assert any("NOT_A_NUMBER" in b for b in bad)
