@@ -792,3 +792,182 @@ def q_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("total_chars"),
         )
     )
+
+
+# PII patterns valid in BOTH Java regex (Spark) and RE2 (DuckDB) — no
+# backreferences, no lookaround, ASCII classes only.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\d{3}-\d{3}-\d{4}"
+_PII_IP = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+
+# The fixture corpus contains no natural PII, so the query injects a
+# deterministic header (email always; phone on doc_id%3==0; IP on
+# doc_id%5==0) and then scrubs it — the redaction MECHANISM is what's
+# under test, and counts/hashes are nonzero and cross-checked.
+_PII_RAW_SQL = """
+    concat('contact user', CAST(doc_id AS VARCHAR), '@example.com ',
+           CASE WHEN doc_id % 3 = 0
+                THEN concat('call 555-', lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'), '-0199 ')
+                ELSE '' END,
+           CASE WHEN doc_id % 5 = 0 THEN 'from 192.168.0.1 ' ELSE '' END,
+           text)
+"""
+
+
+@query(
+    "q_text_pii_redact",
+    oracle=f"""
+    WITH raw AS (SELECT doc_id, {_PII_RAW_SQL} AS raw FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(raw, '{_PII_EMAIL}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(raw, '{_PII_PHONE}')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(raw, '{_PII_IP}')) AS BIGINT) AS n_ip,
+           md5(regexp_replace(regexp_replace(regexp_replace(raw,
+               '{_PII_EMAIL}', '[EMAIL]', 'g'),
+               '{_PII_PHONE}', '[PHONE]', 'g'),
+               '{_PII_IP}', '[IP]', 'g')) AS clean_hash
+    FROM raw
+    """,
+)
+def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: count and scrub emails / phone numbers / IPv4s
+    per document; emit the counts (audit trail) and an md5 of the
+    scrubbed text (value-checked bit-for-bit against the oracle's
+    redaction, so the replacement itself — not just the counts — is
+    verified cross-engine).
+
+    Scale shape: pure per-row JVM regexp expressions — embarrassingly
+    parallel, zero shuffles, codegen'd; the patterns are shared Java/RE2
+    syntax so the exact same scrub runs on any engine. Real pipelines
+    swap in their compliance pattern pack; the plan is unchanged."""
+    d = load(spark, sf_dir, "documents")
+    raw = d.select(
+        "doc_id",
+        F.expr(
+            _PII_RAW_SQL.replace("VARCHAR", "STRING")  # Spark's cast name
+        ).alias("raw"),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("raw"), F.lit(_PII_EMAIL), F.lit("[EMAIL]")),
+            F.lit(_PII_PHONE),
+            F.lit("[PHONE]"),
+        ),
+        F.lit(_PII_IP),
+        F.lit("[IP]"),
+    )
+    return raw.select(
+        "doc_id",
+        F.regexp_count("raw", F.lit(_PII_EMAIL)).cast("bigint").alias("n_email"),
+        F.regexp_count("raw", F.lit(_PII_PHONE)).cast("bigint").alias("n_phone"),
+        F.regexp_count("raw", F.lit(_PII_IP)).cast("bigint").alias("n_ip"),
+        F.md5(clean).alias("clean_hash"),
+    )
+
+
+@query(
+    "q_mix_weights",
+    oracle="""
+    WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+    t AS (SELECT sum(n_docs) AS total, count(*) AS n_langs FROM c)
+    SELECT lang,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           round(n_docs / CAST(total AS DOUBLE), 6) AS actual_share,
+           round((1.0 / n_langs) / (n_docs / CAST(total AS DOUBLE)), 6) AS weight
+    FROM c CROSS JOIN t
+    """,
+)
+def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture reweighting: per-language sampling weight that
+    moves the corpus from its ACTUAL mix to a TARGET mix (uniform here;
+    the fixture's lang skew — en ≈ 44% — makes the weights non-trivial:
+    en downsamples ≈ 0.46×, the rest upsample). weight > 1 → upsample,
+    < 1 → downsample; multiplying each doc's sampling probability by its
+    group's weight yields the target mixture in expectation. Any target
+    table (lang, target_share) drops in the same way.
+
+    Scale shape: one partial-agg groupBy over the corpus, then the
+    group-count table (domains, not documents — tiny) joins back as a
+    broadcast one-row cross of totals. No corpus-sized second pass."""
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    totals = counts.agg(
+        F.sum("n_docs").alias("total"), F.count(F.lit(1)).alias("n_langs")
+    )
+    share = F.col("n_docs") / F.col("total").cast("double")
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "lang",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.round(share, 6).alias("actual_share"),
+        F.round((F.lit(1.0) / F.col("n_langs")) / share, 6).alias("weight"),
+    )
+
+
+PACK_CAPACITY = 64  # tokens per packed context window
+
+
+@query(
+    "q_pack_sequences",
+    oracle=f"""
+    WITH RECURSIVE ord AS (
+        SELECT lang, doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+               row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        FROM documents
+    ),
+    pack AS (
+        SELECT lang, doc_id, n_tok, rn, 1 AS pack_id, n_tok AS acc
+        FROM ord WHERE rn = 1
+        UNION ALL
+        SELECT o.lang, o.doc_id, o.n_tok, o.rn,
+               CASE WHEN p.acc + o.n_tok > {PACK_CAPACITY}
+                    THEN p.pack_id + 1 ELSE p.pack_id END,
+               CASE WHEN p.acc + o.n_tok > {PACK_CAPACITY}
+                    THEN o.n_tok ELSE p.acc + o.n_tok END
+        FROM pack p JOIN ord o ON o.lang = p.lang AND o.rn = p.rn + 1
+    )
+    SELECT lang, doc_id, n_tok, CAST(pack_id AS INTEGER) AS pack_id FROM pack
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: greedily pack documents (ordered by doc_id)
+    into fixed token-budget context windows of PACK_CAPACITY=64 tokens
+    per language — the step that turns a filtered corpus into training
+    rows. A doc that would overflow the running window starts a new
+    pack; an oversized doc gets a pack of its own.
+
+    The running-sum-with-reset is NOT a window function (the reset makes
+    it non-associative), so this is a genuine applyInPandas stateful
+    scan per group — exactly the class of operator SURVEY §4.3 reserves
+    for the Python path. The DuckDB oracle replays the same fold as a
+    recursive CTE, giving the full per-document assignment a value-hash
+    check. Scale shape: parallelism = the group key; production packs
+    per (shard, lang) with shard = a hash bucket, so groups stay
+    executor-sized and the fold never leaves one task. Only the text's
+    token COUNT (not the text) crosses the shuffle."""
+    import pandas as pd
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang",
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+    )
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        pack_ids = []
+        pack_id, acc = 0, PACK_CAPACITY + 1  # first row always opens pack 1
+        for t in pdf["n_tok"]:
+            if acc + t > PACK_CAPACITY:
+                pack_id += 1
+                acc = t
+            else:
+                acc += t
+            pack_ids.append(pack_id)
+        pdf["pack_id"] = pd.array(pack_ids, dtype="int32")
+        return pdf
+
+    return toks.groupBy("lang").applyInPandas(
+        pack, "lang string, doc_id bigint, n_tok bigint, pack_id int"
+    )

@@ -79,6 +79,34 @@ def test_scd2_apply_invariants(spark):
             assert a.valid_to <= b.valid_from, f"key {key}: overlapping versions"
 
 
+def test_pack_sequences_invariants(spark):
+    """Packing invariants the per-doc value-hash can't state directly:
+    no pack exceeds capacity unless it holds a single oversized doc,
+    pack ids are contiguous from 1 per language, and packs cover
+    doc_id-contiguous runs (greedy order preserved)."""
+    from distributed_causal_stream_processing_spark.operators.text import PACK_CAPACITY
+
+    rows = _registry()["q_pack_sequences"].fn(spark, SF_CORRECT).collect()
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    assert by_lang
+    for lang, docs in by_lang.items():
+        docs.sort(key=lambda r: r.doc_id)
+        packs: dict[int, list] = {}
+        for r in docs:
+            packs.setdefault(r.pack_id, []).append(r)
+        assert sorted(packs) == list(range(1, len(packs) + 1)), f"{lang}: pack ids not contiguous"
+        # greedy order: pack_id is non-decreasing in doc_id order
+        ids = [r.pack_id for r in docs]
+        assert ids == sorted(ids), f"{lang}: packs not doc_id-contiguous"
+        for pid, members in packs.items():
+            total = sum(r.n_tok for r in members)
+            assert total <= PACK_CAPACITY or len(members) == 1, (
+                f"{lang} pack {pid}: {total} tokens across {len(members)} docs"
+            )
+
+
 def test_approx_percentile_within_1pct(spark):
     """GK-sketch percentiles stay within 1% relative error of the exact
     per-group percentile values."""
