@@ -536,3 +536,61 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             (-F.col("b.neg")).cast("bigint").alias("n_events"),
         )
     )
+
+
+@query(
+    "q_view_maintain",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_price,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(l_extendedprice) / count(*), 6) AS avg_price
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_view_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: a pre-aggregated BASE
+    view (l_orderkey % 10 != 0) is refreshed with a DELTA batch (the
+    remaining rows) by MERGING PARTIAL STATES — sums add, counts add,
+    avg is re-derived from merged sums — never by rescanning base rows.
+    The oracle is the direct aggregate over the full table, so the check
+    proves the merge algebra is lossless (the same partial-state merge
+    Spark itself runs map-side; here it is lifted to view maintenance).
+
+    Scale shape: the base aggregate is VIEW-sized (groups, not rows) —
+    at 100 TB the delta scan is the only corpus-sized work per refresh,
+    and the merge is a group-keyed union+agg over two group-sized
+    inputs. Non-decomposable aggs (median, distinct) would need sketch
+    states (HLL/GK) — the same pattern, different merge fn."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"
+    )
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("l_returnflag", "l_linestatus").agg(
+            F.sum("l_quantity").alias("p_qty"),
+            F.sum("l_extendedprice").alias("p_price"),
+            F.count(F.lit(1)).alias("p_rows"),
+        )
+
+    base = partial(li.filter(F.col("l_orderkey") % 10 != 0))
+    delta = partial(li.filter(F.col("l_orderkey") % 10 == 0))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("p_qty").alias("m_qty"),
+            F.sum("p_price").alias("m_price"),
+            F.sum("p_rows").alias("m_rows"),
+        )
+    )
+    return merged.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("m_qty").cast("bigint").alias("sum_qty"),
+        F.round("m_price", 2).alias("sum_price"),
+        F.col("m_rows").cast("bigint").alias("n_rows"),
+        F.round(F.col("m_price") / F.col("m_rows"), 6).alias("avg_price"),
+    )

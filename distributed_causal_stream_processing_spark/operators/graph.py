@@ -228,3 +228,74 @@ def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").cast("bigint").alias("component"),
         F.count(F.lit(1)).over(w).cast("bigint").alias("component_size"),
     )
+
+
+@query(
+    "q_graph_triangles",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a
+        JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_partkey < b.l_partkey
+        WHERE a.l_partkey < 300 AND b.l_partkey < 300
+    ),
+    tri AS (
+        SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        FROM pairs e1
+        JOIN pairs e2 ON e2.src = e1.dst
+        JOIN pairs e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    ),
+    per_node AS (
+        SELECT node, count(*) AS n_triangles FROM (
+            SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        ) GROUP BY node
+    )
+    SELECT node, CAST(n_triangles AS BIGINT) AS n_triangles,
+           CAST((SELECT count(*) FROM tri) AS BIGINT) AS total_triangles
+    FROM per_node
+    """,
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the (bounded) part co-purchase graph:
+    per-node triangle participation plus the global total.
+
+    The edge list is stored ONCE in canonical orientation (src < dst),
+    so each triangle {a<b<c} is enumerated exactly once as the wedge
+    (a,b)+(b,c) closed by (a,c) — no double counting, no post-hoc
+    dedup. Scale shape: two keyed equi-joins over O(|E|) rows (wedge
+    build keyed on the shared node, closure keyed on the (a,c) edge) —
+    the standard distributed algorithm; production would orient edges
+    by degree (lower-degree endpoint first) to bound wedge fan-out on
+    skewed graphs, which changes only the orientation expression. The
+    edge set is localCheckpointed once and reused by all three scans."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .filter(F.col("l_partkey") < 300)
+    )
+    b = li.withColumnRenamed("l_partkey", "dst_partkey")
+    edges = (
+        li.join(b, "l_orderkey")
+        .filter(F.col("l_partkey") < F.col("dst_partkey"))
+        .select(F.col("l_partkey").alias("src"), F.col("dst_partkey").alias("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    e1 = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = edges.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = edges.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"]).localCheckpoint()
+    total = tri.count()
+    nodes = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return (
+        nodes.groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+        .withColumn("total_triangles", F.lit(total).cast("bigint"))
+    )

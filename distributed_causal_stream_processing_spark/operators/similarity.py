@@ -685,3 +685,80 @@ def q_dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").cast("bigint").alias("cluster_id"),
         F.count(F.lit(1)).over(w).cast("bigint").alias("cluster_size"),
     )
+
+
+N_QUANT_LEVELS = 256  # int8 codebook: 1 byte/dim vs 4 (float32)
+
+
+@query(
+    "q_embed_quantize",
+    oracle=f"""
+    WITH el AS (
+        SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+        FROM embeddings, range(1, 65) r(i)
+    ),
+    stats AS (
+        SELECT i, min(v) AS mn, max(v) AS mx FROM el GROUP BY i
+    ),
+    coded AS (
+        SELECT vec_id, i, v,
+               least({N_QUANT_LEVELS - 1}, CAST(floor(
+                   (v - mn) / ((mx - mn) / {N_QUANT_LEVELS})) AS BIGINT)) AS code,
+               mn + (least({N_QUANT_LEVELS - 1}, CAST(floor(
+                   (v - mn) / ((mx - mn) / {N_QUANT_LEVELS})) AS BIGINT)) + 0.5)
+                  * ((mx - mn) / {N_QUANT_LEVELS}) AS recon
+        FROM el JOIN stats USING (i)
+    )
+    SELECT vec_id,
+           md5(string_agg(CAST(code AS VARCHAR), ',' ORDER BY i)) AS code_hash,
+           round(avg((v - recon) * (v - recon)), 10) AS mse
+    FROM coded GROUP BY vec_id
+    """,
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar quantization of embeddings to int8 codes (the memory-
+    compression step ANN indexes apply before IVF/HNSW): per-dimension
+    min/max over the corpus define 256 uniform levels; each vector
+    becomes 64 one-byte codes (4x smaller), and the per-vector
+    reconstruction MSE quantifies the quality loss. The exact code
+    assignment is value-checked via an order-preserving md5 of the code
+    string, so the quantizer — not just its error stats — is verified
+    cross-engine (both sides compute in float64; parquet float32 widens
+    exactly, so the arithmetic is bit-identical).
+
+    Scale shape: per-dimension stats are a 64-row aggregate that
+    BROADCASTS back to the exploded (vec_id, dim) stream; encoding is
+    pure per-row arithmetic, and the per-vector re-pack is one hash-agg
+    keyed on vec_id. Nothing quadratic, one corpus-sized shuffle."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.posexplode(as_double("embedding")).alias("i0", "v")
+    )
+    el = e.select("vec_id", (F.col("i0") + 1).alias("i"), "v")
+    stats = el.groupBy("i").agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    step = (F.col("mx") - F.col("mn")) / N_QUANT_LEVELS
+    code = F.least(
+        F.lit(N_QUANT_LEVELS - 1),
+        F.floor((F.col("v") - F.col("mn")) / step).cast("bigint"),
+    )
+    coded = el.join(F.broadcast(stats), "i").select(
+        "vec_id",
+        "i",
+        "v",
+        code.alias("code"),
+        (F.col("mn") + (code + 0.5) * step).alias("recon"),
+    )
+    err = (F.col("v") - F.col("recon")) * (F.col("v") - F.col("recon"))
+    return coded.groupBy("vec_id").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("i", "code"))
+                    ),
+                    lambda s: s["code"].cast("string"),
+                ),
+                ",",
+            )
+        ).alias("code_hash"),
+        F.round(F.avg(err), 10).alias("mse"),
+    )
