@@ -971,3 +971,73 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return toks.groupBy("lang").applyInPandas(
         pack, "lang string, doc_id bigint, n_tok bigint, pack_id int"
     )
+
+
+HH_SUPPORT = 0.005  # report tokens with share >= 0.5% of all tokens
+HH_K = int(1 / HH_SUPPORT)  # Misra-Gries counter budget per partition
+
+
+@query(
+    "q_text_heavy_hitters",
+    oracle=f"""
+    WITH w AS (
+        SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents
+    ),
+    c AS (SELECT tok, count(*) AS n FROM w GROUP BY tok),
+    t AS (SELECT count(*) AS total FROM w)
+    SELECT tok, CAST(n AS BIGINT) AS n,
+           round(n / CAST(total AS DOUBLE), 6) AS share
+    FROM c CROSS JOIN t
+    WHERE n >= {HH_SUPPORT} * total
+    """,
+)
+def q_text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters (tokens with >= 0.5% corpus share) by the
+    distributed two-phase algorithm: a per-partition MISRA-GRIES
+    sketch (counter budget 1/s) nominates candidates, then ONE exact
+    counting pass over just the candidates verifies. The sketch can
+    never miss a true heavy hitter (pigeonhole: global share >= s
+    implies partition share >= s somewhere, and MG(1/s) retains every
+    such item), so the final output is EXACT and partition-layout
+    independent — which is why a plain exact-count oracle can
+    value-check a sketch-based plan.
+
+    Scale shape: phase 1 streams each partition through a bounded
+    (1/s)-counter summary — no shuffle, output O(P/s) rows; phase 2
+    broadcasts the candidate set and exact-counts only matching tokens
+    (one partial-agg shuffle of the survivors). The full token
+    multiset is never globally aggregated — at 100 TB that is the
+    difference between shuffling ~vocabulary rows per partition and
+    shuffling every token."""
+    import pandas as pd
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+
+    def mg_sketch(batches):
+        counters = pd.Series(dtype="int64")
+        for pdf in batches:
+            counters = counters.add(pdf["tok"].value_counts(), fill_value=0)
+            if len(counters) > HH_K:
+                # MG step, batched: subtracting the (k+1)-th largest
+                # weight from every counter and dropping <=0 removes
+                # that many copies of EVERY distinct item — the
+                # standard error-bounded decrement, vectorized.
+                cut = counters.nlargest(HH_K + 1).iloc[-1]
+                counters = counters[counters > cut]
+        yield pd.DataFrame({"tok": counters.index.astype(str)})
+
+    cands = toks.mapInPandas(mg_sketch, "tok string").distinct()
+    total = toks.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        toks.join(F.broadcast(cands), "tok")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n") >= HH_SUPPORT * F.col("total"))
+        .select(
+            "tok",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("n") / F.col("total").cast("double"), 6).alias("share"),
+        )
+    )

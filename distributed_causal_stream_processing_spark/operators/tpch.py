@@ -355,3 +355,107 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cond)
         .agg(F.sum(_rev()).cast("double").alias("revenue"))
     )
+
+
+@query(
+    "q_tpch_q4",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-04-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey
+            AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 analogue (order-priority checking): orders from one
+    quarter having at least one LATE-shipped line (shipdate more than
+    60 days after the order date — the fixture lacks commit/receipt
+    dates, so lateness vs orderdate carries the EXISTS shape), counted
+    by priority.
+
+    Composite shape: the EXISTS compiles to a LEFT SEMI join on
+    orderkey — each order contributes once no matter how many lines
+    match — then a tiny priority rollup. Scale: the date filter prunes
+    the orders side BEFORE the semi join (pushdown-asserted family),
+    and the semi join is orderkey-equi, bucket-alignable; the
+    non-equi lateness predicate rides the join as a post-condition,
+    never a cartesian."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q_tpch_q22",
+    oracle="""
+    WITH avg_bal AS (
+        SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_nationkey AS cntrycode,
+           CAST(count(*) AS BIGINT) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer CROSS JOIN avg_bal
+    WHERE c_acctbal > ab
+      AND NOT EXISTS (
+          SELECT 1 FROM orders WHERE o_custkey = c_custkey
+            AND o_orderdate >= TIMESTAMP '1999-01-01'
+      )
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 analogue (global sales opportunity): customers with
+    above-average positive balances and no RECENT orders (none since
+    1999 — the fixture's order coverage is so dense that literally
+    zero customers are order-free, which would make the canonical
+    anti join vacuous), rolled up by country (c_nationkey stands in
+    for the phone-prefix country code the fixture lacks).
+
+    Composite shape: a one-row scalar aggregate broadcast into the
+    filter (the avg-balance threshold), then NOT EXISTS as a LEFT ANTI
+    join against orders on custkey, then a small rollup. Scale: the
+    anti join's build side is orders' DISTINCT custkeys projected only
+    — at 100 TB the anti join shuffles custkey-equi and is
+    bucket-alignable; the scalar threshold is one broadcast row, and
+    customers never expand (anti join output <= input)."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(F.avg("c_acctbal").alias("ab"))
+    )
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    rich = c.crossJoin(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("ab"))
+    no_orders = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return (
+        no_orders.groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )

@@ -457,3 +457,79 @@ def q_win_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("revenue").over(w_cum) / F.sum("revenue").over(w_all), 6
         ).alias("cum_share"),
     )
+
+
+# Event-type -> one-char symbol for sequence-pattern matching. Initials
+# are unique across the fixture's five event types.
+_EVT_SYM = {"signup": "s", "click": "c", "view": "v", "purchase": "p", "error": "e"}
+# signup, then any run of clicks/views (nothing else between), then purchase
+_SEQ_PATTERN = "s[cv]*p"
+
+
+@query(
+    "q_event_pattern",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id,
+               CASE event_type
+                    WHEN 'signup' THEN 's' WHEN 'click' THEN 'c'
+                    WHEN 'view' THEN 'v' WHEN 'purchase' THEN 'p'
+                    ELSE 'e' END AS sym,
+               CAST(epoch_us(CAST(date_trunc('microsecond', ts) AS TIMESTAMP))
+                    AS BIGINT) AS us,
+               event_id
+        FROM events
+    ),
+    seqs AS (
+        SELECT user_id,
+               string_agg(sym, '' ORDER BY us, event_id) AS seq
+        FROM ev GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(length(seq) AS BIGINT) AS n_events,
+           CAST(len(regexp_extract_all(seq, '{_SEQ_PATTERN}')) AS BIGINT) AS n_matches
+    FROM seqs
+    WHERE len(regexp_extract_all(seq, '{_SEQ_PATTERN}')) >= 1
+    """,
+)
+def q_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Causal sequence-pattern matching (MATCH_RECOGNIZE-lite): each
+    user's events are laid out in causal (ts, event_id) order, encoded
+    one symbol per event, and matched against the regex ``s[cv]*p`` —
+    signup, then an uninterrupted run of clicks/views, then purchase.
+    Counts non-overlapping left-to-right matches per user (identical
+    semantics in Java regex and RE2, so the oracle is bit-for-bit).
+
+    Scale shape: ONE shuffle keyed on user_id; the per-user sequence is
+    built by sort_array(collect_list(struct)) inside the aggregate —
+    no window function, no second shuffle — and the regex runs once
+    per user, JVM-side. State per user is their event count; a
+    production variant caps the sequence window in time (the same
+    pre-filter the funnel uses) rather than collecting unbounded
+    history. The symbol encoding is what makes arbitrary sequence
+    regexes (alternation, repetition, negation-by-alphabet) express
+    MATCH_RECOGNIZE patterns without a dedicated operator."""
+    sym = F.create_map(
+        *[F.lit(x) for kv in _EVT_SYM.items() for x in kv]
+    )[F.col("event_type")]
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        sym.alias("sym"),
+    )
+    seqs = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("us", "event_id", "sym"))),
+                lambda s: s["sym"],
+            ),
+            "",
+        ).alias("seq")
+    )
+    n_matches = F.regexp_count("seq", F.lit(_SEQ_PATTERN))
+    return seqs.select(
+        "user_id",
+        F.length("seq").cast("bigint").alias("n_events"),
+        n_matches.cast("bigint").alias("n_matches"),
+    ).filter(F.col("n_matches") >= 1)

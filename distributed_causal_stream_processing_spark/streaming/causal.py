@@ -186,3 +186,104 @@ def causal_sequence_stream_tws(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeMode="none",
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming causal pattern matching (MATCH_RECOGNIZE-lite, unbounded form
+# of operators/windows.py::q_event_pattern).
+# ---------------------------------------------------------------------------
+
+PATTERN_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("n_matches", T.LongType()),
+        T.StructField("n_late", T.LongType()),
+    ]
+)
+
+PATTERN_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("open", T.LongType()),  # 1 = s-prefix open (only c/v since)
+        T.StructField("n_events", T.LongType()),
+        T.StructField("n_matches", T.LongType()),
+        T.StructField("n_late", T.LongType()),
+        T.StructField("last_ts_micros", T.LongType()),
+        T.StructField("last_event_id", T.LongType()),
+    ]
+)
+
+_PATTERN_SYMS = {"signup": "s", "click": "c", "view": "v", "purchase": "p"}
+
+
+def pattern_match_stream(events: DataFrame) -> DataFrame:
+    """Count occurrences of the causal pattern signup → (click|view)* →
+    purchase per user over an UNBOUNDED stream, with O(1) state per key.
+
+    The batch form (q_event_pattern) collects each user's full symbol
+    sequence and runs a regex; that is exact but its state is the
+    user's history. The streaming form runs the pattern's DFA instead:
+    state is (open-prefix flag, counters, last-processed position) —
+    CONSTANT per key — and transitions consume events in causal order.
+    For this regex family (leftmost, non-overlapping) the DFA count is
+    identical to the regex count, which the stream==batch test asserts
+    on a time-ordered replay.
+
+    Causal contract for disorder (same stance as the sequencer: never
+    silently wrong): an event arriving BEHIND the key's last processed
+    (ts, event_id) cannot be retro-matched by a constant-state DFA, so
+    it is counted in ``n_late`` and excluded from matching — the
+    consumer sees exactly how many events fell outside the causal
+    order instead of a silently drifting match count. Emits one
+    cumulative row per (key, micro-batch); the latest row (max
+    n_events) is the current view.
+    """
+
+    def match_group(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            open_, n_events, n_matches, n_late, last_ts_us, last_eid = state.get
+        else:
+            open_, n_events, n_matches, n_late, last_ts_us, last_eid = (
+                0, 0, 0, 0, -(2**62), -1,
+            )
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+            ts_us = pdf["ts"].astype("int64") // 1000
+            for t, eid, et in zip(
+                ts_us.tolist(), pdf["event_id"].tolist(), pdf["event_type"].tolist()
+            ):
+                n_events += 1
+                if (t, eid) < (last_ts_us, last_eid):
+                    n_late += 1
+                    continue
+                last_ts_us, last_eid = t, eid
+                sym = _PATTERN_SYMS.get(et, "e")
+                if sym == "s":
+                    open_ = 1
+                elif sym == "p":
+                    n_matches += open_
+                    open_ = 0
+                elif sym not in ("c", "v"):
+                    open_ = 0
+        state.update((open_, n_events, n_matches, n_late, last_ts_us, last_eid))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n_events],
+                "n_matches": [n_matches],
+                "n_late": [n_late],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        match_group,
+        outputStructType=PATTERN_OUTPUT_SCHEMA,
+        stateStructType=PATTERN_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -507,3 +507,46 @@ def run_cdc_merge_stream(spark: SparkSession, stream_dir: str, sink_root: str) -
     finally:
         q.stop()
     return sink
+
+
+def stage_events_time_ordered(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_files: int = 4
+) -> None:
+    """Stage the events fixture as N parquet files split by TIME RANGE,
+    written oldest-first with strictly increasing mtimes, so the file
+    source replays micro-batches in causal order (the staging a
+    log-compacted topic or date-partitioned landing zone provides in
+    production). Contrast stage_events_as_stream_dir, whose arbitrary
+    split exercises the late-event paths instead."""
+    import os
+    import time
+
+    from distributed_causal_stream_processing_spark.io import load
+
+    import shutil
+
+    e = load(spark, sf_dir, "events").withColumn("_us", F.unix_micros("ts"))
+    # percentile boundaries on event time -> n_files contiguous slices
+    qs = [i / n_files for i in range(1, n_files)]
+    bounds = e.approxQuantile("_us", qs, 0.0)
+    os.makedirs(out_dir, exist_ok=True)
+    lo = None
+    base = time.time() - n_files
+    for i in range(n_files):
+        hi = bounds[i] if i < len(bounds) else None
+        part = e
+        if lo is not None:
+            part = part.filter(F.col("_us") >= lo)
+        if hi is not None:
+            part = part.filter(F.col("_us") < hi)
+        tmp = os.path.join(out_dir, f"_tmp_{i}")
+        part.drop("_us").coalesce(1).write.mode("overwrite").parquet(tmp)
+        # the file source does not recurse: lift the single data file up
+        # into out_dir as a flat sibling with a strictly increasing mtime
+        data = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
+        assert len(data) == 1, data
+        dst = os.path.join(out_dir, f"slice_{i}.parquet")
+        os.replace(os.path.join(tmp, data[0]), dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (base + i, base + i))
+        lo = hi

@@ -78,3 +78,31 @@ def test_parquet_sink_roundtrip(spark, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
     # nullability legitimately flips through parquet; names+types must hold
     assert back.dtypes == df.dtypes
+
+
+def test_orc_csv_json_sink_roundtrip(spark, tmp_path):
+    """§2.1 sink matrix beyond parquet: the same result table survives
+    ORC (columnar, predicate-pushdown-capable like parquet), CSV, and
+    newline-JSON round-trips. CSV/JSON read back with the writer's
+    schema (never inference — inference re-scans and drifts types)."""
+    from distributed_causal_stream_processing_spark import all_queries
+
+    df = all_queries()["q_agg_group"](spark, SF_SMOKE)
+    want = sorted(map(tuple, df.collect()))
+    schema = df.schema
+
+    orc_out = str(tmp_path / "orc_out")
+    df.write.mode("overwrite").orc(orc_out)
+    back = spark.read.orc(orc_out)
+    assert sorted(map(tuple, back.collect())) == want
+    assert back.dtypes == df.dtypes
+
+    csv_out = str(tmp_path / "csv_out")
+    df.write.mode("overwrite").option("header", True).csv(csv_out)
+    back = spark.read.schema(schema).option("header", True).csv(csv_out)
+    assert sorted(map(tuple, back.collect())) == want
+
+    json_out = str(tmp_path / "json_out")
+    df.write.mode("overwrite").json(json_out)
+    back = spark.read.schema(schema).json(json_out)
+    assert sorted(map(tuple, back.collect())) == want

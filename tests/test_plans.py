@@ -137,6 +137,9 @@ CARTESIAN_OK = {
     "q_dedup_embedding",
     "q_sim_knn_label",
     "q_pivot",
+    "q_mix_weights",  # 1-row totals broadcast crossed into domain counts
+    "q_text_heavy_hitters",  # 1-row token-total broadcast crossed in
+    "q_tpch_q22",  # 1-row avg-balance threshold broadcast crossed in
 }
 
 
@@ -406,3 +409,33 @@ def test_gapfill_filter_pushdown(spark):
     plan = _plan(df)
     assert "PushedFilters: [" in plan
     assert "LessThan(user_id" in plan
+
+
+def test_heavy_hitters_broadcasts_candidates(spark):
+    """The exact verification pass must stream the token scan against a
+    BROADCAST of the Misra-Gries candidate set (and of the one-row
+    total) — the corpus-side token stream never shuffles for the join."""
+    df = _registry()["q_text_heavy_hitters"].fn(spark, SF_SMOKE)
+    df.collect()
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "BroadcastNestedLoopJoin" in plan  # one-row total cross
+
+
+def test_quantize_broadcasts_dim_stats(spark):
+    """Per-dimension min/max (64 rows) must broadcast back to the
+    exploded element stream; the only corpus-sized shuffle is the final
+    per-vector re-pack."""
+    df = _registry()["q_embed_quantize"].fn(spark, SF_SMOKE)
+    df.collect()
+    assert "BroadcastHashJoin" in _plan(df)
+
+
+def test_pattern_match_single_shuffle(spark):
+    """Sequence building is sort_array(collect_list) inside the
+    aggregate: exactly one exchange (on user_id), no window sort."""
+    df = _registry()["q_event_pattern"].fn(spark, SF_SMOKE)
+    df.collect()
+    plan = _plan(df)
+    assert plan.count("Exchange") <= 2  # partial/final agg pair max
+    assert "Window" not in plan

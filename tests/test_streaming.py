@@ -608,3 +608,46 @@ def test_streaming_ingest_pipeline_to_shards(spark, tmp_path):
         ).select("doc_id", "chunk_no", "chunk_text", "n_tokens").collect())
     )
     assert got == want and len(want) > 0
+
+
+def test_pattern_match_stream_matches_batch(spark, tmp_path):
+    """Streaming DFA pattern matcher == batch regex (q_event_pattern)
+    on a time-ordered replay: per-user match counts are identical, no
+    event is late, and every event was consumed. Proves the O(1)-state
+    DFA implements exactly the regex's leftmost non-overlapping count
+    when input respects causal order."""
+    from distributed_causal_stream_processing_spark import all_queries
+    from distributed_causal_stream_processing_spark.streaming import causal, jobs
+
+    d = str(tmp_path / "ordered_events")
+    jobs.stage_events_time_ordered(spark, SF_SMOKE, d, n_files=4)
+
+    stream = jobs.events_stream(spark, d, watermark="35 days")
+    q = (
+        causal.pattern_match_stream(stream)
+        .writeStream.format("memory")
+        .queryName("pattern_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql(
+            """SELECT user_id, max(n_events) AS n_events,
+                      max(n_matches) AS n_matches, max(n_late) AS n_late
+               FROM pattern_out GROUP BY user_id"""
+        ).collect()
+    finally:
+        q.stop()
+
+    got_matches = {r.user_id: r.n_matches for r in rows}
+    assert sum(r.n_late for r in rows) == 0  # ordered replay -> nothing late
+
+    from distributed_causal_stream_processing_spark.io import load
+
+    n_events_total = load(spark, SF_SMOKE, "events").count()
+    assert sum(r.n_events for r in rows) == n_events_total
+
+    batch = all_queries()["q_event_pattern"](spark, SF_SMOKE).collect()
+    want = {r.user_id: r.n_matches for r in batch}  # only users with >=1 match
+    assert {u: n for u, n in got_matches.items() if n > 0} == want
