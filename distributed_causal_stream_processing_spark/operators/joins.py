@@ -559,3 +559,89 @@ def q_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     untouched = dim.join(F.broadcast(chg.select("c_custkey")), "c_custkey", "left_anti")
     return untouched.unionByName(closed).unionByName(fresh)
+
+
+@query(
+    "q_join_interval_overlap",
+    oracle="""
+    WITH spans AS (
+        SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               min(epoch_us(CAST(date_trunc('microsecond', ts) AS TIMESTAMP))) AS s_lo,
+               max(epoch_us(CAST(date_trunc('microsecond', ts) AS TIMESTAMP))) AS s_hi
+        FROM events GROUP BY user_id, day
+    ),
+    incidents AS (
+        SELECT event_id AS inc_id,
+               epoch_us(CAST(date_trunc('microsecond', ts) AS TIMESTAMP)) AS i_ts
+        FROM events WHERE event_type = 'error' AND event_id % 20 = 0
+    ),
+    hits AS (
+        SELECT s.user_id, s.day, count(DISTINCT i.inc_id) AS n
+        FROM spans s JOIN incidents i
+          ON i.i_ts >= s.s_lo - 1800000000 AND i.i_ts <= s.s_hi + 1800000000
+        GROUP BY s.user_id, s.day
+    )
+    SELECT sp.user_id, sp.day,
+           CAST(coalesce(h.n, 0) AS BIGINT) AS n_incidents
+    FROM spans sp LEFT JOIN hits h
+      ON sp.user_id = h.user_id AND sp.day = h.day
+    """,
+)
+def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UN-KEYED interval-overlap join, made scale-safe by time-bin
+    bucketing: per-(user, day) activity spans [first event, last event]
+    against paged incidents (a 5% sample of error events, each an
+    instant ± 30 min of overlap tolerance) — how many incidents fell
+    within each activity span, zero included.
+
+    Without a shared key, overlap is a band condition and the naive
+    plan is a cartesian (the oracle literally runs one — viable only
+    at oracle scale). The scale plan EQUI-fies it: each interval
+    (widened by the tolerance) explodes to the hour bins it covers,
+    each incident INSTANT maps to exactly one bin, the join runs on
+    the bin id (shuffle- and bucket-alignable), the exact containment
+    predicate filters within the bin, and DISTINCT collapses dupes
+    from intervals spanning several bins. Cost is O(intervals x
+    bins-per-interval + per-bin products), never |A| x |B|; bin width
+    trades fan-out against per-bin density — the same knob as
+    q_join_salted's salt count. Point-vs-interval (rather than
+    interval-vs-interval) keeps the small side's fan-out at exactly 1
+    bin per row — the asymmetric form every point-in-polygon /
+    point-in-window join uses."""
+    us = F.unix_micros("ts")
+    HOUR = 3_600_000_000
+    TOL = 1_800_000_000  # ± 30 min
+    e = load(spark, sf_dir, "events")
+    spans = e.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.min(us).alias("s_lo"), F.max(us).alias("s_hi"))
+    incidents = e.filter(
+        (F.col("event_type") == "error") & (F.col("event_id") % 20 == 0)
+    ).select(F.col("event_id").alias("inc_id"), us.alias("i_ts"))
+    s_bins = spans.withColumn(
+        "bin",
+        F.explode(
+            F.sequence(
+                F.floor((F.col("s_lo") - TOL) / HOUR),
+                F.floor((F.col("s_hi") + TOL) / HOUR),
+            )
+        ),
+    )
+    i_bins = incidents.withColumn("bin", F.floor(F.col("i_ts") / HOUR))
+    hits = (
+        s_bins.join(
+            i_bins,
+            (s_bins.bin == i_bins.bin)
+            & (i_bins.i_ts >= s_bins.s_lo - TOL)
+            & (i_bins.i_ts <= s_bins.s_hi + TOL),
+        )
+        .select("user_id", "day", "inc_id")
+        .distinct()
+        .groupBy("user_id", "day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return spans.join(hits, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n_incidents"),
+    )

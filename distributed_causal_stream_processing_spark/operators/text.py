@@ -1041,3 +1041,54 @@ def q_text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n") / F.col("total").cast("double"), 6).alias("share"),
         )
     )
+
+
+@query(
+    "q_text_quality_retention",
+    oracle=f"""
+    WITH feat AS (
+        SELECT doc_id, lang,
+               round(0.4 * (len(list_distinct(string_split(text, ' ')))
+                            / CAST(len(string_split(text, ' ')) AS DOUBLE))
+                     + 0.3 * least(len(string_split(text, ' ')) / 100.0, 1.0)
+                     + 0.3 * (1.0 - len(list_filter(string_split(text, ' '),
+                                        t -> t IN ({_STOP_IN})))
+                                    / CAST(len(string_split(text, ' ')) AS DOUBLE)),
+                     4) AS quality_score
+        FROM documents
+    )
+    SELECT doc_id, lang, quality_score,
+           CAST(ntile(10) OVER (PARTITION BY lang
+                                ORDER BY quality_score DESC, doc_id) AS INTEGER)
+               AS decile,
+           ntile(10) OVER (PARTITION BY lang
+                           ORDER BY quality_score DESC, doc_id) <= 2 AS kept
+    FROM feat
+    """,
+)
+def q_text_quality_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive quality retention: keep the TOP 20% of documents PER
+    LANGUAGE by quality score (decile <= 2), rather than one global
+    threshold — fixed-retention pruning is what keeps a multilingual
+    corpus balanced when per-language score distributions differ
+    (a global cut would empty low-scoring languages). Ties break on
+    doc_id so the decile boundary is deterministic cross-engine.
+
+    Scale shape: one window (ntile) partitioned by lang ordered by
+    score. Per-language partitions can be row_number-skew-prone if one
+    language dominates; the production mitigation is two-pass — an
+    approx-quantile sketch per lang broadcasts the score threshold,
+    and a stateless filter applies it (same shape as q_mix_weights) —
+    this exact-decile form is the reference semantics the sketch form
+    is judged against."""
+    scored = with_quality_score(load(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "quality_score"
+    )
+    w = W.partitionBy("lang").orderBy(F.desc("quality_score"), F.asc("doc_id"))
+    return scored.select(
+        "doc_id",
+        "lang",
+        "quality_score",
+        F.ntile(10).over(w).cast("int").alias("decile"),
+        (F.ntile(10).over(w) <= 2).alias("kept"),
+    )
