@@ -75,3 +75,74 @@ def compact_files(
     n_files = max(1, -(-df.count() // records_per_file))  # ceil
     df.repartition(n_files).write.mode("overwrite").format(fmt).save(dst)
     return n_files
+
+
+def zorder_key(cols: Sequence[str], bits: int = 16) -> F.Column:
+    """Morton (Z-order) interleave of N non-negative integer columns
+    into one sortable key, built entirely from JVM bit expressions
+    (shiftright / and / or — codegen'd, no Python).
+
+    Each input is first RANK-NORMALIZED by the caller to [0, 2^bits)
+    (use ntile or a min-max rescale); this function only interleaves:
+    bit b of column i lands at position b*N + i of the key.
+    """
+    n = len(cols)
+    key = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, c in enumerate(cols):
+            bit = F.shiftright(F.col(c).cast("long"), b).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(
+                F.shiftleft(bit, b * n + i)
+            )
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_by: Sequence[str],
+    bits: int = 10,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Write ``df`` Z-ORDERED on ``zorder_by``: rows are globally
+    range-sorted by the Morton interleave of the (rank-normalized)
+    z-columns, so parquet row-group min/max stats stay selective for
+    predicates on EVERY z-column — not just the leading sort key.
+
+    Linear sort by (a, b) packs a's values tightly per row group but
+    scatters b across its full range in every group, so b-only
+    predicates prune nothing. The space-filling curve keeps each row
+    group a small hyper-rectangle in (a, b, ...) space; a predicate on
+    any single dimension then skips most groups (proven with scan
+    metrics in tests/test_sinks.py). This is the layout knob behind
+    OPTIMIZE ZORDER in lakehouse table formats, reproduced with plain
+    expressions + repartitionByRange — no table format required.
+
+    Rank normalization uses percent_rank * (2^bits - 1): distribution-
+    robust (skew cannot collapse the curve) at the cost of one window
+    per z-column at WRITE time — a once-per-layout cost, not a query
+    cost; production would swap in approx-quantile bucketing to avoid
+    the global sort windows on TB-scale writes.
+    """
+    from pyspark.sql import Window as W
+
+    norm = df
+    zcols = []
+    for c in zorder_by:
+        nc = f"__z_{c}"
+        norm = norm.withColumn(
+            nc,
+            (F.percent_rank().over(W.orderBy(F.col(c))) * ((1 << bits) - 1))
+            .cast("long"),
+        )
+        zcols.append(nc)
+    keyed = norm.withColumn("__zkey", zorder_key(zcols, bits))
+    out = (
+        keyed.repartitionByRange(F.col("__zkey"))
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey", *zcols)
+    )
+    writer = out.write.mode("overwrite")
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    writer.parquet(path)
