@@ -594,3 +594,46 @@ def q_view_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m_rows").cast("bigint").alias("n_rows"),
         F.round(F.col("m_price") / F.col("m_rows"), 6).alias("avg_price"),
     )
+
+
+@query(
+    "q_agg_salted_twophase",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(l_extendedprice) / count(*), 6) AS avg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase SALTED aggregation for skewed group keys: phase 1
+    aggregates on (key, salt) — spreading each hot key over 16 reducers
+    — phase 2 merges the 16 partial states per key (sums add, count
+    adds, avg re-derived from merged sums). The oracle is the direct
+    one-phase aggregate, proving the decomposition exact.
+
+    l_returnflag has 3 values over the whole corpus — the worst-case
+    skew for a keyed shuffle (3 reducers own everything at any scale).
+    Spark's partial/final HashAggregate already map-combines, which is
+    usually enough; the explicit salt matters when per-key FINAL state
+    is itself expensive (huge collect_list/sketch merges) or when AQE
+    cannot split because a required distribution pins the key — the
+    agg-side twin of q_join_salted. Salt is a pure function of
+    l_orderkey, so the result is partition-layout independent."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice", "l_orderkey"
+    )
+    phase1 = li.groupBy(
+        "l_returnflag", (F.col("l_orderkey") % 16).alias("salt")
+    ).agg(
+        F.sum("l_quantity").alias("p_qty"),
+        F.sum("l_extendedprice").alias("p_price"),
+        F.count(F.lit(1)).alias("p_rows"),
+    )
+    return phase1.groupBy("l_returnflag").agg(
+        F.sum("p_qty").cast("bigint").alias("sum_qty"),
+        F.sum("p_rows").cast("bigint").alias("n_rows"),
+        F.round(F.sum("p_price") / F.sum("p_rows"), 6).alias("avg_price"),
+    )

@@ -762,3 +762,124 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("code_hash"),
         F.round(F.avg(err), 10).alias("mse"),
     )
+
+
+RECALL_K = 5
+
+
+@query(
+    "q_sim_recall_eval",
+    oracle=f"""
+    WITH sigs AS (
+        SELECT vec_id, embedding, {{sig}} AS bucket FROM embeddings
+    ),
+    q AS (SELECT * FROM sigs WHERE vec_id < 50),
+    exact AS (
+        SELECT * FROM (
+            SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(
+                           CAST(q.embedding AS DOUBLE[]),
+                           CAST(n.embedding AS DOUBLE[])) DESC,
+                           n.vec_id) AS rn
+            FROM q JOIN embeddings n ON n.vec_id <> q.vec_id
+        ) WHERE rn <= {RECALL_K}
+    ),
+    ann AS (
+        SELECT * FROM (
+            SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(
+                           CAST(q.embedding AS DOUBLE[]),
+                           CAST(n.embedding AS DOUBLE[])) DESC,
+                           n.vec_id) AS rn
+            FROM q JOIN sigs n ON n.bucket = q.bucket AND n.vec_id <> q.vec_id
+        ) WHERE rn <= {RECALL_K}
+    )
+    SELECT e.query_id,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+           round(count(a.neighbor_id) / CAST({RECALL_K} AS DOUBLE), 2) AS recall_at_k
+    FROM exact e LEFT JOIN ann a
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    GROUP BY e.query_id
+    """.replace("{sig}", _DUCK_SIG),
+)
+def q_sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality measured IN the engine: recall@5 of the LSH bucket
+    index against the exact top-5, per query point — the evaluation
+    loop every ANN deployment runs before trusting an index, expressed
+    as one query so it can ride the same scheduled pipeline as the
+    index build.
+
+    Scale shape: the query set is small and BROADCASTS to both
+    arms — the exact arm streams the corpus once (never corpus x
+    corpus: it is queries x corpus with a per-query top-k), the ANN
+    arm joins on the bucket signature; the final hit-join is
+    (queries x k) rows against (queries x k) rows. Recall gaps surface
+    as n_hits < k — on this fixture the 8-plane single-probe index
+    recalls only part of the true top-5, which is exactly the signal
+    the eval exists to expose (tune planes/probes until acceptable)."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("emb")
+    ).withColumn("nrm", norm(F.col("emb")))
+    sig = F.concat(
+        *[
+            F.when(dot(F.col("emb"), F.lit(_PLANES[i]).cast("array<double>")) > 0, "1")
+            .otherwise("0")
+            for i in range(N_PLANES)
+        ]
+    )
+    sigs = e.select("vec_id", "emb", "nrm", sig.alias("bucket"))
+    q = sigs.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("ea"),
+        F.col("nrm").alias("na"),
+        F.col("bucket").alias("qbucket"),
+    )
+    corpus = sigs.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("emb").alias("eb"),
+        F.col("nrm").alias("nb"),
+        "bucket",
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+
+    exact = (
+        F.broadcast(q).join(corpus, F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", scored("na", "nb").alias("sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= RECALL_K)
+        .select("query_id", "neighbor_id")
+    )
+    ann = (
+        F.broadcast(q).join(
+            corpus,
+            (F.col("bucket") == F.col("qbucket"))
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .select("query_id", "neighbor_id", scored("na", "nb").alias("sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= RECALL_K)
+        .select(
+            # unique names: exact and ann share lineage (both derive from
+            # sigs), and a join on same-named columns of a self-join pair
+            # silently mis-resolves — rename BEFORE joining
+            F.col("query_id").alias("ann_query"),
+            F.col("neighbor_id").alias("ann_neighbor"),
+        )
+    )
+    return (
+        exact.join(
+            ann,
+            (F.col("query_id") == F.col("ann_query"))
+            & (F.col("neighbor_id") == F.col("ann_neighbor")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("ann_neighbor").cast("bigint").alias("n_hits"),
+            F.round(F.count("ann_neighbor") / RECALL_K, 2).alias("recall_at_k"),
+        )
+    )
