@@ -265,3 +265,60 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "keys_str"
         ),
     )
+
+
+# Deterministic nested-JSON payload built from event columns — the
+# fixture's props is flat ({"k": N}), so the semi-structured depth the
+# variant path must handle is constructed identically on both engines.
+_NESTED_JSON_SQL = """
+    concat('{"k": ', get_json_object(props, '$.k'),
+           ', "meta": {"user": ', CAST(user_id AS STRING),
+           ', "flags": ["', event_type, '"]}}')
+"""
+
+
+@query(
+    "q_json_variant",
+    oracle="""
+    WITH j AS (
+        SELECT event_id,
+               concat('{"k": ', json_extract_string(props, '$.k'),
+                      ', "meta": {"user": ', CAST(user_id AS VARCHAR),
+                      ', "flags": ["', event_type, '"]}}') AS payload
+        FROM events WHERE event_id < 1000
+    )
+    SELECT event_id,
+           CAST(json_extract(payload, '$.k') AS INTEGER) AS k,
+           CAST(json_extract(payload, '$.meta.user') AS BIGINT) AS meta_user,
+           json_extract_string(payload, '$.meta.flags[0]') AS first_flag,
+           CAST(json_array_length(json_extract(payload, '$.meta.flags'))
+                AS INTEGER) AS n_flags
+    FROM j
+    """,
+)
+def q_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured data on Spark 4's VARIANT type: the JSON payload
+    is parsed ONCE with parse_json into a binary variant, then typed
+    paths are extracted with variant_get — the open-schema ingestion
+    path (parse once at the edge, bind types at query time) that
+    replaces per-path get_json_object string re-parsing, with nested
+    objects and arrays traversed natively.
+
+    Scale shape: pure per-row JVM expressions, no shuffle; the variant
+    encoding is columnar-friendly binary (shreddable at write in table
+    formats), so repeated path extraction costs no re-parse — the same
+    reason q_json_funcs moved from get_json_object to one from_json,
+    generalized to schema-on-read. The DuckDB oracle runs its native
+    JSON path functions over the identical payload."""
+    e = load(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    v = F.parse_json(F.expr(_NESTED_JSON_SQL.strip()))
+    payload = e.select("event_id", v.alias("v"))
+    return payload.select(
+        "event_id",
+        F.variant_get("v", "$.k", "int").alias("k"),
+        F.variant_get("v", "$.meta.user", "bigint").alias("meta_user"),
+        F.variant_get("v", "$.meta.flags[0]", "string").alias("first_flag"),
+        F.size(F.variant_get("v", "$.meta.flags", "array<string>")).cast("int").alias(
+            "n_flags"
+        ),
+    )

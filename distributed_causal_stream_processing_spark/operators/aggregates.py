@@ -637,3 +637,59 @@ def q_agg_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("p_rows").cast("bigint").alias("n_rows"),
         F.round(F.sum("p_price") / F.sum("p_rows"), 6).alias("avg_price"),
     )
+
+
+@query(
+    "q_agg_mad_outliers",
+    oracle="""
+    WITH med AS (
+        SELECT l_returnflag, median(l_extendedprice) AS med_price
+        FROM lineitem GROUP BY l_returnflag
+    ),
+    dev AS (
+        SELECT l.l_returnflag, l.l_extendedprice, m.med_price,
+               abs(l.l_extendedprice - m.med_price) AS adev
+        FROM lineitem l JOIN med m USING (l_returnflag)
+    ),
+    mad AS (
+        SELECT l_returnflag, median(adev) AS mad FROM dev GROUP BY l_returnflag
+    )
+    SELECT d.l_returnflag,
+           round(any_value(d.med_price), 2) AS med_price,
+           round(any_value(m.mad), 2) AS mad,
+           CAST(sum(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_outliers
+    FROM dev d JOIN mad m USING (l_returnflag)
+    GROUP BY d.l_returnflag
+    """,
+)
+def q_agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection: per-group median, median absolute
+    deviation (MAD), and the count of rows beyond 3 MADs — the
+    data-quality screen that survives the heavy tails that wreck
+    mean/stddev z-scores. Exact medians on BOTH engines (Spark's
+    `median` == DuckDB's), so the whole chain value-checks.
+
+    Scale shape: two median passes (each one group-keyed aggregation —
+    Spark computes exact percentiles with a per-group digest, no global
+    sort) with the tiny per-group median/MAD tables BROADCAST back to
+    the fact scan between passes. Three fact scans total; the sketch
+    variant (approx_percentile) drops it to two at a bounded error —
+    same trade as q_agg_approx_percentile documents."""
+    li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    med = li.groupBy("l_returnflag").agg(F.median("l_extendedprice").alias("med_price"))
+    dev = li.join(F.broadcast(med), "l_returnflag").withColumn(
+        "adev", F.abs(F.col("l_extendedprice") - F.col("med_price"))
+    )
+    mad = dev.groupBy("l_returnflag").agg(F.median("adev").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.any_value("med_price"), 2).alias("med_price"),
+            F.round(F.any_value("mad"), 2).alias("mad"),
+            F.sum((F.col("adev") > 3 * F.col("mad")).cast("int"))
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )
