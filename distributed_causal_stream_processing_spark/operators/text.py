@@ -1092,3 +1092,69 @@ def q_text_quality_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(10).over(w).cast("int").alias("decile"),
         (F.ntile(10).over(w) <= 2).alias("kept"),
     )
+
+
+@query(
+    "q_text_bigram_logprob",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS s FROM documents
+        WHERE len(string_split(text, ' ')) >= 2
+    ),
+    big AS (
+        SELECT doc_id, s[i] AS prev, s[i+1] AS tok
+        FROM toks, LATERAL (SELECT unnest(range(1, len(s))) AS i)
+    ),
+    bc AS (SELECT prev, tok, count(*) AS c2 FROM big GROUP BY prev, tok),
+    uc AS (SELECT prev, count(*) AS c1 FROM big GROUP BY prev)
+    SELECT b.doc_id,
+           round(avg(-ln(bc.c2 / CAST(uc.c1 AS DOUBLE))), 6) AS avg_neg_logprob,
+           CAST(count(*) AS BIGINT) AS n_bigrams
+    FROM big b
+    JOIN bc ON b.prev = bc.prev AND b.tok = bc.tok
+    JOIN uc ON b.prev = uc.prev
+    GROUP BY b.doc_id
+    """,
+)
+def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality proxy: per-document average -ln P(tok | prev)
+    with the corpus itself as the model — the conditional upgrade of
+    q_text_logprob's unigram score (repetitive or formulaic text
+    scores low surprise; rare transitions score high). Documents
+    shorter than 2 tokens have no bigrams and drop out, as in any LM
+    scorer.
+
+    Scale shape: the bigram stream is posexplode + window lead (one
+    shuffle on doc_id, same shingle idiom as decontaminate); the
+    bigram and prev-count model tables are vocabulary-sized and
+    BROADCAST back to the stream; final rollup is one doc_id-keyed
+    hash agg. Model tables ship MBs while the corpus streams — the
+    n-gram-LM scoring layout at any scale."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("s"))
+        .filter(F.size("s") >= 2)
+    )
+    tok = d.select("doc_id", F.posexplode("s").alias("pos", "tok"))
+    wl = W.partitionBy("doc_id").orderBy("pos")
+    big = (
+        tok.select(
+            "doc_id",
+            F.col("tok").alias("prev"),
+            F.lead("tok", 1).over(wl).alias("tok"),
+        )
+        .filter(F.col("tok").isNotNull())
+    )
+    bc = big.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("c2"))
+    uc = big.groupBy("prev").agg(F.count(F.lit(1)).alias("c1"))
+    return (
+        big.join(F.broadcast(bc), ["prev", "tok"])
+        .join(F.broadcast(uc), "prev")
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg(-F.log(F.col("c2") / F.col("c1").cast("double"))), 6).alias(
+                "avg_neg_logprob"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        )
+    )

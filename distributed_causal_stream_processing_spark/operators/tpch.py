@@ -459,3 +459,39 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cntrycode")
     )
+
+
+@query(
+    "q_sql_surface",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           round(sum(o_totalprice), 2) AS total_price,
+           round(avg(o_totalprice), 4) AS avg_price
+    FROM orders
+    WHERE o_orderstatus <> 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL entry point: the query text is handed to
+    spark.sql() over registered temp views — the exact ANSI string the
+    DuckDB oracle runs — rather than composed with the DataFrame API.
+    Proves the two surfaces are the same engine (Catalyst compiles
+    both to one plan), so a SQL-first reference user can switch
+    without the DataFrame API at all; every other registered query
+    could be exposed this way identically."""
+    from distributed_causal_stream_processing_spark.io import register_views
+
+    register_views(spark, sf_dir, tables=("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+               round(sum(o_totalprice), 2) AS total_price,
+               round(avg(o_totalprice), 4) AS avg_price
+        FROM orders
+        WHERE o_orderstatus <> 'F'
+        GROUP BY o_orderpriority
+        """
+    )
