@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from distributed_causal_stream_processing_spark.functions.hashing import hex_u32_sql
 from distributed_causal_stream_processing_spark.io import load
@@ -906,6 +907,40 @@ def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 PACK_CAPACITY = 64  # tokens per packed context window
 
 
+def pack_greedy(
+    df: DataFrame, group_col: str, order_col: str, size_col: str, capacity: int
+) -> DataFrame:
+    """Greedy sequence packing as a reusable API: within each
+    ``group_col`` group, rows in ``order_col`` order accumulate into
+    packs of at most ``capacity`` total ``size_col``; a row that would
+    overflow starts a new pack (an oversized row gets its own). Output
+    = input columns + ``pack_id`` (1-based per group).
+
+    The running-sum-with-reset is NOT a window function (the reset
+    makes it non-associative), so this is a genuine applyInPandas
+    stateful scan per group — exactly the class of operator SURVEY
+    §4.3 reserves for the Python path. Hypothesis-tested against a
+    brute-force fold in tests/test_properties.py."""
+    import pandas as pd
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(order_col).reset_index(drop=True)
+        pack_ids = []
+        pack_id, acc = 0, capacity + 1  # first row always opens pack 1
+        for t in pdf[size_col]:
+            if acc + t > capacity:
+                pack_id += 1
+                acc = t
+            else:
+                acc += t
+            pack_ids.append(pack_id)
+        pdf["pack_id"] = pd.array(pack_ids, dtype="int32")
+        return pdf
+
+    out_schema = T.StructType(list(df.schema) + [T.StructField("pack_id", T.IntegerType())])
+    return df.groupBy(group_col).applyInPandas(pack, out_schema)
+
+
 @query(
     "q_pack_sequences",
     oracle=f"""
@@ -933,48 +968,56 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: greedily pack documents (ordered by doc_id)
     into fixed token-budget context windows of PACK_CAPACITY=64 tokens
     per language — the step that turns a filtered corpus into training
-    rows. A doc that would overflow the running window starts a new
-    pack; an oversized doc gets a pack of its own.
-
-    The running-sum-with-reset is NOT a window function (the reset makes
-    it non-associative), so this is a genuine applyInPandas stateful
-    scan per group — exactly the class of operator SURVEY §4.3 reserves
-    for the Python path. The DuckDB oracle replays the same fold as a
-    recursive CTE, giving the full per-document assignment a value-hash
-    check. Scale shape: parallelism = the group key; production packs
-    per (shard, lang) with shard = a hash bucket, so groups stay
+    rows (see pack_greedy for the fold semantics and Python-path
+    rationale). The DuckDB oracle replays the same fold as a recursive
+    CTE, giving the full per-document assignment a value-hash check.
+    Scale shape: parallelism = the group key; production packs per
+    (shard, lang) with shard = a hash bucket, so groups stay
     executor-sized and the fold never leaves one task. Only the text's
     token COUNT (not the text) crosses the shuffle."""
-    import pandas as pd
-
     d = load(spark, sf_dir, "documents")
     toks = d.select(
         "lang",
         "doc_id",
         F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
     )
-
-    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
-        pack_ids = []
-        pack_id, acc = 0, PACK_CAPACITY + 1  # first row always opens pack 1
-        for t in pdf["n_tok"]:
-            if acc + t > PACK_CAPACITY:
-                pack_id += 1
-                acc = t
-            else:
-                acc += t
-            pack_ids.append(pack_id)
-        pdf["pack_id"] = pd.array(pack_ids, dtype="int32")
-        return pdf
-
-    return toks.groupBy("lang").applyInPandas(
-        pack, "lang string, doc_id bigint, n_tok bigint, pack_id int"
-    )
+    return pack_greedy(toks, "lang", "doc_id", "n_tok", PACK_CAPACITY)
 
 
 HH_SUPPORT = 0.005  # report tokens with share >= 0.5% of all tokens
 HH_K = int(1 / HH_SUPPORT)  # Misra-Gries counter budget per partition
+
+
+def heavy_hitters_exact(toks: DataFrame, support: float) -> DataFrame:
+    """Exact heavy hitters over a one-column (``tok``) DataFrame via
+    the distributed two-phase algorithm: per-partition Misra-Gries
+    sketch (budget 1/support) nominates candidates, one broadcast
+    exact-count pass verifies. Returns (tok, n, total) for tokens with
+    n >= support * total. The MG phase cannot miss a true heavy hitter
+    under ANY partitioning (pigeonhole + the sketch's deletion bound) —
+    hypothesis-tested against a plain Counter in test_properties."""
+    import pandas as pd
+
+    k = int(1 / support)
+
+    def mg_sketch(batches):
+        counters = pd.Series(dtype="int64")
+        for pdf in batches:
+            counters = counters.add(pdf["tok"].value_counts(), fill_value=0)
+            if len(counters) > k:
+                cut = counters.nlargest(k + 1).iloc[-1]
+                counters = counters[counters > cut]
+        yield pd.DataFrame({"tok": counters.index.astype(str)})
+
+    cands = toks.mapInPandas(mg_sketch, "tok string").distinct()
+    total = toks.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        toks.join(F.broadcast(cands), "tok")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n") >= support * F.col("total"))
+    )
 
 
 @query(
@@ -1008,38 +1051,14 @@ def q_text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (one partial-agg shuffle of the survivors). The full token
     multiset is never globally aggregated — at 100 TB that is the
     difference between shuffling ~vocabulary rows per partition and
-    shuffling every token."""
-    import pandas as pd
-
+    shuffling every token. (Logic lives in heavy_hitters_exact, the
+    reusable API; this query binds it to the documents table.)"""
     d = load(spark, sf_dir, "documents")
     toks = d.select(F.explode(F.split(F.lower("text"), " ")).alias("tok"))
-
-    def mg_sketch(batches):
-        counters = pd.Series(dtype="int64")
-        for pdf in batches:
-            counters = counters.add(pdf["tok"].value_counts(), fill_value=0)
-            if len(counters) > HH_K:
-                # MG step, batched: subtracting the (k+1)-th largest
-                # weight from every counter and dropping <=0 removes
-                # that many copies of EVERY distinct item — the
-                # standard error-bounded decrement, vectorized.
-                cut = counters.nlargest(HH_K + 1).iloc[-1]
-                counters = counters[counters > cut]
-        yield pd.DataFrame({"tok": counters.index.astype(str)})
-
-    cands = toks.mapInPandas(mg_sketch, "tok string").distinct()
-    total = toks.agg(F.count(F.lit(1)).alias("total"))
-    return (
-        toks.join(F.broadcast(cands), "tok")
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .crossJoin(F.broadcast(total))
-        .filter(F.col("n") >= HH_SUPPORT * F.col("total"))
-        .select(
-            "tok",
-            F.col("n").cast("bigint").alias("n"),
-            F.round(F.col("n") / F.col("total").cast("double"), 6).alias("share"),
-        )
+    return heavy_hitters_exact(toks, HH_SUPPORT).select(
+        "tok",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n") / F.col("total").cast("double"), 6).alias("share"),
     )
 
 
