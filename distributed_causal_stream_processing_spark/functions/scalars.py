@@ -165,7 +165,7 @@ def q_cond_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey,
            CAST(o_orderkey AS DOUBLE) AS key_dbl,
            CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_roundtrip,
-           CAST(o_totalprice AS DECIMAL(12,2)) AS price_dec,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS price_dec,
            CAST(floor(o_totalprice) AS INTEGER) AS price_int,
            CAST(o_orderdate AS DATE) AS order_date,
            CAST(substring(o_orderpriority, 1, 1) AS INTEGER) AS prio_num
@@ -173,18 +173,22 @@ def q_cond_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_cast_types(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Casts int↔double↔string↔date↔decimal(12,2).
+    """Casts int↔double↔string↔date↔decimal(12,2)→string.
 
     double→string is deliberately absent: Java vs DuckDB float
     formatting differs (scientific-notation thresholds); all other
-    directions are exact.
+    directions are exact. The decimal cast is surfaced as its string
+    rendering ('205941.60', trailing zeros kept): a raw DecimalType
+    column arrives as decimal.Decimal from Spark but float64 from
+    DuckDB's pandas bridge, which can never value-hash equal
+    (root cause of the round-2 q_cast_types hash miss).
     """
     o = load(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
         F.col("o_orderkey").cast("double").alias("key_dbl"),
         F.col("o_orderkey").cast("string").cast("bigint").alias("key_roundtrip"),
-        F.col("o_totalprice").cast("decimal(12,2)").alias("price_dec"),
+        F.col("o_totalprice").cast("decimal(12,2)").cast("string").alias("price_dec"),
         F.floor("o_totalprice").cast("int").alias("price_int"),
         F.col("o_orderdate").cast("date").alias("order_date"),
         F.substring("o_orderpriority", 1, 1).cast("int").alias("prio_num"),
