@@ -39,21 +39,31 @@ def table_path(sf_dir: str, name: str) -> str:
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table as a DataFrame.
 
-    ``events.ts`` is parquet INT64 TIMESTAMP(NANOS), which Spark 4
-    refuses by default (PARQUET_TYPE_ILLEGAL). We read it via the
-    nanos-as-long escape hatch and rebuild a proper µs TimestampType
-    column (the data is µs-granular, so `DIV 1000` is exact). Set on
-    the session lazily so this works under any caller's SparkSession.
+    ``events.ts`` has shipped in two physical layouts across fixture
+    generations: parquet INT64 TIMESTAMP(NANOS) (which Spark 4 refuses
+    by default — PARQUET_TYPE_ILLEGAL — so we read it via the
+    nanos-as-long escape hatch and rebuild a µs TimestampType), and
+    plain ``timestamp[us]`` (arriving as TIMESTAMP_NTZ when the footer
+    has no UTC-adjustment flag). Rather than assume either, sniff the
+    loaded schema and normalize: the contract is that ``ts`` is always
+    a session-TZ ``TimestampType`` (session TZ is UTC) downstream.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
-        return spark.read.parquet(table_path(sf_dir, name)).withColumn(
-            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-        )
+        df = spark.read.parquet(table_path(sf_dir, name))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            # legacy nanos-as-long layout; data is µs-granular so DIV
+            # 1000 is exact
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        if isinstance(ts_type, TimestampNTZType):
+            return df.withColumn("ts", F.col("ts").cast(TimestampType()))
+        return df
     return spark.read.parquet(table_path(sf_dir, name))
 
 
