@@ -43,7 +43,12 @@ def main() -> None:
     # Warm the JVM / file cache with the flagship once (not timed), and
     # the Python-worker pool with a tiny mapInPandas pass so the first
     # pandas-backed query doesn't absorb worker spawn cost.
-    queries["q_agg_group"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    try:
+        queries["q_agg_group"](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    except Exception:  # noqa: BLE001 — warmup is best-effort
+        pass
     spark.range(64).mapInPandas(lambda it: it, "id long").write.format("noop").mode(
         "overwrite"
     ).save()
@@ -52,10 +57,19 @@ def main() -> None:
     # isn't charged for JVM init.
     spark.sql("SELECT upper('x'), lower('X')").collect()
 
+    # One broken query must never zero the whole suite's signal (a
+    # round-3 AnalysisException aborted the bench and the round recorded
+    # no perf number at all): guard each build+materialize, record the
+    # failure, and keep going.
+    failures: dict[str, str] = {}
     for name in sorted(queries):
         t0 = time.perf_counter()
-        df = queries[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
+        try:
+            df = queries[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # noqa: BLE001 — survivability over purity
+            failures[name] = f"{type(exc).__name__}: {exc}"[:500]
+            continue
         timings[name] = round(time.perf_counter() - t0, 3)
 
     # Interference guard: this VM shows multi-minute host-level
@@ -73,7 +87,13 @@ def main() -> None:
         if timings[name] <= 3 * med:
             break
         t0 = time.perf_counter()
-        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        try:
+            queries[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception as exc:  # noqa: BLE001
+            failures[name] = f"retry: {type(exc).__name__}: {exc}"[:500]
+            continue
         retried[name] = round(time.perf_counter() - t0, 3)
         timings[name] = min(timings[name], retried[name])
     total = round(sum(timings.values()), 3)
@@ -96,6 +116,7 @@ def main() -> None:
         "queries": timings,
         "first_pass": first_pass,
         "retried": retried,
+        "failures": failures,
         "sf": sf,
     }
     with open(os.path.join(REPO_DIR, "BENCH_DETAIL.json"), "w") as f:
@@ -111,6 +132,8 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(timings),
                 "n_retried": len(retried),
+                "n_failed": len(failures),
+                "failed": sorted(failures)[:10],
                 "queries": slowest,
             }
         )

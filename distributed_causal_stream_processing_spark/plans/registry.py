@@ -10,7 +10,8 @@ Oracle-parity rules (SURVEY §7.4) every query follows:
 - round float aggregates/similarities identically on both sides;
 - alias every computed column identically, lowercase;
 - tie-break top-k / window ordering with a unique key;
-- truncate ``events.ts`` (parquet ns) to µs/second on both sides.
+- ``events.ts`` is µs-granular on both sides (io.load() normalizes the
+  physical layout, which has varied across fixture generations).
 """
 
 from __future__ import annotations
@@ -52,17 +53,25 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # FIRST entries of ``queries()`` in insertion order, so the whole contract must
 # sit at the front, ahead of every extra query.
 #
-# Ordering policy (VERDICT.md round 1, item 1):
-# - positions 0-24: the 25 §2 ids the round-1 driver never reached
-#   (§2.8 scalar families, §2.9 streaming views, §2.10 LLM-pipeline,
-#   §2.11 UDFs), with the two P0s — q_causal_seq, q_stream_tumbling — first;
-# - positions 25-61: the 37 §2 ids already driver-green in round 1,
-#   P0 → P1 → P2, so that if a grading window cuts off mid-contract the
-#   overflow hits only P2 ids that already have a green CORRECTNESS row;
+# Ordering policy (VERDICT.md round 3, item 6 — rotation): the driver
+# grades only the first ~50 entries, and 62 §2 ids exist, so 12 sit
+# outside the window each round. Rotate so the window covers the ids
+# with the LEAST driver signal:
+# - positions 0-24: unchanged — the streaming/scalar/LLM/UDF block;
+#   its 9 events-backed ids ERR'd in r03 (events-loader regression,
+#   fixed round 4) and need fresh green rows;
+# - positions 25-30: the six P0 relational ids — never leave the window;
+# - positions 31-42: the 12 ids that had NO driver row since r01
+#   (q_join_theta ... q_set_except) rotated INTO the window; this
+#   includes q_join_range/q_join_asof, also hit by the r03 loader bug;
+# - positions 43-49: P1 ids with 3 green rounds, kept to fill the window;
+# - positions 50-61: 12 ids with green driver rows in r01+r02+r03,
+#   rotated OUT this round (they are still pytest-parity-gated every
+#   session; rotate again next round);
 # - positions 62+: extras (TPC-H composites, graph, ANN variants, ...)
 #   in module insertion order.
 CONTRACT_ORDER = (
-    # -- 25 ids with no round-1 driver signal: P0 first ------------------
+    # -- streaming / scalar families / LLM-pipeline / UDFs ---------------
     "q_causal_seq",          # P0 — the reference's core concept
     "q_stream_tumbling",     # P0
     "q_stream_sliding",
@@ -88,32 +97,14 @@ CONTRACT_ORDER = (
     "q_udf_pandas",
     "q_udaf_pandas",
     "q_udtf",
-    # -- 37 ids driver-green in round 1: P0 -> P1 -> P2 ------------------
+    # -- P0 relational core ---------------------------------------------
     "q_scan_project",        # P0
     "q_scan_filter",         # P0
     "q_project_expr",        # P0
     "q_join_inner",          # P0
     "q_agg_global",          # P0
     "q_agg_group",           # P0 flagship
-    "q_filter_compound",     # P1
-    "q_filter_like",
-    "q_join_left",
-    "q_join_full",
-    "q_join_semi",
-    "q_join_anti",
-    "q_join_broadcast",
-    "q_join_multiway",
-    "q_agg_having",
-    "q_agg_distinct",
-    "q_agg_stats",
-    "q_win_rank",
-    "q_win_analytic",
-    "q_win_frame_rows",
-    "q_sort_multi",
-    "q_topk",
-    "q_set_union_all",
-    "q_set_union_distinct",
-    "q_join_cross",          # P2
+    # -- rotated IN: no driver row since r01 ----------------------------
     "q_join_theta",
     "q_join_range",
     "q_join_asof",
@@ -126,6 +117,27 @@ CONTRACT_ORDER = (
     "q_win_dist",
     "q_set_intersect",
     "q_set_except",
+    # -- window fill: P1 ids kept in ------------------------------------
+    "q_filter_compound",
+    "q_win_rank",
+    "q_win_analytic",
+    "q_agg_stats",
+    "q_sort_multi",
+    "q_topk",
+    "q_join_broadcast",
+    # -- rotated OUT: green in r01+r02+r03, pytest-gated locally --------
+    "q_filter_like",
+    "q_join_left",
+    "q_join_full",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_multiway",
+    "q_agg_having",
+    "q_agg_distinct",
+    "q_win_frame_rows",
+    "q_set_union_all",
+    "q_set_union_distinct",
+    "q_join_cross",
 )
 
 # Modules whose import populates REGISTRY. Order roughly follows SURVEY §2.
