@@ -300,24 +300,50 @@ def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-range self-join: events of the same user within the next hour.
 
-    Equi key (user_id) + time band: Spark plans SMJ on user_id with the
-    band as post-condition — the scalable range-join shape (never a
-    cartesian product).
+    Naive shape would be SMJ on user_id with the time band as a
+    post-filter — but user_id is low-cardinality, so each group is a
+    quadratic all-pairs scan (O(per-user²): ruinous when one user holds
+    millions of events at 100 TB). Instead bucket both sides into
+    bins the width of the band (1 h): a right-side event within
+    (ta, ta+1h] can only live in a's bin or the next one, so expanding
+    the right side to (bin, bin-1) and equi-joining on
+    (user_id, bin) bounds candidates to adjacent-hour events — the
+    join key becomes (user, hour), sharding heavy users across time.
+    An inner bucketed join + re-join keeps the LEFT semantics
+    (zero-match events count 0).
     """
     e = load(spark, sf_dir, "events")
-    a = e.select(F.col("event_id").alias("event_id"), F.col("user_id").alias("ua"),
-                 F.col("ts").alias("ta"))
-    b = e.select(F.col("event_id").alias("eb"), F.col("user_id").alias("ub"),
-                 F.col("ts").alias("tb"))
-    cond = (
-        (F.col("ua") == F.col("ub"))
-        & (F.col("tb") > F.col("ta"))
-        & (F.col("tb") <= F.col("ta") + F.expr("INTERVAL 1 HOUR"))
+    bin_of = lambda c: (F.unix_timestamp(c) / F.lit(3600)).cast("long")  # noqa: E731
+    a = e.select(
+        "event_id",
+        F.col("user_id").alias("ua"),
+        F.col("ts").alias("ta"),
+        bin_of(F.col("ts")).alias("bin"),
     )
-    return (
-        a.join(b, cond, "left")
+    b = e.select(
+        F.col("event_id").alias("eb"),
+        F.col("user_id").alias("ub"),
+        F.col("ts").alias("tb"),
+        F.explode(
+            F.array(bin_of(F.col("ts")), bin_of(F.col("ts")) - F.lit(1))
+        ).alias("bin"),
+    )
+    band = (F.col("tb") > F.col("ta")) & (
+        F.col("tb") <= F.col("ta") + F.expr("INTERVAL 1 HOUR")
+    )
+    counts = (
+        a.join(b, (F.col("ua") == F.col("ub")) & (a["bin"] == b["bin"]))
+        .filter(band)
         .groupBy("event_id")
         .agg(F.count("eb").alias("n_within_hour"))
+    )
+    return (
+        e.select("event_id")
+        .join(counts, "event_id", "left")
+        .select(
+            "event_id",
+            F.coalesce(F.col("n_within_hour"), F.lit(0)).alias("n_within_hour"),
+        )
     )
 
 

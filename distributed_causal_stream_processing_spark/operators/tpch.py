@@ -1,11 +1,14 @@
-"""Composite TPC-H-style queries (Q3 / Q5 / Q6 / Q10 / Q14 / Q18 /
-Q19 analogues, adapted to the fixture's 1995-2001 date span and
-column subset — orders has no o_shippriority, so Q3 carries
-o_orderpriority; lineitem has no commitdate/receiptdate/shipmode, so
-Q4/Q12 shapes are out of reach; Q14 uses the fixture's categorical
-``p_type = 'PROMO'``; Q19's shipmode/shipinstruct conjuncts are
-dropped, keeping the brand/size/quantity disjunction that makes it a
-pushdown stress test. Q1 lives as the flagship ``q_agg_group``.
+"""Composite TPC-H-style queries (Q3 / Q4 / Q5 / Q6 / Q7 / Q8 / Q10 /
+Q13 / Q14 / Q15 / Q17 / Q18 / Q19 / Q22 analogues, adapted to the
+fixture's 1995-2001 date span and column subset — orders has no
+o_shippriority, so Q3 carries o_orderpriority; lineitem has no
+commitdate/receiptdate/shipmode, so Q12/Q21 shapes are out of reach
+(Q4's EXISTS survives via shipdate-lateness); there is no partsupp
+table, so Q2/Q9/Q11/Q16/Q20 are unexpressible; Q14 uses the fixture's
+categorical ``p_type = 'PROMO'``; Q19's shipmode/shipinstruct
+conjuncts are dropped, keeping the brand/size/quantity disjunction
+that makes it a pushdown stress test. Q1 lives as the flagship
+``q_agg_group``.
 
 The operator-level registry proves each primitive in isolation; these
 prove the primitives COMPOSE: multi-join star shapes, selective
@@ -458,6 +461,288 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
         .orderBy("cntrycode")
+    )
+
+
+@query(
+    "q_tpch_q7",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(sum(rev) AS DOUBLE) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               year(l_shipdate) AS l_year, {_REV_DEC} AS rev
+        FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+            OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 analogue (volume shipping): bilateral trade revenue
+    between two nations by ship year (fixture nation names NATION_3 /
+    NATION_7 stand in for FRANCE/GERMANY).
+
+    Composite shape: the nation pair disjunction prunes BOTH dim
+    sides before the fact joins — supplier and customer each shrink to
+    ~2/25 before touching lineitem, and both dims broadcast. The only
+    shuffles left are the lineitem⋈orders spine on orderkey and the
+    final 3-key rollup; the year extraction stays in codegen."""
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1998-01-01").cast("timestamp")
+    pair = ("NATION_3", "NATION_7")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name").isin(*pair))
+    s = load(spark, sf_dir, "supplier").join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("s_nationkey"),
+                             F.col("n_name").alias("supp_nation"))),
+        "s_nationkey",
+    )
+    c = load(spark, sf_dir, "customer").join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("c_nationkey"),
+                             F.col("n_name").alias("cust_nation"))),
+        "c_nationkey",
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s.select("s_suppkey", "supp_nation")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(c.select("c_custkey", "cust_nation"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "q_tpch_q8",
+    oracle=f"""
+    SELECT o_year,
+           round(CAST(sum(CASE WHEN nation = 'NATION_5' THEN rev
+                               ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                 / CAST(sum(rev) AS DOUBLE), 6) AS mkt_share
+    FROM (
+        SELECT year(o_orderdate) AS o_year, {_REV_DEC} AS rev,
+               n2.n_name AS nation
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region   ON n1.n_regionkey = r_regionkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+          AND p_type = 'PROMO'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 analogue (national market share): NATION_5 suppliers'
+    share of PROMO-part revenue sold into ASIA, by order year.
+
+    Composite shape: the deepest star in the suite — 8 tables. Every
+    dim (part filtered to PROMO, supplier+nation, customer+nation+
+    region filtered to ASIA) broadcasts; lineitem⋈orders is again the
+    only big shuffle. The share is a conditional aggregate over one
+    pass — no second scan for the denominator."""
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1998-01-01").cast("timestamp")
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = load(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    c = load(spark, sf_dir, "customer").join(
+        F.broadcast(n1.select(F.col("n_nationkey").alias("c_nationkey"))),
+        "c_nationkey",
+    )
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nationkey"), F.col("n_name").alias("nation")
+    )
+    s = load(spark, sf_dir, "supplier").join(F.broadcast(n2), "s_nationkey")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    li = load(spark, sf_dir, "lineitem")
+    rev = _rev()
+    return (
+        li.join(F.broadcast(p.select("p_partkey")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c.select("c_custkey"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s.select("s_suppkey", "nation")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_5", rev)
+                      .otherwise(F.lit(0).cast("decimal(18,4)")))
+                .cast("double")
+                / F.sum(rev).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "q_tpch_q13",
+    oracle="""
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer
+        LEFT JOIN orders ON c_custkey = o_custkey
+                        AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 analogue (customer distribution): histogram of
+    per-customer order counts, excluding urgent orders in the JOIN
+    CONDITION (not a post-filter — customers whose only orders are
+    urgent must still appear with count 0; the fixture lacks
+    o_comment, so priority stands in for the 'special requests'
+    pattern).
+
+    Composite shape: left outer join, then a double aggregation —
+    the first on the join key itself (so AQE can fold it into the
+    join's shuffle), the second over the tiny count domain."""
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@query(
+    "q_tpch_q15",
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no, sum({_REV_DEC}) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           CAST(total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 analogue (top supplier): supplier(s) whose one-quarter
+    revenue equals the maximum. The revenue CTE exists once on each
+    engine; the max is a scalar subquery.
+
+    Composite shape: one fact aggregation reused twice (Spark caches
+    nothing — the agg is cheap and Catalyst dedups the scan via
+    ReusedExchange when it can); the max is a one-row broadcast, and
+    the equality compares DECIMAL values — exact, order-independent —
+    so the float roundtrip can't drop the winner. Supplier is a
+    broadcast dim."""
+    lo = F.lit("1997-01-01").cast("timestamp")
+    hi = F.lit("1997-04-01").cast("timestamp")
+    revenue = (
+        load(spark, sf_dir, "lineitem")
+        .filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_rev()).alias("total_revenue"))
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q_tpch_q17",
+    oracle="""
+    SELECT round(CAST(sum(l_extendedprice) AS DOUBLE) / 7.0, 2) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#23'
+      AND l_quantity < 0.2 * (
+          SELECT avg(l_quantity) FROM lineitem l2
+          WHERE l2.l_partkey = lineitem.l_partkey
+      )
+    """,
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 analogue (small-quantity-order revenue): yearly-ized
+    revenue of Brand#23 lineitems whose quantity is below 20% of that
+    part's average (the fixture lacks p_container, so the brand filter
+    alone selects the part subset).
+
+    Composite shape: the correlated scalar subquery decorrelates into
+    a per-part average aggregation joined back on partkey. We compute
+    the per-part avg ONLY over parts that survive the brand filter
+    (semi-join pushdown the optimizer can't always find on its own:
+    the avg must still scan all lineitems OF those parts, but never
+    the other brands' lineitems), then broadcast the small per-part
+    avg table into the final filter."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23").select(
+        "p_partkey"
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    brand_li = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    part_avg = brand_li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        brand_li.join(
+            F.broadcast(part_avg), F.col("l_partkey") == F.col("ap_partkey")
+        )
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.round(
+                F.sum("l_extendedprice").cast("double") / F.lit(7.0), 2
+            ).alias("avg_yearly")
+        )
     )
 
 
