@@ -125,9 +125,9 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
 CARTESIAN_OK = {
     "q_join_cross",
     "q_join_theta",
-    "q_join_range",
     "q_join_asof",
     "q_join_salted",
+    "q_tpch_q15",  # 1-row max-revenue scalar broadcast crossed in
     "q_sim_ann_ivf",
     "q_sim_ivf_kmeans",  # broadcast k=8 centroid fan-out, same as ann_ivf
     "q_sim_cosine_topk",
@@ -439,3 +439,40 @@ def test_pattern_match_single_shuffle(spark):
     plan = _plan(df)
     assert plan.count("Exchange") <= 2  # partial/final agg pair max
     assert "Window" not in plan
+
+
+def test_tpch_q7_q8_dims_broadcast_no_cartesian(spark):
+    """The deep stars (Q7: 6 tables, Q8: 8 tables) must keep every dim
+    on the broadcast side — the fact spine is the only shuffle — and
+    the nation-pair / market-share disjunctions must never degrade to
+    a nested-loop join."""
+    for qid in ("q_tpch_q7", "q_tpch_q8"):
+        df = _registry()[qid].fn(spark, SF_SMOKE)
+        df.collect()
+        plan = _plan(df).split("== Initial Plan ==")[0]
+        assert "BroadcastHashJoin" in plan, qid
+        assert "NestedLoop" not in plan and "CartesianProduct" not in plan, qid
+
+
+def test_tpch_q17_decorrelates_to_broadcast(spark):
+    """Q17's correlated per-part average must decorrelate into an
+    aggregate joined back by broadcast — no per-row subquery, no
+    shuffle of the brand-filtered lineitems against the avg table."""
+    df = _registry()["q_tpch_q17"].fn(spark, SF_SMOKE)
+    df.collect()
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_join_range_is_bin_bucketed(spark):
+    """The time-range self-join must join on (user, hour-bin) — visible
+    as an explode (Generate) feeding the join and the bin in the join
+    keys — never a low-cardinality user-only join whose groups scan
+    all-pairs. The band predicate rides as a post-join filter."""
+    df = _registry()["q_join_range"].fn(spark, SF_SMOKE)
+    df.collect()
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    assert "Generate explode" in plan  # adjacent-bin expansion
+    assert "bin" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
