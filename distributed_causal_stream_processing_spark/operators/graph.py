@@ -177,7 +177,9 @@ def connected_components(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
             .localCheckpoint()
         )
         changed = merged.filter("shrunk").limit(1).count() > 0
-        labels = merged.select("node", F.col("new_label").alias("label")).localCheckpoint()
+        # merged is already materialized; labels is a narrow select over
+        # it, so a second checkpoint per round would only add a job
+        labels = merged.select("node", F.col("new_label").alias("label"))
         if not changed:
             break
     return labels.select("node", F.col("label").alias("component"))
