@@ -284,6 +284,66 @@ def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def banded_range_count(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    id_col: str,
+    band_seconds: int,
+    out_col: str = "n_in_band",
+) -> DataFrame:
+    """Count, per row, the same-key rows with ts in (row.ts,
+    row.ts + band_seconds] — the generic banded self-join.
+
+    Naive shape would be SMJ on the key with the time band as a
+    post-filter — but a low-cardinality (or skewed) key makes each
+    group a quadratic all-pairs scan (O(per-key²): ruinous when one
+    key holds millions of rows at 100 TB). Instead bucket both sides
+    into bins the width of the band: a right-side row within the band
+    of row a can only live in a's bin or the next one, so expanding
+    the right side to (bin, bin-1) and equi-joining on (key, bin)
+    bounds candidates to adjacent-bin rows — the join key becomes
+    (key, bin), sharding heavy keys across time. An inner bucketed
+    join + re-join keeps LEFT semantics (zero-match rows count 0).
+    Property-tested against brute force in tests/test_properties.py.
+    """
+    bin_of = lambda c: (F.unix_timestamp(c) / F.lit(band_seconds)).cast(  # noqa: E731
+        "long"
+    )
+    a = df.select(
+        F.col(id_col).alias("__ida"),
+        F.col(key).alias("__ka"),
+        F.col(ts).alias("__ta"),
+        bin_of(F.col(ts)).alias("__bin"),
+    )
+    b = df.select(
+        F.col(id_col).alias("__idb"),
+        F.col(key).alias("__kb"),
+        F.col(ts).alias("__tb"),
+        F.explode(
+            F.array(bin_of(F.col(ts)), bin_of(F.col(ts)) - F.lit(1))
+        ).alias("__bin"),
+    )
+    band = (F.col("__tb") > F.col("__ta")) & (
+        F.col("__tb")
+        <= F.col("__ta") + F.make_dt_interval(secs=F.lit(band_seconds))
+    )
+    counts = (
+        a.join(b, (F.col("__ka") == F.col("__kb")) & (a["__bin"] == b["__bin"]))
+        .filter(band)
+        .groupBy("__ida")
+        .agg(F.count("__idb").alias(out_col))
+    )
+    return (
+        df.select(F.col(id_col).alias("__ida"))
+        .join(counts, "__ida", "left")
+        .select(
+            F.col("__ida").alias(id_col),
+            F.coalesce(F.col(out_col), F.lit(0)).alias(out_col),
+        )
+    )
+
+
 @query(
     "q_join_range",
     oracle="""
@@ -298,52 +358,13 @@ def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time-range self-join: events of the same user within the next hour.
-
-    Naive shape would be SMJ on user_id with the time band as a
-    post-filter — but user_id is low-cardinality, so each group is a
-    quadratic all-pairs scan (O(per-user²): ruinous when one user holds
-    millions of events at 100 TB). Instead bucket both sides into
-    bins the width of the band (1 h): a right-side event within
-    (ta, ta+1h] can only live in a's bin or the next one, so expanding
-    the right side to (bin, bin-1) and equi-joining on
-    (user_id, bin) bounds candidates to adjacent-hour events — the
-    join key becomes (user, hour), sharding heavy users across time.
-    An inner bucketed join + re-join keeps the LEFT semantics
-    (zero-match events count 0).
-    """
+    """Time-range self-join: events of the same user within the next
+    hour, via the bin-bucketed ``banded_range_count`` (see its
+    docstring for the 100 TB shape rationale)."""
     e = load(spark, sf_dir, "events")
-    bin_of = lambda c: (F.unix_timestamp(c) / F.lit(3600)).cast("long")  # noqa: E731
-    a = e.select(
-        "event_id",
-        F.col("user_id").alias("ua"),
-        F.col("ts").alias("ta"),
-        bin_of(F.col("ts")).alias("bin"),
-    )
-    b = e.select(
-        F.col("event_id").alias("eb"),
-        F.col("user_id").alias("ub"),
-        F.col("ts").alias("tb"),
-        F.explode(
-            F.array(bin_of(F.col("ts")), bin_of(F.col("ts")) - F.lit(1))
-        ).alias("bin"),
-    )
-    band = (F.col("tb") > F.col("ta")) & (
-        F.col("tb") <= F.col("ta") + F.expr("INTERVAL 1 HOUR")
-    )
-    counts = (
-        a.join(b, (F.col("ua") == F.col("ub")) & (a["bin"] == b["bin"]))
-        .filter(band)
-        .groupBy("event_id")
-        .agg(F.count("eb").alias("n_within_hour"))
-    )
-    return (
-        e.select("event_id")
-        .join(counts, "event_id", "left")
-        .select(
-            "event_id",
-            F.coalesce(F.col("n_within_hour"), F.lit(0)).alias("n_within_hour"),
-        )
+    return banded_range_count(
+        e, key="user_id", ts="ts", id_col="event_id",
+        band_seconds=3600, out_col="n_within_hour",
     )
 
 

@@ -413,6 +413,44 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # engine-specific and non-portable.
 _SAMPLE_BUCKET = "(" + hex_u32_sql("md5(concat('smp', doc_id))") + ") % 10"
 
+_SHUFFLE_KEY = hex_u32_sql("md5(concat('shuf42-', doc_id))")
+
+
+@query(
+    "q_shuffle_deterministic",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(({_SHUFFLE_KEY}) AS BIGINT) AS shuffle_key,
+           CAST(({_SHUFFLE_KEY}) % 8 AS BIGINT) AS shard
+    FROM documents
+    ORDER BY shuffle_key, doc_id
+    """,
+)
+def q_shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded reproducible global shuffle: the epoch-shuffle primitive
+    of a training-data pipeline. Each document gets a pure-function
+    shuffle key (md5-derived u32 of seed+doc_id — same cross-engine
+    idiom as q_sample_hash) and a shard id; ordering by the key is a
+    deterministic permutation that every engine, run, and cluster
+    layout reproduces exactly — unlike rand(seed), whose draws depend
+    on partitioning.
+
+    Scale: the key is row-local (no shuffle to compute); the global
+    sort is Spark's range-partitioned sort — sampled boundaries, then
+    each partition sorts independently, no single-node bottleneck —
+    and a writer would emit one file per shard with rows already
+    key-ordered (partitionBy(shard) on the sink side). New epochs are
+    a seed change, not a data move."""
+    return (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.expr(_SHUFFLE_KEY).cast("bigint").alias("shuffle_key"),
+            (F.expr(_SHUFFLE_KEY) % 8).cast("bigint").alias("shard"),
+        )
+        .orderBy("shuffle_key", "doc_id")
+    )
+
 
 @query(
     "q_sample_hash",

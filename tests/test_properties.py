@@ -175,3 +175,49 @@ def test_connected_components_matches_union_find(spark, edges):
     got = {r.node: r.component for r in connected_components(df).collect()}
     nodes = sorted({n for e in edges for n in e})
     assert got == _union_find_components(edges, nodes)
+
+
+def _brute_band_count(rows, band):
+    """rid -> count of same-key rows with ts in (ts, ts+band]."""
+    out = {}
+    for rid, (k, ts) in enumerate(rows):
+        out[rid] = sum(
+            1
+            for rid2, (k2, ts2) in enumerate(rows)
+            if rid2 != rid and k2 == k and ts < ts2 <= ts + band
+        )
+    return out
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    rows=st.lists(st.tuples(_KEYS, _TS), min_size=1, max_size=14),
+    band=st.integers(min_value=1, max_value=5),
+)
+def test_banded_range_count_matches_bruteforce(spark, rows, band):
+    """The bin-bucketed banded self-join (q_join_range's engine) must
+    equal brute-force all-pairs counting — the tight _TS range forces
+    rows onto bin boundaries, equal timestamps, and adjacent-bin
+    crossings, exactly where the (bin, bin-1) expansion could slip.
+    Note duplicate (key, ts) pairs are allowed and must each count."""
+    from pyspark.sql import functions as F
+
+    from distributed_causal_stream_processing_spark.operators.joins import (
+        banded_range_count,
+    )
+
+    df = spark.createDataFrame(
+        [(k, ts, rid) for rid, (k, ts) in enumerate(rows)],
+        "k int, tsec int, rid int",
+    ).withColumn("ts", F.timestamp_seconds(F.col("tsec")))
+    got = {
+        r.rid: r.n_in_band
+        for r in banded_range_count(
+            df, key="k", ts="ts", id_col="rid", band_seconds=band
+        ).collect()
+    }
+    assert got == _brute_band_count(rows, band)
