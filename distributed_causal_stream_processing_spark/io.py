@@ -36,6 +36,17 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# Lazy-DataFrame cache: building `spark.read.parquet(path)` costs a
+# driver round-trip + file listing + footer schema read (~100 ms) every
+# time, and a 143-query bench calls load() several hundred times on the
+# same ten read-only fixture tables. DataFrames are immutable lazy
+# plans, so reusing one per (session, dir, table) is semantically
+# identical and drops that overhead — the same reason a production job
+# resolves a catalog table once, not per expression. Keyed by
+# applicationId so a stopped/rebuilt session can't serve stale handles.
+_DF_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table as a DataFrame.
 
@@ -50,6 +61,20 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    try:
+        app_id = spark.sparkContext.applicationId
+    except Exception:  # session stopped / remote-only — skip caching
+        app_id = None
+    key = (app_id, sf_dir, name)
+    if app_id is not None and key in _DF_CACHE:
+        return _DF_CACHE[key]
+    df = _load_uncached(spark, sf_dir, name)
+    if app_id is not None:
+        _DF_CACHE[key] = df
+    return df
+
+
+def _load_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
