@@ -9,6 +9,9 @@ The dedup ladder for a 100 TB corpus, cheapest first:
    an inverted-index join — only pairs sharing ≥1 shingle materialize.
 4. MinHash + LSH (`q_minhash_lsh`): 32 deterministic hash permutations
    → 8 bands of 4 → band-bucket join yields candidate pairs.
+5. exact substring (`q_dedup_exact_substring`): rolling token-window
+   hashes flag verbatim cross-document spans (Lee et al. 2021) that
+   both doc-level and near-dup methods miss.
 
 All hashing derives from md5 via SQL text valid in BOTH dialects
 (functions/hashing.py), so even SimHash and MinHash/LSH are fully
@@ -439,5 +442,100 @@ def q_pipeline_dedup_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             (-F.col("best.neg_id")).cast("bigint").alias("kept_doc_id"),
             F.col("best.q").alias("best_quality"),
             "n_members",
+        )
+    )
+
+
+_ESUB_W = 8  # token-window width (real pipelines run ~50; fixture docs are short)
+
+
+@query(
+    "q_dedup_exact_substring",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    wins AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, len(t) - {_ESUB_W} + 2),
+                   i -> md5(array_to_string(
+                            list_slice(t, i, i + {_ESUB_W - 1}), ' '))
+               )) AS wh
+        FROM toks
+        WHERE len(t) >= {_ESUB_W}
+    ),
+    shared AS (
+        SELECT wh FROM wins GROUP BY wh HAVING count(DISTINCT doc_id) > 1
+    ),
+    per_doc AS (
+        SELECT w.doc_id,
+               CAST(count(*) AS BIGINT) AS n_windows,
+               CAST(sum(CASE WHEN s.wh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_shared
+        FROM wins w LEFT JOIN shared s ON w.wh = s.wh
+        GROUP BY w.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(p.n_windows, 0) AS n_windows,
+           coalesce(p.n_shared, 0) AS n_shared,
+           coalesce(p.n_shared, 0) > 0 AS has_dup_span
+    FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+    """,
+)
+def q_dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication (the rolling-window method of Lee et
+    al. 2021, "Deduplicating Training Data Makes Language Models
+    Better"): every 8-token window is hashed; windows appearing in
+    more than one document mark verbatim cross-document spans that
+    doc-level and near-dup methods both miss (boilerplate, quoted
+    passages, licenses). Output is per-document: total windows, shared
+    windows, and a dup-span flag — step 5 of the dedup ladder above.
+
+    Scale shape: explode to (doc, window-hash) is linear in corpus
+    tokens; the shared-hash set is one hash-groupBy carrying (hash,
+    doc_id) only — never text; the join back is hash-equi. Nothing
+    quadratic: documents sharing a span never pair up row-wise, they
+    just mark the hash. A suffix-array build (the paper's exact
+    algorithm) needs a global sort of all suffixes; the fixed-width
+    window variant is the standard distributed relaxation and is what
+    the hash-groupBy expresses."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    wins = toks.filter(F.size("t") >= _ESUB_W).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - (_ESUB_W - 1)),
+                lambda i: F.md5(
+                    F.array_join(F.slice(F.col("t"), i, _ESUB_W), " ")
+                ),
+            )
+        ).alias("wh"),
+    )
+    shared = (
+        wins.groupBy("wh")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("wh", F.lit(1).alias("is_shared"))
+    )
+    per_doc = (
+        wins.join(shared, "wh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+            F.sum(F.coalesce(F.col("is_shared"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_shared"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            (F.coalesce("n_shared", F.lit(0)) > 0).alias("has_dup_span"),
         )
     )
