@@ -693,3 +693,35 @@ def q_agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
         )
     )
+
+
+@query("q_agg_hll_merge", oracle=None)  # sketch estimates have no DuckDB twin → rows-only
+def q_agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch view maintenance: per-month HLL sketches of
+    distinct customers, UNIONED into the all-time estimate — the
+    sketch-typed sibling of q_view_maintain's sum/count partials.
+    count(DISTINCT) partials are NOT mergeable (distinct sets must be
+    re-unioned from rows), so at 100 TB the only way to maintain a
+    distinct-count rollup incrementally — per partition, per day, per
+    ingest batch — is a mergeable sketch: each bucket keeps a fixed
+    ~KB-sized HLL, refresh touches only new buckets, and any rollup
+    (month → year → all-time) is hll_union over already-built state,
+    never a rescan. tests/test_parity.py bounds both levels within 5%
+    of exact; Datasketches HLL is deterministic for a given input, so
+    the driver's rows-only check is stable."""
+    o = load(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    ).agg(F.hll_sketch_agg("o_custkey").alias("sk"))
+    per_bucket = monthly.select(
+        F.date_format("month", "yyyy-MM").alias("bucket"),
+        F.hll_sketch_estimate("sk").cast("bigint").alias("n_customers_est"),
+    )
+    merged = (
+        monthly.agg(F.hll_union_agg("sk").alias("sk"))
+        .select(
+            F.lit("ALL").alias("bucket"),
+            F.hll_sketch_estimate("sk").cast("bigint").alias("n_customers_est"),
+        )
+    )
+    return per_bucket.unionAll(merged).orderBy("bucket")

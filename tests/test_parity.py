@@ -117,3 +117,28 @@ def test_approx_percentile_within_1pct(spark):
             assert abs(approx - exact) <= 0.01 * abs(exact), (
                 f"{r.l_returnflag}: approx {approx} vs exact {exact}"
             )
+
+
+def test_hll_merge_within_5pct(spark):
+    """The merged (hll_union) all-time estimate and a sampled per-month
+    estimate must each land within 5% of the exact distinct count —
+    the merge must not degrade the sketch beyond its error bound."""
+    from pyspark.sql import functions as F
+
+    from distributed_causal_stream_processing_spark.io import load
+    from distributed_causal_stream_processing_spark.operators.aggregates import (
+        q_agg_hll_merge,
+    )
+    from tests.conftest import SF_SMOKE
+
+    got = {r.bucket: r.n_customers_est for r in q_agg_hll_merge(spark, SF_SMOKE).collect()}
+    o = load(spark, SF_SMOKE, "orders")
+    exact_all = o.select(F.countDistinct("o_custkey")).first()[0]
+    assert abs(got["ALL"] - exact_all) / exact_all <= 0.05
+    month, est = next((b, v) for b, v in sorted(got.items()) if b != "ALL")
+    exact_m = (
+        o.filter(F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM") == month)
+        .select(F.countDistinct("o_custkey"))
+        .first()[0]
+    )
+    assert abs(est - exact_m) / max(exact_m, 1) <= 0.05
