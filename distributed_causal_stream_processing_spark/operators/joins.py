@@ -692,3 +692,60 @@ def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         F.coalesce("n", F.lit(0)).cast("bigint").alias("n_incidents"),
     )
+
+
+@query(
+    "q_join_theta_banded",
+    oracle="""
+    SELECT s.s_suppkey, c.c_custkey,
+           round(s.s_acctbal, 2) AS s_acctbal,
+           round(c.c_acctbal, 2) AS c_acctbal
+    FROM supplier s
+    JOIN customer c
+      ON c.c_acctbal > s.s_acctbal AND c.c_acctbal < s.s_acctbal + 500
+    """,
+)
+def q_join_theta_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same band predicate as q_join_theta — customer balance in
+    (supplier balance, supplier balance + 500) — but as a bucketed
+    EQUI join instead of the broadcast nested loop.
+
+    q_join_theta's BNLJ is fine while one side broadcasts; when BOTH
+    sides are large (the 100 TB case) a nested loop is O(|S|·|C|).
+    Banding fixes the complexity class the same way the time-range
+    join does (banded_range_count above): bucket each balance into
+    bins the width of the band (500), expand the supplier side to
+    (bin, bin+1) — a customer in (s, s+500) lies in s's bin or the
+    next — and equi-join on the bin before applying the exact band
+    predicate. Candidates shrink from all pairs to adjacent-bin
+    pairs, the join shuffles hash-partitioned on the bin key, and no
+    side needs to fit in memory. Same rows out, plan-asserted NLJ-free
+    (tests/test_plans.py)."""
+    s = load(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_acctbal",
+        F.explode(
+            F.array(
+                F.floor(F.col("s_acctbal") / 500).cast("long"),
+                F.floor(F.col("s_acctbal") / 500).cast("long") + 1,
+            )
+        ).alias("bin"),
+    )
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_acctbal",
+        F.floor(F.col("c_acctbal") / 500).cast("long").alias("bin"),
+    )
+    return (
+        s.join(c, "bin")
+        .filter(
+            (F.col("c_acctbal") > F.col("s_acctbal"))
+            & (F.col("c_acctbal") < F.col("s_acctbal") + 500)
+        )
+        .select(
+            "s_suppkey",
+            "c_custkey",
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+        )
+    )

@@ -476,3 +476,14 @@ def test_join_range_is_bin_bucketed(spark):
     assert "Generate explode" in plan  # adjacent-bin expansion
     assert "bin" in plan
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_join_theta_banded_is_equi_no_nlj(spark):
+    """The banded theta join must plan as a hash/SMJ equi join on the
+    balance bin — never the BroadcastNestedLoopJoin its q_join_theta
+    sibling deliberately demonstrates."""
+    df = _registry()["q_join_theta_banded"].fn(spark, SF_SMOKE)
+    df.collect()
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "Generate explode" in plan  # adjacent-bin expansion
