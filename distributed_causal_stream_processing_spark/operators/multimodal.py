@@ -243,3 +243,47 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection)."""
     frames = sample_frames(as_media_table(spark, sf_dir), n_frames=4)
     return frames.select("doc_id", "frame_no")
+
+
+@query(
+    "q_multimodal_dedup",
+    oracle="""
+    SELECT doc_id, payload_hash, n_copies
+    FROM (
+        SELECT doc_id, md5(text) AS payload_hash,
+               CAST(count(*) OVER (PARTITION BY md5(text)) AS BIGINT)
+                   AS n_copies,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id)
+                   AS rn
+        FROM documents
+    )
+    WHERE rn = 1
+    ORDER BY doc_id
+    """,
+)
+def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact media dedup: hash the opaque BINARY payload, keep the
+    lowest-id representative per hash, report the copy count — the
+    multimodal member of the dedup ladder (operators/dedup.py). At
+    100 TB the shuffle carries only (hash, doc_id, n_bytes): payload
+    bytes never move, because the hash is computed in the scan stage
+    next to the data. The fixture payload is documents.text as utf-8
+    (as_media_table), so DuckDB's md5(text) is byte-identical to
+    Spark's md5(binary) and the whole dedup value-checks."""
+    from pyspark.sql import Window as W
+
+    media = as_media_table(spark, sf_dir)
+    win = W.partitionBy("payload_hash")
+    return (
+        media.select("doc_id", F.md5("payload").alias("payload_hash"))
+        .withColumn(
+            "n_copies", F.count(F.lit(1)).over(win).cast("bigint")
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(win.orderBy("doc_id")),
+        )
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "payload_hash", "n_copies")
+        .orderBy("doc_id")
+    )
