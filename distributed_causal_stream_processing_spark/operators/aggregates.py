@@ -725,3 +725,43 @@ def q_agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per_bucket.unionAll(merged).orderBy("bucket")
+
+
+@query(
+    "q_agg_regression",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregates (regr_slope / intercept / r2 /
+    count): price-vs-quantity fit per return flag — the in-database
+    OLS family, completing the statistical aggregate surface beyond
+    q_agg_stats' corr/covar.
+
+    Scale shape: regression aggregates are sufficient-statistic
+    accumulators (n, Σx, Σy, Σxy, Σx²) — partial-aggregated map-side
+    like any sum, one shuffle of 5 doubles per group, whole-stage
+    codegen; the 100 TB cost is one scan."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.regr_count("l_extendedprice", "l_quantity")
+            .cast("bigint")
+            .alias("n_pairs"),
+            F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+            F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 2).alias(
+                "intercept"
+            ),
+            F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+        )
+        .orderBy("l_returnflag")
+    )
