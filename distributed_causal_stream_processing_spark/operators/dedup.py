@@ -15,6 +15,9 @@ The dedup ladder for a 100 TB corpus, cheapest first:
 6. incremental (`q_dedup_incremental`): a new ingest batch probes the
    existing corpus's LSH band-bucket index — the daily-ingestion path
    that never re-clusters the corpus.
+7. containment (`q_dedup_containment`): directed shingle containment
+   |A∩B|/|A| — catches truncated/subset duplicates that symmetric
+   Jaccard under-scores.
 
 All hashing derives from md5 via SQL text valid in BOTH dialects
 (functions/hashing.py), so even SimHash and MinHash/LSH are fully
@@ -602,3 +605,85 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     against DuckDB."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_INCR_LSH_SPARK)
+
+
+@query(
+    "q_dedup_containment",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS s
+        FROM documents
+        WHERE doc_id < 100 AND len(string_split(text, ' ')) >= 3
+    ),
+    shingles AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(s) - 1),
+                   i -> s[i] || ' ' || s[i+1] || ' ' || s[i+2])) AS grams
+        FROM toks
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               len(list_intersect(a.grams, b.grams)) AS inter,
+               len(a.grams) AS na
+        FROM shingles a JOIN shingles b ON a.doc_id <> b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(inter AS DOUBLE) / na, 4) AS containment
+    FROM pairs
+    WHERE inter > 0 AND CAST(inter AS DOUBLE) / na >= 0.5
+    """,
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup detection: DIRECTED shingle containment
+    C(a→b) = |grams(a) ∩ grams(b)| / |grams(a)| ≥ 0.5 — the asymmetric
+    complement of q_dedup_ngram_jaccard. Jaccard misses the
+    truncated-duplicate case (a short doc wholly contained in a long
+    one scores low Jaccard but containment ≈ 1); real pipelines flag
+    the contained side and keep the superset.
+
+    Same scalable formulation as the Jaccard query: inverted-index
+    join on shingle (only pairs sharing ≥1 shingle materialize, both
+    directions kept), count per directed pair, divide by the LEFT
+    side's shingle count. Same shingle-generation shape too
+    (posexplode + window lead — see the Jaccard docstring for why
+    explode(transform(...)) is a planner trap)."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .filter(F.size("toks") >= 3)
+    )
+    tok = d.select(
+        "doc_id", F.size("toks").alias("len"), F.posexplode("toks").alias("pos", "tok")
+    )
+    wl = W.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        tok.select(
+            "doc_id",
+            "pos",
+            "len",
+            F.concat_ws(
+                " ", "tok", F.lead("tok", 1).over(wl), F.lead("tok", 2).over(wl)
+            ).alias("gram"),
+        )
+        .filter(F.col("pos") <= F.col("len") - 3)
+        .select("doc_id", "gram")
+        .distinct()
+    )
+    wn = W.partitionBy("doc_id")
+    exploded = grams.select(
+        "doc_id", "gram", F.count(F.lit(1)).over(wn).alias("n_grams")
+    )
+    a = exploded.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("na"), "gram"
+    )
+    b = exploded.select(F.col("doc_id").alias("doc_b"), "gram")
+    cont = F.col("inter") / F.col("na").cast("double")
+    return (
+        a.join(b, ["gram"])
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "na")
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .filter(cont >= 0.5)
+        .select("doc_a", "doc_b", F.round(cont, 4).alias("containment"))
+    )
