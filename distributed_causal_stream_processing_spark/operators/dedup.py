@@ -687,3 +687,85 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cont >= 0.5)
         .select("doc_a", "doc_b", F.round(cont, 4).alias("containment"))
     )
+
+
+# MinHash accuracy evaluation: how well does signature agreement
+# estimate true token-set Jaccard on the pairs LSH actually surfaces?
+def _minhash_eval_sql(split_clause: str, str_type: str, unpivot: str) -> str:
+    agree = " + ".join(
+        f"(CASE WHEN sa.mh{j} = sb.mh{j} THEN 1 ELSE 0 END)"
+        for j in range(N_MINHASH)
+    )
+    return (
+        _minhash_cte(split_clause, str_type)
+        + f""",
+    band_rows AS ({unpivot}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM band_rows a
+        JOIN band_rows b
+          ON a.band_no = b.band_no AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM tokens GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS ni
+        FROM cand c
+        JOIN tokens ta ON ta.doc_id = c.doc_a
+        JOIN tokens tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+        GROUP BY c.doc_a, c.doc_b
+    )
+    , scored AS (
+        SELECT c.doc_a, c.doc_b,
+               round(CAST(({agree}) AS DOUBLE) / {N_MINHASH}, 4)
+                   AS est_jaccard,
+               round(CAST(i.ni AS DOUBLE) / (za.n + zb.n - i.ni), 4)
+                   AS exact_jaccard
+        FROM cand c
+        JOIN sigs sa ON sa.doc_id = c.doc_a
+        JOIN sigs sb ON sb.doc_id = c.doc_b
+        JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+        JOIN sizes za ON za.doc_id = c.doc_a
+        JOIN sizes zb ON zb.doc_id = c.doc_b
+    )
+    -- abs_err from the ROUNDED columns: rounding the unrounded
+    -- difference can flip on a representation boundary between
+    -- engines; the rounded inputs are bit-identical on both.
+    SELECT doc_a, doc_b, est_jaccard, exact_jaccard,
+           round(abs(est_jaccard - exact_jaccard), 4) AS abs_err
+    FROM scored
+    """
+    )
+
+
+_MINHASH_EVAL_DUCK = _minhash_eval_sql(
+    "SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok "
+    "FROM documents WHERE doc_id < 100",
+    "VARCHAR",
+    _UNPIVOT_DUCK,
+)
+_MINHASH_EVAL_SPARK = _minhash_eval_sql(
+    "SELECT doc_id, explode(array_distinct(split(text, ' '))) AS tok "
+    "FROM documents WHERE doc_id < 100",
+    "STRING",
+    _UNPIVOT_SPARK,
+)
+
+
+@query("q_minhash_accuracy_eval", oracle=_MINHASH_EVAL_DUCK)
+def q_minhash_accuracy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash quality evaluation: for every LSH candidate pair
+    (doc_id < 100 slice), the Jaccard ESTIMATE from 32-signature
+    agreement next to the EXACT token-set Jaccard and their absolute
+    error — the sketch-eval sibling of q_sim_recall_eval (which scores
+    the ANN side). A pipeline runs this on a sampled slice before
+    trusting a (bands, rows) configuration on the full corpus.
+
+    Scale shape: candidates come from the band-bucket join (linear-ish
+    after LSH), exact Jaccard is an inverted-index join restricted to
+    those candidates — the expensive exact computation is bounded by
+    the candidate set, never all pairs. E[estimate] = true Jaccard per
+    MinHash theory; the driver value-checks both columns exactly since
+    every hash is the deterministic md5 construction."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_MINHASH_EVAL_SPARK)
