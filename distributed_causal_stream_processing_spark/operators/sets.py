@@ -66,3 +66,47 @@ def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXCEPT (distinct semantics, matches SQL EXCEPT)."""
     lo, hi = _halves(spark, sf_dir)
     return lo.subtract(hi)
+
+
+# Multiset (ALL) variants need inputs WITH duplicates to mean anything:
+# (l_returnflag, l_linenumber) repeats heavily across lineitem.
+_BAGS_SQL = (
+    "(SELECT l_returnflag, l_linenumber FROM lineitem WHERE l_suppkey % 2 = 0)",
+    "(SELECT l_returnflag, l_linenumber FROM lineitem WHERE l_suppkey % 3 = 0)",
+)
+
+
+def _bags(spark: SparkSession, sf_dir: str):
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linenumber", "l_suppkey"
+    )
+    a = li.filter(F.col("l_suppkey") % 2 == 0).drop("l_suppkey")
+    b = li.filter(F.col("l_suppkey") % 3 == 0).drop("l_suppkey")
+    return a, b
+
+
+@query(
+    "q_set_except_all",
+    oracle=f"SELECT * FROM {_BAGS_SQL[0]} EXCEPT ALL SELECT * FROM {_BAGS_SQL[1]}",
+)
+def q_set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — multiset difference: a row occurring m times on the
+    left and n times on the right survives max(m-n, 0) times (plain
+    EXCEPT collapses to 0/1). Physically a per-row-value count
+    subtraction: one hash aggregation per side on the full row, never
+    a sort — the multiset semantics cost the same single shuffle as
+    DISTINCT does."""
+    a, b = _bags(spark, sf_dir)
+    return a.exceptAll(b)
+
+
+@query(
+    "q_set_intersect_all",
+    oracle=f"SELECT * FROM {_BAGS_SQL[0]} INTERSECT ALL SELECT * FROM {_BAGS_SQL[1]}",
+)
+def q_set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — multiset intersection: min(m, n) copies
+    survive. Same single-shuffle count-based physical shape as
+    EXCEPT ALL."""
+    a, b = _bags(spark, sf_dir)
+    return a.intersectAll(b)
