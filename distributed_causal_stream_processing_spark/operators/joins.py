@@ -749,3 +749,34 @@ def q_join_theta_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("c_acctbal", 2).alias("c_acctbal"),
         )
     )
+
+
+_LATERAL_SQL = """
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+    LATERAL (
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 2
+    ) t
+"""
+
+
+@query("q_join_lateral", oracle=_LATERAL_SQL)
+def q_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery: each customer's top-2 orders by
+    price, phrased as the per-row subquery a SQL-first user writes —
+    identical text runs on both engines. Complements q_topk_per_group
+    (the window formulation of the same task).
+
+    Scale note: Catalyst DECORRELATES the lateral — the plan is a join
+    + per-key limit (window/rank shape), never a per-customer subquery
+    execution; the correlated ORDER BY ... LIMIT becomes a bounded
+    per-group top-k after one shuffle on the join key, so the lateral
+    surface costs the same as the window formulation at 100 TB."""
+    from distributed_causal_stream_processing_spark.io import register_views
+
+    register_views(spark, sf_dir, tables=("customer", "orders"))
+    return spark.sql(_LATERAL_SQL)
