@@ -145,3 +145,25 @@ def test_events_load_normalizes_ts_to_timestamp(spark):
     # and the values are sane (the fixture domain is Jan 2024)
     row = df.selectExpr("min(ts) AS lo", "max(ts) AS hi").collect()[0]
     assert row.lo.year == 2024 and row.hi.year == 2024
+
+
+def test_load_cache_returns_equivalent_dataframe(spark):
+    """The per-session lazy-DataFrame cache (io._DF_CACHE) must be a
+    pure memoization: same schema, same rows, and a cache hit (no new
+    plan resolution) on the second call for the same (session, dir,
+    table)."""
+    from distributed_causal_stream_processing_spark import io
+
+    io._DF_CACHE.clear()
+    df1 = io.load(spark, SF_DIR, "orders")
+    assert any(k[2] == "orders" for k in io._DF_CACHE)
+    df2 = io.load(spark, SF_DIR, "orders")
+    assert df2 is df1  # cache hit returns the same lazy plan object
+    assert df1.schema == df2.schema
+    # events goes through the ts-normalization branch and must cache too
+    e1 = io.load(spark, SF_DIR, "events")
+    assert io.load(spark, SF_DIR, "events") is e1
+    # different sf_dir is a different cache entry, not a stale hit
+    other = io.load(spark, "/root/testdata/sf0.01", "orders")
+    assert other is not df1
+    assert other.count() > df1.count()
