@@ -533,3 +533,74 @@ def q_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("seq").cast("bigint").alias("n_events"),
         n_matches.cast("bigint").alias("n_matches"),
     ).filter(F.col("n_matches") >= 1)
+
+
+@query(
+    "q_win_rolling_zscore",
+    oracle="""
+    WITH rolled AS (
+        SELECT event_id, user_id, value,
+               CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                    OVER w AS BIGINT) AS sum_cents,
+               stddev_samp(value) OVER w AS sigma,
+               count(*) OVER w AS n_window
+        FROM events
+        WINDOW w AS (
+            PARTITION BY user_id
+            ORDER BY CAST(ts AS TIMESTAMP), event_id
+            ROWS BETWEEN 9 PRECEDING AND CURRENT ROW
+        )
+    )
+    SELECT event_id, user_id,
+           CAST(n_window AS BIGINT) AS n_window,
+           CAST((sum_cents * 100) // n_window AS DOUBLE) / 10000
+               AS rolling_mean,
+           CASE WHEN sigma IS NOT NULL AND sigma > 0
+                THEN round((value - CAST(sum_cents AS DOUBLE) / 100 / n_window)
+                           / sigma, 4) END AS zscore
+    FROM rolled
+    """,
+)
+def q_win_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score: each event's value standardized against the
+    trailing-10 window of its user's history — the streaming-friendly
+    outlier screen (the global-stats variant is q_agg_mad_outliers;
+    this one needs no second pass and adapts to drift).
+
+    Scale shape: one shuffle on user_id, one sort per partition; the
+    frame sum and stddev are incremental frame aggregates (no per-row
+    rescan of the frame). The mean is INTEGER-exact end to end: the
+    2-decimal values sum as cents (bigint), and the displayed mean is
+    a floor division in integer space — float round() diverges at
+    representation boundaries between Spark (shortest-decimal-string
+    HALF_UP) and DuckDB (binary-value rounding), observed on ~0.03%
+    of rows. Guarding sigma > 0 keeps the division NULL-identical."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, W.currentRow)
+    )
+    n = F.count(F.lit(1)).over(w)
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    sum_cents = F.sum(cents).over(w).cast("bigint")
+    mu = sum_cents.cast("double") / 100 / n
+    sigma = F.stddev_samp("value").over(w)
+    return e.select(
+        "event_id",
+        "user_id",
+        n.cast("bigint").alias("n_window"),
+        (
+            F.expr(
+                "CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) "
+                "OVER (PARTITION BY user_id ORDER BY ts, event_id "
+                "ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) * 100 DIV "
+                "count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+                "ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS DOUBLE)"
+            )
+            / 10000
+        ).alias("rolling_mean"),
+        F.when(
+            sigma.isNotNull() & (sigma > 0), F.round((F.col("value") - mu) / sigma, 4)
+        ).alias("zscore"),
+    )
