@@ -765,3 +765,33 @@ def q_agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "q_agg_bitwise",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(bit_or(l_linenumber) AS BIGINT) AS flags_or,
+           CAST(bit_and(l_linenumber) AS BIGINT) AS flags_and,
+           CAST(bit_xor(l_linenumber) AS BIGINT) AS flags_xor
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregates (bit_or / bit_and / bit_xor): the flag-set
+    rollup idiom — OR accumulates a capability/permission mask, AND
+    finds invariants across the group, XOR gives parity. Like sums,
+    these are associative-commutative partials: map-side combined,
+    one shuffle of a single long per group."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.bit_or("l_linenumber").cast("bigint").alias("flags_or"),
+            F.bit_and("l_linenumber").cast("bigint").alias("flags_and"),
+            F.bit_xor("l_linenumber").cast("bigint").alias("flags_xor"),
+        )
+        .orderBy("l_returnflag")
+    )
