@@ -795,3 +795,53 @@ def q_agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "q_agg_argminmax",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(max_by(l_orderkey,
+                CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    * 10000000000 + l_orderkey * 10 + l_linenumber)
+                AS BIGINT) AS priciest_orderkey,
+           round(max(l_extendedprice), 2) AS max_price,
+           CAST(min_by(l_orderkey,
+                CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    * 10000000000 + l_orderkey * 10 + l_linenumber)
+                AS BIGINT) AS cheapest_orderkey,
+           round(min(l_extendedprice), 2) AS min_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arg-extrema aggregates (max_by / min_by): which ORDER carries the
+    group's extreme price — the 'row of the max' idiom that otherwise
+    costs a self-join or window. Ties on price are broken by a UNIQUE
+    bigint composite (price-cents ‖ orderkey ‖ linenumber, exact
+    integer arithmetic), so both engines pick the same row
+    deterministically — max_by on a non-unique key is
+    engine-dependent.
+
+    Scale shape: max_by carries one (value, key) pair per group
+    through the partial/final aggregation — same single shuffle as
+    max itself."""
+    li = load(spark, sf_dir, "lineitem")
+    key = (
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint")
+        * F.lit(10000000000).cast("bigint")
+        + F.col("l_orderkey") * 10
+        + F.col("l_linenumber")
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.max_by("l_orderkey", key).cast("bigint").alias("priciest_orderkey"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+            F.min_by("l_orderkey", key).cast("bigint").alias("cheapest_orderkey"),
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        )
+        .orderBy("l_returnflag")
+    )

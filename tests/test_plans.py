@@ -487,3 +487,14 @@ def test_join_theta_banded_is_equi_no_nlj(spark):
     plan = _plan(df).split("== Initial Plan ==")[0]
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     assert "Generate explode" in plan  # adjacent-bin expansion
+
+
+def test_join_lateral_decorrelates(spark):
+    """The LATERAL correlated top-k subquery must decorrelate into a
+    join + per-group limit (window/rank shape) — never a per-row
+    subquery or nested-loop execution."""
+    df = _registry()["q_join_lateral"].fn(spark, SF_SMOKE)
+    df.collect()
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    assert "Window" in plan or "WindowGroupLimit" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
