@@ -53,23 +53,25 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # FIRST entries of ``queries()`` in insertion order, so the whole contract must
 # sit at the front, ahead of every extra query.
 #
-# Ordering policy (VERDICT.md round 3, item 6 — rotation): the driver
-# grades only the first ~50 entries, and 62 §2 ids exist, so 12 sit
-# outside the window each round. Rotate so the window covers the ids
+# Ordering policy (VERDICT.md round 3 item 6, round 4 item 1 — rotation):
+# the driver grades only the first ~50 entries, and 62 §2 ids exist, so 12
+# sit outside the window each round. Rotate so the window covers the ids
 # with the LEAST driver signal:
-# - positions 0-24: unchanged — the streaming/scalar/LLM/UDF block;
-#   its 9 events-backed ids ERR'd in r03 (events-loader regression,
-#   fixed round 4) and need fresh green rows;
+# - positions 0-24: unchanged — the streaming/scalar/LLM/UDF block
+#   (fresh green in r04 after the r03 loader fix; keep for continuity);
 # - positions 25-30: the six P0 relational ids — never leave the window;
-# - positions 31-42: the 12 ids that had NO driver row since r01
-#   (q_join_theta ... q_set_except) rotated INTO the window; this
-#   includes q_join_range/q_join_asof, also hit by the r03 loader bug;
-# - positions 43-49: P1 ids with 3 green rounds, kept to fill the window;
-# - positions 50-61: 12 ids with green driver rows in r01+r02+r03,
-#   rotated OUT this round (they are still pytest-parity-gated every
-#   session; rotate again next round);
+# - positions 31-42: the 12 ids parked during r04 (q_filter_like ...
+#   q_join_cross) rotated back IN — green in r01+r02+r03 but the r04
+#   window missed them; VERDICT r04 item 1 requires fresh rows;
+# - positions 43-49: P1 ids kept to fill the window;
+# - positions 50-61: the 12 ids rotated IN for r04 (q_join_theta ...
+#   q_set_except) rotated OUT — each now has a green r04 driver row and
+#   stays pytest-parity-gated every session;
 # - positions 62+: extras (TPC-H composites, graph, ANN variants, ...)
 #   in module insertion order.
+#
+# Driver-green history per id lives in COVERAGE.md ("last driver-green
+# round" column) — update it whenever this tuple changes.
 CONTRACT_ORDER = (
     # -- streaming / scalar families / LLM-pipeline / UDFs ---------------
     "q_causal_seq",          # P0 — the reference's core concept
@@ -104,28 +106,7 @@ CONTRACT_ORDER = (
     "q_join_inner",          # P0
     "q_agg_global",          # P0
     "q_agg_group",           # P0 flagship
-    # -- rotated IN: no driver row since r01 ----------------------------
-    "q_join_theta",
-    "q_join_range",
-    "q_join_asof",
-    "q_agg_rollup",
-    "q_agg_cube",
-    "q_agg_grouping_sets",
-    "q_agg_collect",
-    "q_agg_approx_distinct",
-    "q_win_frame_range",
-    "q_win_dist",
-    "q_set_intersect",
-    "q_set_except",
-    # -- window fill: P1 ids kept in ------------------------------------
-    "q_filter_compound",
-    "q_win_rank",
-    "q_win_analytic",
-    "q_agg_stats",
-    "q_sort_multi",
-    "q_topk",
-    "q_join_broadcast",
-    # -- rotated OUT: green in r01+r02+r03, pytest-gated locally --------
+    # -- rotated IN: parked during r04, need fresh driver rows ----------
     "q_filter_like",
     "q_join_left",
     "q_join_full",
@@ -138,6 +119,27 @@ CONTRACT_ORDER = (
     "q_set_union_all",
     "q_set_union_distinct",
     "q_join_cross",
+    # -- window fill: P1 ids kept in ------------------------------------
+    "q_filter_compound",
+    "q_win_rank",
+    "q_win_analytic",
+    "q_agg_stats",
+    "q_sort_multi",
+    "q_topk",
+    "q_join_broadcast",
+    # -- rotated OUT: fresh green in r04, pytest-gated locally ----------
+    "q_join_theta",
+    "q_join_range",
+    "q_join_asof",
+    "q_agg_rollup",
+    "q_agg_cube",
+    "q_agg_grouping_sets",
+    "q_agg_collect",
+    "q_agg_approx_distinct",
+    "q_win_frame_range",
+    "q_win_dist",
+    "q_set_intersect",
+    "q_set_except",
 )
 
 # Modules whose import populates REGISTRY. Order roughly follows SURVEY §2.
