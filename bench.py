@@ -98,6 +98,59 @@ def main() -> None:
         timings[name] = min(timings[name], retried[name])
     total = round(sum(timings.values()), 3)
 
+    # Iterative-quartet stability block (VERDICT r04 item 5): the four
+    # multi-job fixpoint queries are the ones a roving host-interference
+    # window inflates most (each runs 3+ supersteps, so one slow window
+    # taxes every superstep). Time one extra WARM pass each — plans,
+    # shuffles and file cache hot — so future rounds can tell "the
+    # engine regressed" (warm time moved) from "a host window hit the
+    # first pass" (warm time stable, first pass inflated). Also record
+    # JVM RSS and the RDD storage blocks still cached after the suite:
+    # every localCheckpoint in these queries must be freed by the
+    # ContextCleaner once its DataFrame is collected, or a 157-query
+    # session would accumulate gigabytes of dead checkpoint blocks.
+    quartet = (
+        "q_graph_pagerank",
+        "q_graph_components",
+        "q_sim_ivf_kmeans",
+        "q_dedup_lsh_groups",
+    )
+    warm: dict[str, float] = {}
+    for name in quartet:
+        if name not in queries or name in failures:
+            continue
+        t0 = time.perf_counter()
+        try:
+            queries[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception:  # noqa: BLE001 — stability probe is best-effort
+            continue
+        warm[name] = round(time.perf_counter() - t0, 3)
+    import gc
+
+    gc.collect()  # drop Python-side DataFrame refs so the cleaner can run
+    time.sleep(2)  # give the async ContextCleaner a beat
+    try:
+        sc = spark.sparkContext
+        rdd_blocks = len(sc._jsc.sc().getRDDStorageInfo())
+        mx = sc._jvm.java.lang.management.ManagementFactory.getRuntimeMXBean()
+        jvm_pid = int(mx.getName().split("@")[0])
+        with open(f"/proc/{jvm_pid}/status") as f:
+            rss_kb = next(
+                int(line.split()[1]) for line in f if line.startswith("VmRSS:")
+            )
+        jvm_rss_mb = round(rss_kb / 1024)
+    except Exception:  # noqa: BLE001
+        rdd_blocks, jvm_rss_mb = None, None
+    iterative = {
+        "first_pass": {n: first_pass.get(n) for n in quartet},
+        "final": {n: timings.get(n) for n in quartet},
+        "warm": warm,
+        "rdd_storage_blocks_after_suite": rdd_blocks,
+        "jvm_rss_mb_after_suite": jvm_rss_mb,
+    }
+
     # Stop the JVM BEFORE printing: Spark's log4j console appender also
     # writes to stdout, and a straggling WARN line printed after (or
     # interleaved with) the JSON would corrupt "the last stdout line is
@@ -117,6 +170,7 @@ def main() -> None:
         "first_pass": first_pass,
         "retried": retried,
         "failures": failures,
+        "iterative": iterative,
         "sf": sf,
     }
     with open(os.path.join(REPO_DIR, "BENCH_DETAIL.json"), "w") as f:
@@ -135,6 +189,11 @@ def main() -> None:
                 "n_failed": len(failures),
                 "failed": sorted(failures)[:10],
                 "queries": slowest,
+                "iterative": {
+                    "warm": warm,
+                    "rdd_blocks": rdd_blocks,
+                    "jvm_rss_mb": jvm_rss_mb,
+                },
             }
         )
     )

@@ -43,8 +43,30 @@ def table_path(sf_dir: str, name: str) -> str:
 # plans, so reusing one per (session, dir, table) is semantically
 # identical and drops that overhead — the same reason a production job
 # resolves a catalog table once, not per expression. Keyed by
-# applicationId so a stopped/rebuilt session can't serve stale handles.
-_DF_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+# applicationId so a stopped/rebuilt session can't serve stale handles,
+# and by the fixture's (mtime, size) fingerprint so a regenerated-in-place
+# parquet file (the driver rewrites fixtures between rounds) invalidates
+# the cached plan instead of serving its stale resolved schema.
+_DF_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _fingerprint(path: str) -> tuple:
+    """Cheap change-detection for a fixture file/dir: (mtime_ns, size).
+
+    For a directory (partitioned layout), stat the directory itself —
+    file add/remove bumps its mtime; in-place part rewrites are covered
+    by the driver always rewriting the whole fixture.
+    """
+    try:
+        st = os.stat(path)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (None, None)
+
+
+def invalidate_cache() -> None:
+    """Drop all cached fixture DataFrames (call after rewriting fixtures)."""
+    _DF_CACHE.clear()
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -65,7 +87,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         app_id = spark.sparkContext.applicationId
     except Exception:  # session stopped / remote-only — skip caching
         app_id = None
-    key = (app_id, sf_dir, name)
+    key = (app_id, sf_dir, name, _fingerprint(table_path(sf_dir, name)))
     if app_id is not None and key in _DF_CACHE:
         return _DF_CACHE[key]
     df = _load_uncached(spark, sf_dir, name)

@@ -548,18 +548,25 @@ def q_dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Incremental ingestion dedup: new batch vs existing corpus. The
-# boundary (doc_id < 400 = corpus, >= 400 = batch) models a daily
-# ingest against yesterday's index.
+# boundary is derived from the fixture — first 80% of the doc_id range
+# is "corpus", the rest is the ingest "batch" — so the daily-ingest
+# shape (big corpus, small batch) holds at every scale factor instead
+# of inverting when the fixture grows past a hard-coded id (ADVICE r04).
 def _incr_lsh_sql(split_clause: str, str_type: str, unpivot: str) -> str:
     return (
         _minhash_cte(split_clause, str_type)
         + f""",
     band_rows AS ({unpivot}),
+    boundary AS (
+        SELECT CAST(0.8 * max(doc_id) AS BIGINT) AS b FROM documents
+    ),
     corpus AS (
-        SELECT DISTINCT band_no, band_key FROM band_rows WHERE doc_id < 400
+        SELECT DISTINCT band_no, band_key FROM band_rows
+        WHERE doc_id < (SELECT b FROM boundary)
     ),
     batch AS (
-        SELECT doc_id, band_no, band_key FROM band_rows WHERE doc_id >= 400
+        SELECT doc_id, band_no, band_key FROM band_rows
+        WHERE doc_id >= (SELECT b FROM boundary)
     )
     SELECT b.doc_id,
            CAST(sum(CASE WHEN c.band_key IS NOT NULL THEN 1 ELSE 0 END)
@@ -715,16 +722,21 @@ def _minhash_eval_sql(split_clause: str, str_type: str, unpivot: str) -> str:
         JOIN tokens tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
         GROUP BY c.doc_a, c.doc_b
     )
+    -- LEFT JOIN inter: a candidate pair with ZERO token overlap (a pure
+    -- LSH false positive) must still be scored, at exact_jaccard = 0 —
+    -- an inner join would silently drop it and overstate LSH precision
+    -- (ADVICE r04).
     , scored AS (
         SELECT c.doc_a, c.doc_b,
                round(CAST(({agree}) AS DOUBLE) / {N_MINHASH}, 4)
                    AS est_jaccard,
-               round(CAST(i.ni AS DOUBLE) / (za.n + zb.n - i.ni), 4)
+               round(CAST(COALESCE(i.ni, 0) AS DOUBLE)
+                     / (za.n + zb.n - COALESCE(i.ni, 0)), 4)
                    AS exact_jaccard
         FROM cand c
         JOIN sigs sa ON sa.doc_id = c.doc_a
         JOIN sigs sb ON sb.doc_id = c.doc_b
-        JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+        LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
         JOIN sizes za ON za.doc_id = c.doc_a
         JOIN sizes zb ON zb.doc_id = c.doc_b
     )
@@ -825,12 +837,13 @@ def q_minhash_accuracy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT c.doc_a, c.doc_b,
                round(CAST(({agree}) AS DOUBLE) / {N_MINHASH}, 4)
                    AS est_jaccard,
-               round(CAST(i.ni AS DOUBLE) / (za.n + zb.n - i.ni), 4)
+               round(CAST(COALESCE(i.ni, 0) AS DOUBLE)
+                     / (za.n + zb.n - COALESCE(i.ni, 0)), 4)
                    AS exact_jaccard
         FROM cand c
         JOIN mh_eval_sigs sa ON sa.doc_id = c.doc_a
         JOIN mh_eval_sigs sb ON sb.doc_id = c.doc_b
-        JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+        LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
         JOIN sizes za ON za.doc_id = c.doc_a
         JOIN sizes zb ON zb.doc_id = c.doc_b
     )

@@ -307,9 +307,13 @@ def banded_range_count(
     join + re-join keeps LEFT semantics (zero-match rows count 0).
     Property-tested against brute force in tests/test_properties.py.
     """
-    bin_of = lambda c: (F.unix_timestamp(c) / F.lit(band_seconds)).cast(  # noqa: E731
-        "long"
-    )
+    # F.floor, not a cast: casting double→long truncates toward zero, so
+    # for pre-1970 (negative-epoch) timestamps bin 0 would be double-wide
+    # and the adjacent-bin expansion below could miss a candidate. floor
+    # gives uniform bins over the whole epoch range (ADVICE r04).
+    bin_of = lambda c: F.floor(  # noqa: E731
+        F.unix_timestamp(c) / F.lit(band_seconds)
+    ).cast("long")
     a = df.select(
         F.col(id_col).alias("__ida"),
         F.col(key).alias("__ka"),
@@ -456,6 +460,58 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_quantity").cast("decimal(18,2)"))
             .cast("double")
             .alias("total_qty"),
+        )
+    )
+
+
+@query(
+    "q_join_salted_events",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_join_salted_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted events⋈customer — the q_join_salted pattern on the
+    fixture's genuinely skewed key (events.user_id is zipf-ish: a few
+    hot users own a large share of events). Result is identical to the
+    plain join (the oracle is unsalted SQL); the shuffle is not: the
+    fact side's join key is extended with salt = pmod(hash(event_id), 8)
+    — a per-row value, so one hot user's events spread across all 8
+    (user_id, salt) reducer keys — and the small dim side is replicated
+    ×8 to meet them.
+
+    This is the manual pre-plan for the case AQE's runtime skew split
+    can't cover (stateful streaming joins, broadcast-disabled
+    environments); tests/test_plans.py asserts — with AQE OFF — that
+    the salt column participates in the physical join keys and the
+    pre-join exchange, i.e. the spread exists in the plan itself, not
+    as an AQE afterthought.
+
+    The dim is replicated with explode(sequence(0..7)) rather than a
+    crossJoin against range(8): same rows, but a Generate node instead
+    of a (nested-loop) join — keeps the plan cartesian-free so the
+    suite-wide no-NLJ audit stays meaningful."""
+    n_salts = F.lit(N_SALTS)
+    e = load(spark, sf_dir, "events").withColumn(
+        "salt", F.pmod(F.hash("event_id"), n_salts)
+    )
+    c = load(spark, sf_dir, "customer").withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(N_SALTS - 1)))
+    )
+    return (
+        e.join(c, (e.user_id == c.c_custkey) & (e.salt == c.salt))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # value is exactly 2dp in the fixture; a decimal sum is
+            # lossless and immune to cross-engine float-summation order
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
         )
     )
 

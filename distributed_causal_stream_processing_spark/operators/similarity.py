@@ -449,14 +449,196 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (cos ≥ 0.3) — semantic dedup.
-
-    Blocked-GEMM all-pairs with the threshold applied inside the kernel;
-    at 100 TB the same plan runs after LSH/IVF candidate pruning
-    (q_sim_ann_lsh shape) to cut the block-pair fan-out further.
+    """Embedding-cosine near-dup pairs (cos ≥ 0.3) — semantic dedup,
+    EXACT baseline: blocked-GEMM all-pairs with the threshold applied
+    inside the kernel. Deliberately quadratic — it exists to measure the
+    recall of the scale path, ``q_dedup_embedding_pruned`` (LSH-bucketed
+    candidates, nothing quadratic), which is what runs at 100 TB.
     """
     return _blocked_cosine_pairs(spark, sf_dir, thresh=0.3).select(
         "vec_a", "vec_b", F.round("sim", 4).alias("cos_sim")
+    )
+
+
+# Multi-table LSH for the pruned dedup path: the AND-OR construction.
+# Within a table, ALL planes must agree (AND — controls candidate
+# volume); a pair is a candidate if it collides in ANY table (OR —
+# recovers recall). One 8-plane table recalls only ~5% of cos≥0.3 pairs
+# on the fixture (measured by q_dedup_embedding_recall); 4 tables of 6
+# planes trade a bounded candidate increase for a several-fold recall
+# gain — the knob every production LSH index exposes. Planes reuse the
+# deterministic integer construction so buckets are bit-identical in
+# DuckDB.
+N_TABLES = 4
+PLANES_PER_TABLE = 6
+_PLANES_MT = [
+    [((97 * (i + 1) + 31 * d) % 13) - 6 for d in range(DIM)]
+    for i in range(N_TABLES * PLANES_PER_TABLE)
+]
+
+
+def _mt_plane_literal_sql(i: int) -> str:
+    return "[" + ", ".join(f"{v}.0" for v in _PLANES_MT[i]) + "]"
+
+
+def _mt_sig_sql(t: int) -> str:
+    return " || ".join(
+        f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"CAST({_mt_plane_literal_sql(t * PLANES_PER_TABLE + j)} AS DOUBLE[])) > 0 "
+        f"THEN '1' ELSE '0' END)"
+        for j in range(PLANES_PER_TABLE)
+    )
+
+
+_MT_SIG_COLS = ", ".join(f"{_mt_sig_sql(t)} AS b{t}" for t in range(N_TABLES))
+_MT_CAND_UNION = "\n        UNION ALL\n".join(
+    f"""        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])) AS sim
+        FROM sigs a JOIN sigs b ON a.b{t} = b.b{t} AND a.vec_id < b.vec_id"""
+    for t in range(N_TABLES)
+)
+
+
+@query(
+    "q_dedup_embedding_pruned",
+    oracle=f"""
+    WITH sigs AS (
+        SELECT vec_id, embedding, {_MT_SIG_COLS}
+        FROM embeddings
+    ),
+    cand AS (
+{_MT_CAND_UNION}
+    )
+    SELECT DISTINCT vec_a, vec_b, round(sim, 4) AS cos_sim
+    FROM cand
+    WHERE sim >= 0.3
+    """,
+)
+def q_dedup_embedding_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs, LSH-pruned — the 100 TB path that
+    retires ``q_dedup_embedding``'s quadratic plan (VERDICT r04 item 2).
+
+    Candidate generation is multi-table random-hyperplane LSH (see
+    N_TABLES block comment: AND over 6 planes per table bounds
+    candidates, OR over 4 tables recovers recall; the measured trade
+    lives in q_dedup_embedding_recall). Candidates are scored EXACTLY
+    with the codegen ``zip_with``+``aggregate`` dot and thresholded at
+    cos ≥ 0.3 — no Python anywhere: the blocked-GEMM kernel exists for
+    the dense all-pairs baseline, but on an already sparse candidate
+    set per-pair codegen scoring is cheaper than packing matrices. A
+    pair colliding in several tables is deduped by DISTINCT (sim is a
+    function of the pair, so distinct-on-all-columns is exact).
+
+    Semantics: output ⊆ the exact baseline (a true pair colliding in
+    no table is missed — the recall trade every LSH index makes). Both
+    engines derive identical buckets, so this is value-hash-checked,
+    not rows-only. Scale shape: one shuffle per table on the 6-bit
+    signature (N_TABLES × linear-ish), heavy buckets shard via AQE
+    skew-join; nothing quadratic in n.
+
+    tests/test_plans.py asserts the plan has no cartesian/nested-loop
+    join and no Python stage."""
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double("embedding").alias("emb"))
+        .withColumn("nrm", norm(F.col("emb")))
+    )
+
+    def table_sig(t: int):
+        return F.concat(
+            *[
+                F.when(
+                    dot(
+                        F.col("emb"),
+                        F.lit(_PLANES_MT[t * PLANES_PER_TABLE + j]).cast(
+                            "array<double>"
+                        ),
+                    )
+                    > 0,
+                    "1",
+                ).otherwise("0")
+                for j in range(PLANES_PER_TABLE)
+            ]
+        )
+
+    sigs = e.select(
+        "vec_id", "emb", "nrm", *[table_sig(t).alias(f"b{t}") for t in range(N_TABLES)]
+    )
+    per_table = []
+    for t in range(N_TABLES):
+        a = sigs.select(
+            F.col("vec_id").alias("vec_a"),
+            F.col("emb").alias("ea"),
+            F.col("nrm").alias("na"),
+            F.col(f"b{t}").alias("bucket"),
+        )
+        b = sigs.select(
+            F.col("vec_id").alias("vec_b"),
+            F.col("emb").alias("eb"),
+            F.col("nrm").alias("nb"),
+            F.col(f"b{t}").alias("bucket"),
+        )
+        per_table.append(
+            a.join(b, ["bucket"])
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b", scored("na", "nb").alias("sim"))
+        )
+    cand = per_table[0]
+    for t_df in per_table[1:]:
+        cand = cand.unionAll(t_df)
+    return (
+        cand.filter(F.col("sim") >= 0.3)
+        .select("vec_a", "vec_b", F.round("sim", 4).alias("cos_sim"))
+        .distinct()
+    )
+
+
+@query(
+    "q_dedup_embedding_recall",
+    oracle=f"""
+    WITH sigs AS (
+        SELECT vec_id, embedding, {_MT_SIG_COLS}
+        FROM embeddings
+    ),
+    exact_pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.3
+    ),
+    cand AS (
+{_MT_CAND_UNION}
+    ),
+    pruned_pairs AS (
+        SELECT DISTINCT vec_a, vec_b FROM cand WHERE sim >= 0.3
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM exact_pairs) AS n_exact,
+           (SELECT CAST(count(*) AS BIGINT) FROM pruned_pairs) AS n_pruned,
+           round(CAST((SELECT count(*) FROM pruned_pairs) AS DOUBLE)
+                 / (SELECT count(*) FROM exact_pairs), 4) AS recall
+    """,
+)
+def q_dedup_embedding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the LSH-pruned embedding dedup against the exact
+    baseline — the number that justifies shipping the pruned path at
+    100 TB (sibling of q_sim_recall_eval, which scores the ANN side).
+    Pruned pairs are a subset of exact pairs by construction (same
+    threshold, candidates only restricted), so recall = n_pruned /
+    n_exact; a pipeline reruns this on a sample whenever N_PLANES
+    changes. Eval-only: the exact side is the deliberately quadratic
+    baseline, run on a bounded slice/sample in production."""
+    exact = q_dedup_embedding(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact")
+    )
+    pruned = q_dedup_embedding_pruned(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pruned")
+    )
+    # two 1-row aggregates crossed — the standard scalar-broadcast shape
+    return exact.crossJoin(pruned).select(
+        "n_exact",
+        "n_pruned",
+        F.round(F.col("n_pruned") / F.col("n_exact"), 4).alias("recall"),
     )
 
 

@@ -123,19 +123,11 @@ def tws_available() -> bool:
         return False
 
 
-def causal_sequence_stream_tws(events: DataFrame) -> DataFrame:
-    """Same sequencer on Spark 4's transformWithState API.
-
-    transformWithState is the successor to applyInPandasWithState:
-    typed state variables (ValueState/ListState/MapState), timers, TTL,
-    and state-schema evolution. Identical semantics to
-    ``causal_sequence_stream``; kept alongside it because TWS requires
-    (a) the RocksDB state-store provider — set
-    ``spark.sql.streaming.stateStore.providerClass`` to
-    ``ROCKSDB_PROVIDER`` before starting the query — and (b) the
-    `protobuf` package (check ``tws_available()``), while the classic
-    API runs anywhere.
-    """
+def make_causal_processor():
+    """Build the TWS CausalProcessor class (defined inside a function so
+    cloudpickle serializes it by value — workers need no PYTHONPATH —
+    and so tests can instantiate it against a fake handle without the
+    protobuf wire protocol: the class itself only needs pyspark)."""
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
@@ -180,6 +172,26 @@ def causal_sequence_stream_tws(events: DataFrame) -> DataFrame:
         def close(self) -> None:
             pass
 
+    return CausalProcessor
+
+
+def causal_sequence_stream_tws(events: DataFrame) -> DataFrame:
+    """Same sequencer on Spark 4's transformWithState API.
+
+    transformWithState is the successor to applyInPandasWithState:
+    typed state variables (ValueState/ListState/MapState), timers, TTL,
+    and state-schema evolution. Identical semantics to
+    ``causal_sequence_stream``; kept alongside it because TWS requires
+    (a) the RocksDB state-store provider — set
+    ``spark.sql.streaming.stateStore.providerClass`` to
+    ``ROCKSDB_PROVIDER`` before starting the query — and (b) the
+    `protobuf` package (check ``tws_available()``), while the classic
+    API runs anywhere. The processor logic itself is unit-tested
+    against a fake state handle (tests/test_streaming.py), so the
+    absence of protobuf in this container gates only the wire protocol,
+    not the semantics.
+    """
+    CausalProcessor = make_causal_processor()
     return events.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=CausalProcessor(),
         outputStructType=CAUSAL_OUTPUT_SCHEMA,

@@ -49,8 +49,16 @@ def test_entry_smoke(spark):
 def test_approx_distinct_within_5pct(spark):
     """The HLL++ sketch (rows-only in the oracle gate because DuckDB's
     sketch differs) is still bounded: within 5% of the exact count per
-    group — the error contract SURVEY §2.4 declares."""
-    rows = _registry()["q_agg_approx_distinct"].fn(spark, SF_CORRECT).collect()
+    group — the error contract SURVEY §2.4 declares — and the sketch
+    runs at exactly the rsd SURVEY pins (0.02): a silently changed rsd
+    would shift the accuracy/size trade without failing the 5% gate."""
+    df = _registry()["q_agg_approx_distinct"].fn(spark, SF_CORRECT)
+    # rsd is the second argument of the aggregate in the optimized plan
+    import re
+
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert re.search(r"approx_count_distinct\(l_partkey#\d+L?, 0\.02", plan), plan
+    rows = df.collect()
     assert rows
     for r in rows:
         assert abs(r.approx_parts - r.exact_parts) <= 0.05 * r.exact_parts, (

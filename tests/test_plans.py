@@ -135,6 +135,7 @@ CARTESIAN_OK = {
     "q_text_collocations",  # 1-row corpus-totals broadcast crossed in
     "q_text_logprob",  # 1-row token-total broadcast crossed in
     "q_dedup_embedding",
+    "q_dedup_embedding_recall",  # 1-row exact/pruned counts crossed
     "q_sim_knn_label",
     "q_pivot",
     "q_mix_weights",  # 1-row totals broadcast crossed into domain counts
@@ -498,3 +499,46 @@ def test_join_lateral_decorrelates(spark):
     plan = _plan(df).split("== Initial Plan ==")[0]
     assert "Window" in plan or "WindowGroupLimit" in plan
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_salted_events_join_spreads_partitions_aqe_off(spark):
+    """With AQE and broadcast OFF (the environments the manual salt
+    exists for), the salted events⋈customer must shuffle both sides on
+    a key set that INCLUDES the salt — one hot user_id therefore hashes
+    to N_SALTS distinct reducer partitions by construction, visible in
+    the plan's hashpartitioning clauses, not applied at runtime by AQE."""
+    confs = {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = _registry()["q_join_salted_events"].fn(spark, SF_SMOKE)
+        plan = _plan(df)
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    parts = [
+        seg.split(")")[0]
+        for seg in plan.split("hashpartitioning(")[1:]
+    ]
+    salted = [p for p in parts if "salt" in p and ("user_id" in p or "c_custkey" in p)]
+    assert salted, f"no salted pre-join exchange in: {parts}"
+
+
+def test_dedup_embedding_pruned_no_cartesian_no_python(spark):
+    """The LSH-pruned embedding dedup (the 100 TB path replacing the
+    quadratic q_dedup_embedding baseline) must plan as an equi join on
+    the bucket signature — no cartesian/nested-loop pair enumeration,
+    and no Python stage: candidate scoring stays in codegen
+    (zip_with/aggregate), unlike the GEMM baseline's mapInPandas."""
+    df = _registry()["q_dedup_embedding_pruned"].fn(spark, SF_SMOKE)
+    df.collect()
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "bucket" in plan  # the signature is the join key
+    for py_op in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas", "BatchEvalPython"):
+        assert py_op not in plan, py_op
