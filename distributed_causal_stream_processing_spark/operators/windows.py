@@ -604,3 +604,63 @@ def q_win_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             sigma.isNotNull() & (sigma > 0), F.round((F.col("value") - mu) / sigma, 4)
         ).alias("zscore"),
     )
+
+
+@query(
+    "q_win_ignore_nulls",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN event_type = 'purchase' THEN value END AS purchase_value
+        FROM events
+    )
+    SELECT user_id, event_id,
+           round(last_value(purchase_value IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+               AS last_purchase,
+           round(first_value(purchase_value IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 2)
+               AS next_purchase
+    FROM ev
+    """,
+)
+def q_win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS analytic frames — forward-fill (most recent
+    purchase value at or before each event) and backward-fill (next
+    purchase at or after it) per user. The standard sparse→dense
+    carry-forward for feature generation: the fill happens inside the
+    window frame (``F.last(..., ignorenulls=True)``), so no self-join
+    or sentinel sorting is needed, and the single user_id shuffle
+    serves both directions. Events before a user's first purchase
+    yield NULL last_purchase (and symmetrically for next_purchase) —
+    IS NULL rows are part of the checked contract."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.col("event_type") == "purchase", F.col("value")).alias(
+            "purchase_value"
+        ),
+    )
+    fwd = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    bwd = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.last("purchase_value", ignorenulls=True).over(fwd), 2).alias(
+            "last_purchase"
+        ),
+        F.round(F.first("purchase_value", ignorenulls=True).over(bwd), 2).alias(
+            "next_purchase"
+        ),
+    )

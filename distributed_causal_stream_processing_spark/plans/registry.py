@@ -161,6 +161,7 @@ _QUERY_MODULES = (
     "distributed_causal_stream_processing_spark.operators.multimodal",
     "distributed_causal_stream_processing_spark.operators.tpch",
     "distributed_causal_stream_processing_spark.operators.graph",
+    "distributed_causal_stream_processing_spark.operators.recursion",
 )
 
 _loaded = False

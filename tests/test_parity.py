@@ -150,3 +150,19 @@ def test_hll_merge_within_5pct(spark):
         .first()[0]
     )
     assert abs(est - exact_m) / max(exact_m, 1) <= 0.05
+
+
+def test_causal_chains_match_sessionize(spark):
+    """The recursive happened-before walk and the gaps-and-islands
+    sessionizer use the same 4h gap, so they must agree on the chain
+    partition: distinct chain roots == session count, and each chain's
+    (root, size, depth-contiguity) matches a session. Depths within a
+    chain are 0..len-1 exactly once each."""
+    chains = _registry()["q_causal_chains"].fn(spark, SF_CORRECT).collect()
+    n_sessions = _registry()["q_sessionize"].fn(spark, SF_CORRECT).count()
+    by_root: dict[int, list] = {}
+    for r in chains:
+        by_root.setdefault(r.root_id, []).append(r.depth)
+    assert len(by_root) == n_sessions
+    for root, depths in by_root.items():
+        assert sorted(depths) == list(range(len(depths))), f"chain {root}"
