@@ -1164,3 +1164,129 @@ def q_sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count("ann_neighbor") / RECALL_K, 2).alias("recall_at_k"),
         )
     )
+
+
+# --- PCA: top principal component via fixed-round power iteration --------
+
+N_PCA_ITERS = 3
+
+
+def _pca_duck(dim: int, iters: int) -> str:
+    """Unrolled power iteration as one DuckDB query. Determinism pins:
+    the covariance matrix and every matvec are rounded to 6 dp, so
+    both engines iterate over bit-identical inputs despite differing
+    float-summation orders (the kmeans-oracle trick)."""
+    ctes = [
+        f"""comp AS (
+        SELECT vec_id, t.i, CAST(embedding[t.i] AS DOUBLE) AS x
+        FROM embeddings CROSS JOIN range(1, {dim + 1}) t(i))""",
+        """mu AS (SELECT i, round(avg(x), 6) AS mu FROM comp GROUP BY i)""",
+        """cen AS (
+        SELECT vec_id, comp.i, x - mu AS xc
+        FROM comp JOIN mu USING (i))""",
+        """cm AS (
+        SELECT a.i, b.i AS j, round(avg(a.xc * b.xc), 6) AS cij
+        FROM cen a JOIN cen b USING (vec_id)
+        GROUP BY a.i, b.i)""",
+        f"""v0 AS (SELECT t.i AS j, 1.0 AS v FROM range(1, {dim + 1}) t(i))""",
+    ]
+    prev = "v0"
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"""w{t} AS (
+        SELECT cm.i, round(sum(cij * v), 6) AS w
+        FROM cm JOIN {prev} p ON cm.j = p.j GROUP BY cm.i)"""
+        )
+        ctes.append(f"""s{t} AS (SELECT sqrt(sum(w * w)) AS s FROM w{t})""")
+        ctes.append(
+            f"""v{t} AS (
+        SELECT i AS j, round(w / s, 6) AS v FROM w{t} CROSS JOIN s{t})"""
+        )
+        prev = f"v{t}"
+    ctes.append(
+        f"""cv AS (
+        SELECT cm.i, sum(cij * v) AS wv
+        FROM cm JOIN {prev} p ON cm.j = p.j GROUP BY cm.i)"""
+    )
+    ctes.append(
+        f"""lam AS (
+        SELECT round(sum(wv * v), 4) AS eigenvalue
+        FROM cv JOIN {prev} p ON cv.i = p.j)"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT CAST(p.j AS BIGINT) AS dim_idx, p.v AS loading, eigenvalue
+    FROM {prev} p CROSS JOIN lam"""
+    )
+
+
+@query("q_embed_pca_power", oracle=_pca_duck(DIM, N_PCA_ITERS))
+def q_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by power
+    iteration — the kernel of embedding postprocessing (whitening /
+    all-but-the-top common-direction removal) run entirely in the
+    engine, value-hash-checked against an unrolled-CTE oracle.
+
+    Distributed shape, and why it scales to 100 TB of vectors:
+    the only pass over the corpus builds the 64×64 covariance matrix —
+    posexplode to (vec_id, dim, value), one broadcast of the 64-row
+    mean vector, a vec_id-local pair join (64² rows per vector, never
+    shuffled raw: partial aggregation collapses each task to ≤4096
+    (i,j) cells before the exchange). Everything after — ``iters``
+    matvec+normalize rounds and the Rayleigh quotient — touches only
+    64×64 data, broadcast-joined, independent of corpus size. Both
+    engines round the covariance and every matvec to 6 dp, so the
+    iteration is bit-stable across summation orders. v₀ is all-ones —
+    deliberately: the first matvec is then a sum of 6 dp-exact cells,
+    itself exactly on the rounding grid, so no round-half tie can
+    split the engines (Spark HALF_UPs the shortest-decimal expansion,
+    DuckDB scales-and-rints — they disagree precisely on ties, which
+    a fractional v₀ like 1/8 would manufacture en masse; same reason
+    the final loading ships at the iteration's native 6 dp instead of
+    being re-rounded). The iteration count is fixed (power
+    iteration converges geometrically in the spectral-gap ratio — the
+    eval column to watch is `eigenvalue` stabilizing across rounds)."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.posexplode(as_double("embedding")).alias("p", "x")
+    )
+    comp = e.select("vec_id", (F.col("p") + 1).alias("i"), "x")
+    mu = comp.groupBy("i").agg(F.round(F.avg("x"), 6).alias("mu"))
+    cen = comp.join(F.broadcast(mu), "i").select(
+        "vec_id", "i", (F.col("x") - F.col("mu")).alias("xc")
+    )
+    a = cen.select("vec_id", "i", F.col("xc").alias("xi"))
+    b = cen.select("vec_id", F.col("i").alias("j"), F.col("xc").alias("xj"))
+    cm = (
+        a.join(b, "vec_id")
+        .groupBy("i", "j")
+        .agg(F.round(F.avg(F.col("xi") * F.col("xj")), 6).alias("cij"))
+    )
+    v = spark.range(1, DIM + 1).select(
+        F.col("id").alias("j"), F.lit(1.0).alias("v")
+    )
+    for _ in range(N_PCA_ITERS):
+        w = (
+            cm.join(F.broadcast(v), "j")
+            .groupBy("i")
+            .agg(F.round(F.sum(F.col("cij") * F.col("v")), 6).alias("w"))
+        )
+        s = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("s"))
+        v = w.crossJoin(F.broadcast(s)).select(
+            F.col("i").alias("j"), F.round(F.col("w") / F.col("s"), 6).alias("v")
+        )
+    cv = (
+        cm.join(F.broadcast(v), "j")
+        .groupBy("i")
+        .agg(F.sum(F.col("cij") * F.col("v")).alias("wv"))
+    )
+    lam = (
+        cv.join(F.broadcast(v), cv["i"] == v["j"])
+        .agg(F.round(F.sum(F.col("wv") * F.col("v")), 4).alias("eigenvalue"))
+    )
+    return v.crossJoin(F.broadcast(lam)).select(
+        F.col("j").cast("bigint").alias("dim_idx"),
+        F.col("v").alias("loading"),
+        "eigenvalue",
+    )
