@@ -20,12 +20,13 @@ per-key monotone sequences across micro-batches.
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
 import shutil
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -510,14 +511,36 @@ def run_cdc_merge_stream(spark: SparkSession, stream_dir: str, sink_root: str) -
 
 
 def stage_events_time_ordered(
-    spark: SparkSession, sf_dir: str, out_dir: str, n_files: int = 4
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    n_files: int = 4,
+    n_sentinels: int = 0,
 ) -> None:
     """Stage the events fixture as N parquet files split by TIME RANGE,
     written oldest-first with strictly increasing mtimes, so the file
     source replays micro-batches in causal order (the staging a
     log-compacted topic or date-partitioned landing zone provides in
     production). Contrast stage_events_as_stream_dir, whose arbitrary
-    split exercises the late-event paths instead."""
+    split exercises the late-event paths instead.
+
+    n_sentinels > 0 appends that many single-batch files 40+ days in
+    the future so the watermark provably passes every real event, and
+    the extra batches give eviction-driven output (outer-join nulls,
+    final windows) a batch to emit in — Spark emits state evicted by a
+    watermark advance in the FOLLOWING micro-batch, so a stream that
+    just stops at the last real file never flushes its tail.
+
+    Each sentinel file carries one 'click' AND one 'purchase' row
+    (negative event_id, users 999_99x) rather than a neutral 'view':
+    Catalyst pushes a downstream ``event_type = ...`` filter BELOW the
+    EventTimeWatermark operator, so the watermark advances on
+    post-filter rows only — a sentinel a query filters out is
+    invisible to that query's watermark and flushes nothing (observed:
+    a 'view' sentinel left the outer join's global watermark pinned at
+    last-click − delay while the purchase side had advanced hours
+    further). Consumers exclude sentinels by ``event_id >= 0``.
+    """
     import os
     import time
 
@@ -529,9 +552,23 @@ def stage_events_time_ordered(
     # percentile boundaries on event time -> n_files contiguous slices
     qs = [i / n_files for i in range(1, n_files)]
     bounds = e.approxQuantile("_us", qs, 0.0)
+    max_ts = e.agg(F.max("ts")).collect()[0][0]
     os.makedirs(out_dir, exist_ok=True)
     lo = None
-    base = time.time() - n_files
+    base = time.time() - n_files - n_sentinels
+
+    def lift_single_file(df, idx: int) -> None:
+        tmp = os.path.join(out_dir, f"_tmp_{idx}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        # the file source does not recurse: lift the single data file up
+        # into out_dir as a flat sibling with a strictly increasing mtime
+        data = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
+        assert len(data) == 1, data
+        dst = os.path.join(out_dir, f"slice_{idx}.parquet")
+        os.replace(os.path.join(tmp, data[0]), dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (base + idx, base + idx))
+
     for i in range(n_files):
         hi = bounds[i] if i < len(bounds) else None
         part = e
@@ -539,14 +576,67 @@ def stage_events_time_ordered(
             part = part.filter(F.col("_us") >= lo)
         if hi is not None:
             part = part.filter(F.col("_us") < hi)
-        tmp = os.path.join(out_dir, f"_tmp_{i}")
-        part.drop("_us").coalesce(1).write.mode("overwrite").parquet(tmp)
-        # the file source does not recurse: lift the single data file up
-        # into out_dir as a flat sibling with a strictly increasing mtime
-        data = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
-        assert len(data) == 1, data
-        dst = os.path.join(out_dir, f"slice_{i}.parquet")
-        os.replace(os.path.join(tmp, data[0]), dst)
-        shutil.rmtree(tmp)
-        os.utime(dst, (base + i, base + i))
+        lift_single_file(part.drop("_us"), i)
         lo = hi
+    for s in range(n_sentinels):
+        sent_ts = max_ts + datetime.timedelta(days=40 + s)
+        sent = spark.createDataFrame(
+            [
+                (-1 - 2 * s, sent_ts, 999_998, "click", 0.0, "{}"),
+                (-2 - 2 * s, sent_ts, 999_997, "purchase", 0.0, "{}"),
+            ],
+            schema=EVENT_SCHEMA,
+        )
+        lift_single_file(sent, n_files + s)
+
+
+def run_stream_stream_join_outer(
+    spark: SparkSession, stream_dir: str, watermark: str = "1 hour"
+) -> list:
+    """Stream-stream LEFT OUTER click→purchase attribution: clicks with
+    no purchase in the following hour must still emit, with NULL
+    purchase columns, once the watermark proves no match can arrive.
+
+    This is the semantics inner joins cannot give: the null row is a
+    *negative* fact ("user clicked and did not convert") that only
+    becomes safe to assert after event time passes c_ts + band +
+    watermark — Spark buffers the click in the join state store until
+    then, and emits the null in the micro-batch AFTER the eviction
+    (hence the staged log's future-dated sentinel files; see
+    stage_events_time_ordered). State stays bounded by rate ×
+    (watermark + band) because the time-band condition bounds both
+    buffers — the same contract as the inner join.
+    """
+
+    def side(event_type: str, prefix: str) -> DataFrame:
+        return (
+            events_stream(spark, stream_dir, watermark=watermark)
+            .filter(F.col("event_type") == event_type)
+            .select(
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+        )
+
+    clicks, purchases = side("click", "c"), side("purchase", "p")
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join_outer_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        return spark.sql(
+            "SELECT c_id, p_id FROM ss_join_outer_out WHERE c_id >= 0"
+        ).collect()
+    finally:
+        q.stop()

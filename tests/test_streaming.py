@@ -698,3 +698,40 @@ def test_pattern_match_stream_matches_batch(spark, tmp_path):
     batch = all_queries()["q_event_pattern"](spark, SF_SMOKE).collect()
     want = {r.user_id: r.n_matches for r in batch}  # only users with >=1 match
     assert {u: n for u, n in got_matches.items() if n > 0} == want
+
+
+def test_stream_stream_outer_join_emits_nulls(spark, tmp_path):
+    """LEFT OUTER stream-stream join: clicks with no purchase within
+    the hour emit exactly once with NULL purchase id — but only after
+    the watermark proves no match can arrive (negative facts need the
+    time-ordered staged log + future sentinels to flush). Result must
+    equal the batch left join exactly: same matched pairs AND the same
+    unmatched-click set, nothing dropped, nothing duplicated."""
+    from distributed_causal_stream_processing_spark.io import load
+    from distributed_causal_stream_processing_spark.streaming import jobs
+
+    d = str(tmp_path / "ordered_stream")
+    jobs.stage_events_time_ordered(spark, SF_SMOKE, d, n_files=4, n_sentinels=2)
+
+    got = [(r.c_id, r.p_id) for r in jobs.run_stream_stream_join_outer(spark, d)]
+
+    e = load(spark, SF_SMOKE, "events")
+    c = e.filter("event_type = 'click'").selectExpr(
+        "user_id AS cu", "event_id AS c_id", "ts AS c_ts"
+    )
+    p = e.filter("event_type = 'purchase'").selectExpr(
+        "user_id AS pu", "event_id AS p_id", "ts AS p_ts"
+    )
+    want = [
+        (r.c_id, r.p_id)
+        for r in c.join(
+            p,
+            (F.col("cu") == F.col("pu"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+            "left_outer",
+        ).collect()
+    ]
+    assert sorted(got, key=str) == sorted(want, key=str)
+    nulls = [g for g in got if g[1] is None]
+    assert nulls, "no unmatched clicks emitted — outer semantics untested"
