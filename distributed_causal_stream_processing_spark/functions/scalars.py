@@ -326,3 +326,37 @@ def q_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_flags"
         ),
     )
+
+
+@query(
+    "q_array_higher_order",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+           round(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                         x -> x * x)), 5) AS sumsq,
+           len(list_filter(CAST(embedding AS DOUBLE[]),
+                           x -> abs(x) > 0.4)) > 0 AS has_large
+    FROM embeddings
+    """,
+)
+def q_array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lambda higher-order array functions — transform / filter /
+    aggregate / exists — the codegen'd per-element surface q_array_funcs
+    (split/size/contains/sort/explode) does not touch. Runs over the
+    embedding vectors: positive-component count, sum of squares (the
+    fold both engines evaluate LEFT-TO-RIGHT in array order, so the
+    float sum is bit-identical and the 5 dp round is cosmetic), and an
+    any-large-component existence probe. No explode anywhere: each
+    lambda runs inside the row, so the operator is shuffle-free."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    )
+    return e.select(
+        "vec_id",
+        F.size(F.filter("emb", lambda x: x > 0)).cast("bigint").alias("n_pos"),
+        F.round(
+            F.aggregate("emb", F.lit(0.0), lambda acc, x: acc + x * x), 5
+        ).alias("sumsq"),
+        F.exists("emb", lambda x: F.abs(x) > 0.4).alias("has_large"),
+    )

@@ -852,3 +852,58 @@ def q_minhash_accuracy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM scored
     """
     )
+
+
+@query(
+    "q_dedup_fuzzy",
+    oracle="""
+    SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+    FROM part a
+    JOIN part b
+      ON a.p_brand = b.p_brand
+     AND a.p_partkey < b.p_partkey
+     AND abs(length(a.p_name) - length(b.p_name)) <= 2
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+)
+def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy key matching (entity resolution): same-brand part pairs
+    whose names are within Levenshtein distance 2 — the
+    typo/variant-dedup family that exact and shingle dedup both miss
+    (an edit inside a token changes every covering shingle, but moves
+    edit distance by 1).
+
+    Scale shape: the join is EQUI on the blocking key (p_brand), so no
+    cross-block pair is ever enumerated — at 100 TB the block key
+    widens to (brand, length-band) to keep blocks bounded, same plan.
+    The length-difference guard is a free pre-filter (|len(a)-len(b)|
+    lower-bounds edit distance), and Spark's three-argument
+    ``levenshtein(l, r, threshold)`` early-exits the DP outside a
+    ±threshold band — O(len·threshold) per pair instead of O(len²),
+    returning -1 past the bound (filtered; the oracle's two-argument
+    form computes the full distance and filters to the same set)."""
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
+    a = p.select(
+        F.col("p_partkey").alias("part_a"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_name").alias("name_a"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("part_b"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_name").alias("name_b"),
+    )
+    return (
+        a.join(b, ["brand"])
+        .filter(
+            (F.col("part_a") < F.col("part_b"))
+            & (F.abs(F.length("name_a") - F.length("name_b")) <= 2)
+        )
+        .select(
+            "part_a",
+            "part_b",
+            F.levenshtein("name_a", "name_b", 2).cast("bigint").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") >= 0)
+    )

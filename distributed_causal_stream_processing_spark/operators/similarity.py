@@ -586,7 +586,6 @@ def q_dedup_embedding_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         _mt_candidates(spark, sf_dir)
         .filter(F.col("sim") >= 0.3)
         .select("vec_a", "vec_b", F.round("sim", 4).alias("cos_sim"))
-        .distinct()
     )
 
 
@@ -620,7 +619,7 @@ def _mt_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     sigs = e.select(
-        "vec_id", "emb", "nrm", *[table_sig(t).alias(f"b{t}") for t in range(N_TABLES)]
+        "vec_id", *[table_sig(t).alias(f"b{t}") for t in range(N_TABLES)]
     )
 
     def probe_keys(t: int):
@@ -637,29 +636,42 @@ def _mt_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         return F.array(*variants)
 
+    # Candidate generation stays NARROW — (vec_id, bucket) rows only —
+    # and pairs are made DISTINCT before any vector is touched: a pair
+    # colliding in k of the 8 tables would otherwise be scored k times
+    # with the 64-dim arrays dragged through every bucket shuffle
+    # (measured 2× slower at sf0.1). The embeddings join back on ids
+    # against the (distinct) pair list, so each surviving pair is
+    # scored exactly once.
     per_table = []
     for t in range(N_TABLES):
         a = sigs.select(
             F.col("vec_id").alias("vec_a"),
-            F.col("emb").alias("ea"),
-            F.col("nrm").alias("na"),
             F.explode(probe_keys(t)).alias("bucket"),
         )
-        b = sigs.select(
-            F.col("vec_id").alias("vec_b"),
-            F.col("emb").alias("eb"),
-            F.col("nrm").alias("nb"),
-            F.col(f"b{t}").alias("bucket"),
-        )
+        b = sigs.select(F.col("vec_id").alias("vec_b"), F.col(f"b{t}").alias("bucket"))
         per_table.append(
             a.join(b, ["bucket"])
             .filter(F.col("vec_a") < F.col("vec_b"))
-            .select("vec_a", "vec_b", scored("na", "nb").alias("sim"))
+            .select("vec_a", "vec_b")
         )
-    cand = per_table[0]
+    pairs = per_table[0]
     for t_df in per_table[1:]:
-        cand = cand.unionAll(t_df)
-    return cand
+        pairs = pairs.unionAll(t_df)
+    pairs = pairs.distinct()
+    ea = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("emb").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    eb = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("emb").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    return pairs.join(ea, ["vec_a"]).join(eb, ["vec_b"]).select(
+        "vec_a", "vec_b", scored("na", "nb").alias("sim")
+    )
 
 
 @query(
@@ -709,18 +721,11 @@ def q_dedup_embedding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = q_dedup_embedding(spark, sf_dir).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_exact")
     )
-    cand = _mt_candidates(spark, sf_dir)
-    pruned = (
-        cand.filter(F.col("sim") >= 0.3)
-        .select("vec_a", "vec_b")
-        .distinct()
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pruned"))
+    cand = _mt_candidates(spark, sf_dir)  # pairs already distinct
+    pruned = cand.filter(F.col("sim") >= 0.3).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pruned")
     )
-    n_cand = (
-        cand.select("vec_a", "vec_b")
-        .distinct()
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_cand"))
-    )
+    n_cand = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_cand"))
     npairs = (
         load(spark, sf_dir, "embeddings")
         .agg(F.count(F.lit(1)).alias("n"))
