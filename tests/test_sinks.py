@@ -136,3 +136,52 @@ def test_zorder_layout_prunes_second_dimension(spark, tmp_path):
     scanned_linear = _scan_output_rows(rows_linear)
     scanned_z = _scan_output_rows(rows_z)
     assert scanned_z * 2 < scanned_linear, (scanned_z, scanned_linear)
+
+
+def _rows_set(df):
+    return {tuple(str(v) for v in r) for r in df.collect()}
+
+
+def test_csv_source_roundtrip_exact(spark, tmp_path):
+    """CSV source/sink: events written as CSV and read back with an
+    explicit schema must reproduce the parquet fixture EXACTLY —
+    microsecond timestamps (timestampFormat with .SSSSSS), full-
+    precision doubles (Java shortest-roundtrip repr), and the embedded
+    JSON props string surviving quoting/escaping. An engine claiming
+    CSV as a source owes bit-fidelity, not approximate parsing."""
+    from distributed_causal_stream_processing_spark.io import load
+    from distributed_causal_stream_processing_spark.streaming.jobs import EVENT_SCHEMA
+
+    e = load(spark, SF_SMOKE, "events")
+    d = str(tmp_path / "events_csv")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    (
+        e.write.option("header", True)
+        .option("timestampFormat", fmt)
+        .option("escape", '"')
+        .csv(d)
+    )
+    back = (
+        spark.read.schema(EVENT_SCHEMA)
+        .option("header", True)
+        .option("timestampFormat", fmt)
+        .option("escape", '"')
+        .csv(d)
+    )
+    assert back.schema == e.select(*back.columns).schema
+    assert _rows_set(back) == _rows_set(e)
+
+
+def test_json_source_roundtrip_exact(spark, tmp_path):
+    """JSON-lines source/sink: same bit-fidelity contract as CSV —
+    explicit schema on read (never inference, per the engine's
+    fixed-schema data model), µs timestamps, nested-quote props."""
+    from distributed_causal_stream_processing_spark.io import load
+    from distributed_causal_stream_processing_spark.streaming.jobs import EVENT_SCHEMA
+
+    e = load(spark, SF_SMOKE, "events")
+    d = str(tmp_path / "events_json")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    e.write.option("timestampFormat", fmt).json(d)
+    back = spark.read.schema(EVENT_SCHEMA).option("timestampFormat", fmt).json(d)
+    assert _rows_set(back) == _rows_set(e)
