@@ -1266,7 +1266,13 @@ def q_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     cm = (
         a.join(b, "vec_id")
         .groupBy("i", "j")
+        # localCheckpoint truncates lineage: every matvec/normalize
+        # branch below references cm, and without the cut Spark
+        # re-derives the corpus-wide covariance once per branch
+        # (~8x by iteration 3 — the graph-module lesson). The
+        # checkpointed relation is 64x64 rows, executor-local.
         .agg(F.round(F.avg(F.col("xi") * F.col("xj")), 6).alias("cij"))
+        .localCheckpoint(eager=True)
     )
     v = spark.range(1, DIM + 1).select(
         F.col("id").alias("j"), F.lit(1.0).alias("v")
