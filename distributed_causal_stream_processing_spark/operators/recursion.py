@@ -81,8 +81,14 @@ def q_causal_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive-CTE surface end-to-end against DuckDB's.
     """
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
-    return spark.sql(
-        f"""
+    return spark.sql(causal_chains_sql(GAP_US))
+
+
+def causal_chains_sql(gap_us: int) -> str:
+    """The Spark recursive-CTE text over a registered ``events`` view —
+    exposed so the hypothesis property suite can run the identical
+    query over generated event sets (tests/test_properties.py)."""
+    return f"""
         WITH RECURSIVE
         ev AS (
             SELECT user_id, event_id, unix_micros(ts) AS us FROM events
@@ -98,15 +104,14 @@ def q_causal_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
         chain (user_id, event_id, root_id, depth, us, next_id, next_us) AS (
             SELECT user_id, event_id, event_id, 0, us, next_id, next_us
             FROM linked
-            WHERE prev_us IS NULL OR us - prev_us > {GAP_US}
+            WHERE prev_us IS NULL OR us - prev_us > {gap_us}
             UNION ALL
             SELECT l.user_id, l.event_id, c.root_id, c.depth + 1,
                    l.us, l.next_id, l.next_us
             FROM chain c
             JOIN linked l ON l.user_id = c.user_id AND l.event_id = c.next_id
-            WHERE c.next_us - c.us <= {GAP_US}
+            WHERE c.next_us - c.us <= {gap_us}
         )
         SELECT user_id, event_id, root_id, CAST(depth AS BIGINT) AS depth
         FROM chain
         """
-    )

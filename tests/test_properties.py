@@ -295,3 +295,52 @@ def test_banded_range_count_matches_bruteforce(spark, rows, band):
         ).collect()
     }
     assert got == _brute_band_count(rows, band)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(st.tuples(_KEYS, _TS), min_size=1, max_size=16),
+    gap=st.integers(min_value=1, max_value=4),
+)
+def test_causal_chains_matches_bruteforce(spark, rows, gap):
+    """The recursive happened-before walk must assign every event the
+    root and depth a sequential per-key scan assigns — including equal
+    timestamps (tie-broken by event_id, gap 0 chains them), duplicate
+    (key, ts) rows, and singleton chains."""
+    from pyspark.sql import functions as F
+
+    from distributed_causal_stream_processing_spark.operators.recursion import (
+        causal_chains_sql,
+    )
+
+    df = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(rows)],
+        "event_id long, user_id long, t long",
+    )
+    df.select(
+        "user_id", "event_id", F.col("t").cast("timestamp").alias("ts")
+    ).createOrReplaceTempView("events")
+    got = {
+        (r.user_id, r.event_id): (r.root_id, r.depth)
+        for r in spark.sql(causal_chains_sql(gap * 1_000_000)).collect()
+    }
+
+    by_key: dict[int, list] = {}
+    for i, (k, t) in enumerate(rows):
+        by_key.setdefault(k, []).append((t, i))
+    exp = {}
+    for k, evs in by_key.items():
+        evs.sort()
+        root, depth, prev = None, 0, None
+        for t, i in evs:
+            if prev is None or t - prev > gap:
+                root, depth = i, 0
+            else:
+                depth += 1
+            exp[(k, i)] = (root, depth)
+            prev = t
+    assert got == exp
