@@ -299,3 +299,84 @@ def pattern_match_stream(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+CHAIN_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("root_id", T.LongType()),
+        T.StructField("depth", T.LongType()),
+    ]
+)
+
+CHAIN_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_ts_micros", T.LongType()),
+        T.StructField("cur_root", T.LongType()),
+        T.StructField("cur_depth", T.LongType()),
+    ]
+)
+
+
+def chain_assign_stream(events: DataFrame, gap_us: int) -> DataFrame:
+    """Unbounded form of q_causal_chains: label each event with its
+    happened-before chain root and depth, carrying (last_ts, root,
+    depth) per user across micro-batches in keyed state.
+
+    The batch recursive CTE walks precomputed next pointers; the
+    stream cannot know the next event yet, so the walk inverts into
+    the reference's own consume-loop shape — each arriving event
+    either extends the open chain (gap ≤ bound) or roots a new one.
+    On a causally ordered replay the two formulations agree exactly
+    (asserted in tests/test_streaming.py); an out-of-order arrival
+    joins the open chain (its gap to the last-seen event decides), a
+    deterministic policy rather than a silent reorder, matching the
+    sequencer's late-flag philosophy. State is O(keys); one shuffle
+    per micro-batch on user_id.
+    """
+
+    def assign_group(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            last_ts_us, cur_root, cur_depth = state.get
+        else:
+            last_ts_us, cur_root, cur_depth = None, -1, -1
+
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+            ts_us = pdf["ts"].astype("int64") // 1000  # ns → µs
+            roots, depths = [], []
+            for t, eid in zip(ts_us.tolist(), pdf["event_id"].tolist()):
+                if last_ts_us is None or t - last_ts_us > gap_us:
+                    cur_root, cur_depth = eid, 0
+                else:
+                    cur_depth += 1
+                last_ts_us = t
+                roots.append(cur_root)
+                depths.append(cur_depth)
+            out.append(
+                pd.DataFrame(
+                    {
+                        "user_id": user_id,
+                        "event_id": pdf["event_id"].to_numpy(),
+                        "root_id": roots,
+                        "depth": depths,
+                    }
+                )
+            )
+        state.update((last_ts_us if last_ts_us is not None else -(2**62), cur_root, cur_depth))
+        yield from out
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        assign_group,
+        outputStructType=CHAIN_OUTPUT_SCHEMA,
+        stateStructType=CHAIN_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -640,3 +640,34 @@ def run_stream_stream_join_outer(
         ).collect()
     finally:
         q.stop()
+
+
+def run_chain_assign_stream(
+    spark: SparkSession, stream_dir: str, gap_us: int, watermark: str = "35 days"
+) -> list:
+    """Streaming chain-root assignment (causal.chain_assign_stream)
+    over the staged events log; memory-sink collect for tests.
+    Sentinel rows (negative event_id), if staged, are excluded from
+    the returned rows but still flow through state — harmless: they
+    use reserved user ids."""
+    from distributed_causal_stream_processing_spark.streaming.causal import (
+        chain_assign_stream,
+    )
+
+    chains = chain_assign_stream(
+        events_stream(spark, stream_dir, watermark=watermark), gap_us
+    )
+    q = (
+        chains.writeStream.format("memory")
+        .queryName("chain_assign_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        return spark.sql(
+            "SELECT user_id, event_id, root_id, depth FROM chain_assign_out "
+            "WHERE event_id >= 0"
+        ).collect()
+    finally:
+        q.stop()

@@ -735,3 +735,28 @@ def test_stream_stream_outer_join_emits_nulls(spark, tmp_path):
     assert sorted(got, key=str) == sorted(want, key=str)
     nulls = [g for g in got if g[1] is None]
     assert nulls, "no unmatched clicks emitted — outer semantics untested"
+
+
+def test_chain_assign_stream_matches_batch_recursion(spark, tmp_path):
+    """The streaming chain assigner (keyed state, consume-loop shape)
+    and the batch recursive CTE (next-pointer walk) are the same
+    operator in the reference's two execution styles — on a causally
+    ordered replay they must agree on every (event, root, depth)."""
+    from distributed_causal_stream_processing_spark.operators.recursion import (
+        GAP_US,
+        q_causal_chains,
+    )
+    from distributed_causal_stream_processing_spark.streaming import jobs
+
+    d = str(tmp_path / "ordered_for_chains")
+    jobs.stage_events_time_ordered(spark, SF_SMOKE, d, n_files=4)
+
+    got = {
+        (r.user_id, r.event_id): (r.root_id, r.depth)
+        for r in jobs.run_chain_assign_stream(spark, d, GAP_US)
+    }
+    want = {
+        (r.user_id, r.event_id): (r.root_id, r.depth)
+        for r in q_causal_chains(spark, SF_SMOKE).collect()
+    }
+    assert got == want and len(want) > 0
