@@ -721,11 +721,13 @@ def q_dedup_embedding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = q_dedup_embedding(spark, sf_dir).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_exact")
     )
-    cand = _mt_candidates(spark, sf_dir)  # pairs already distinct
-    pruned = cand.filter(F.col("sim") >= 0.3).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_pruned")
+    # one pass over the candidate pipeline yields BOTH counters (a
+    # separate agg per counter re-derived the whole LSH pipeline —
+    # 13.3 s → ~9 s at sf0.1); pairs are already distinct
+    cand_stats = _mt_candidates(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cand"),
+        F.count(F.when(F.col("sim") >= 0.3, 1)).cast("bigint").alias("n_pruned"),
     )
-    n_cand = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_cand"))
     npairs = (
         load(spark, sf_dir, "embeddings")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -733,8 +735,7 @@ def q_dedup_embedding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # four 1-row aggregates crossed — the standard scalar-broadcast shape
     return (
-        exact.crossJoin(pruned)
-        .crossJoin(n_cand)
+        exact.crossJoin(cand_stats)
         .crossJoin(npairs)
         .select(
             "n_exact",
