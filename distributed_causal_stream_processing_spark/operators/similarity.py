@@ -1177,11 +1177,12 @@ def q_sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_PCA_ITERS = 3
 
 
-def _pca_duck(dim: int, iters: int) -> str:
-    """Unrolled power iteration as one DuckDB query. Determinism pins:
-    the covariance matrix and every matvec are rounded to 6 dp, so
-    both engines iterate over bit-identical inputs despite differing
-    float-summation orders (the kmeans-oracle trick)."""
+def _pca_ctes(dim: int, iters: int) -> tuple[list[str], str]:
+    """Shared unrolled-power-iteration CTE chain; returns (ctes,
+    final_v_name). Determinism pins: the covariance matrix and every
+    matvec are rounded to 6 dp, so both engines iterate over
+    bit-identical inputs despite differing float-summation orders (the
+    kmeans-oracle trick)."""
     ctes = [
         f"""comp AS (
         SELECT vec_id, t.i, CAST(embedding[t.i] AS DOUBLE) AS x
@@ -1209,6 +1210,11 @@ def _pca_duck(dim: int, iters: int) -> str:
         SELECT i AS j, round(w / s, 6) AS v FROM w{t} CROSS JOIN s{t})"""
         )
         prev = f"v{t}"
+    return ctes, prev
+
+
+def _pca_duck(dim: int, iters: int) -> str:
+    ctes, prev = _pca_ctes(dim, iters)
     ctes.append(
         f"""cv AS (
         SELECT cm.i, sum(cij * v) AS wv
@@ -1225,6 +1231,30 @@ def _pca_duck(dim: int, iters: int) -> str:
         + f"""
     SELECT CAST(p.j AS BIGINT) AS dim_idx, p.v AS loading, eigenvalue
     FROM {prev} p CROSS JOIN lam"""
+    )
+
+
+def _abtt_duck(dim: int, iters: int) -> str:
+    ctes, prev = _pca_ctes(dim, iters)
+    ctes.append(
+        f"""proj AS (
+        SELECT c.vec_id, sum(c.xc * p.v) AS proj
+        FROM cen c JOIN {prev} p ON c.i = p.j GROUP BY c.vec_id)"""
+    )
+    ctes.append(
+        f"""resid AS (
+        SELECT c.vec_id, sqrt(sum((c.xc - pr.proj * p.v) ** 2)) AS rn
+        FROM cen c
+        JOIN proj pr ON pr.vec_id = c.vec_id
+        JOIN {prev} p ON c.i = p.j
+        GROUP BY c.vec_id)"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + """
+    SELECT pr.vec_id, round(pr.proj, 4) AS proj, round(r.rn, 4) AS resid_norm
+    FROM proj pr JOIN resid r ON r.vec_id = pr.vec_id"""
     )
 
 
@@ -1254,6 +1284,27 @@ def q_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     being re-rounded). The iteration count is fixed (power
     iteration converges geometrically in the spectral-gap ratio — the
     eval column to watch is `eigenvalue` stabilizing across rounds)."""
+    cen, cm, v = _pca_parts(spark, sf_dir)
+    cv = (
+        cm.join(F.broadcast(v), "j")
+        .groupBy("i")
+        .agg(F.sum(F.col("cij") * F.col("v")).alias("wv"))
+    )
+    lam = (
+        cv.join(F.broadcast(v), cv["i"] == v["j"])
+        .agg(F.round(F.sum(F.col("wv") * F.col("v")), 4).alias("eigenvalue"))
+    )
+    return v.crossJoin(F.broadcast(lam)).select(
+        F.col("j").cast("bigint").alias("dim_idx"),
+        F.col("v").alias("loading"),
+        "eigenvalue",
+    )
+
+
+def _pca_parts(spark: SparkSession, sf_dir: str):
+    """Shared power-iteration pipeline: returns (cen, cm, v) — the
+    centered per-dimension components, the checkpointed covariance,
+    and the final 6 dp unit component (columns j, v)."""
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.posexplode(as_double("embedding")).alias("p", "x")
     )
@@ -1288,17 +1339,44 @@ def q_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         v = w.crossJoin(F.broadcast(s)).select(
             F.col("i").alias("j"), F.round(F.col("w") / F.col("s"), 6).alias("v")
         )
-    cv = (
-        cm.join(F.broadcast(v), "j")
-        .groupBy("i")
-        .agg(F.sum(F.col("cij") * F.col("v")).alias("wv"))
+    return cen, cm, v
+
+
+@query("q_embed_abtt", oracle=_abtt_duck(DIM, N_PCA_ITERS))
+def q_embed_abtt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-but-the-top common-direction removal: project each centered
+    embedding onto the corpus's top principal component (from the same
+    power iteration as q_embed_pca_power) and report, per vector, the
+    projection coefficient and the residual norm after subtracting it
+    — the standard anisotropy correction for embedding similarity.
+
+    The two output columns pin the whole transform without hashing 64
+    floats per row: proj is the removed component, resid_norm what
+    remains. Scale shape: the component is 64 rows and BROADCASTS to
+    both passes; each pass is one groupBy(vec_id) over the exploded
+    components (map-side combined), and the proj⋈components join keys
+    on vec_id — corpus-linear, nothing quadratic, no Python."""
+    cen, _, v = _pca_parts(spark, sf_dir)
+    proj = (
+        cen.join(F.broadcast(v), cen["i"] == v["j"])
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("xc") * F.col("v")).alias("proj"))
     )
-    lam = (
-        cv.join(F.broadcast(v), cv["i"] == v["j"])
-        .agg(F.round(F.sum(F.col("wv") * F.col("v")), 4).alias("eigenvalue"))
+    resid = (
+        cen.join(F.broadcast(v), cen["i"] == v["j"])
+        .join(proj, "vec_id")
+        .groupBy("vec_id")
+        .agg(
+            F.sqrt(
+                F.sum(
+                    (F.col("xc") - F.col("proj") * F.col("v"))
+                    * (F.col("xc") - F.col("proj") * F.col("v"))
+                )
+            ).alias("rn")
+        )
     )
-    return v.crossJoin(F.broadcast(lam)).select(
-        F.col("j").cast("bigint").alias("dim_idx"),
-        F.col("v").alias("loading"),
-        "eigenvalue",
+    return proj.join(resid, "vec_id").select(
+        "vec_id",
+        F.round("proj", 4).alias("proj"),
+        F.round("rn", 4).alias("resid_norm"),
     )

@@ -137,6 +137,7 @@ CARTESIAN_OK = {
     "q_dedup_embedding",
     "q_dedup_embedding_recall",  # 1-row exact/pruned counts crossed
     "q_embed_pca_power",  # 1-row norm / eigenvalue scalars crossed per matvec
+    "q_embed_abtt",  # same power-iteration lineage (1-row norm scalars)
     "q_dedup_fuzzy",  # deliberate domain x domain name cross (N distinct values)
     "q_sim_knn_label",
     "q_pivot",
