@@ -1215,3 +1215,56 @@ def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
         )
     )
+
+
+_WRS_U = "((" + hex_u32_sql("md5(concat('wrs', doc_id))") + ") + 1) / 4294967296.0"
+# Efraimidis–Spirakis priority: maximizing u^(1/w) == maximizing
+# ln(u)/w (ln u ≤ 0, heavier w pulls the key toward 0) — the log form
+# avoids pow(), whose libm last-ulp behavior differs across engines.
+_WRS_KEY = f"(ln({_WRS_U}) / n_chars)"
+
+
+@query(
+    "q_sample_weighted",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars, rnk
+    FROM (
+        SELECT doc_id, lang, n_chars,
+               CAST(row_number() OVER (ORDER BY {_WRS_KEY} DESC, doc_id)
+                    AS BIGINT) AS rnk
+        FROM documents
+    )
+    WHERE rnk <= 100
+    """,
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis):
+    the 100 documents with the largest deterministic priority
+    ln(u)/w, u = md5-derived uniform per doc, w = n_chars — inclusion
+    probability proportional to length, the size-biased draw a token
+    -budgeted training mix actually wants (sampling DOCUMENTS
+    uniformly undersamples long ones per token).
+
+    Scale: the priority is row-local (no shuffle to compute) and the
+    selection is a top-k — TakeOrderedAndProject, k rows per
+    partition, never a global sort. Epochs/reseeds are a salt change.
+    The md5-uniform is identical in both engines (functions/hashing
+    idiom), so unlike rand(seed) the draw is reproducible across
+    engines, runs, and cluster layouts, and the oracle checks the
+    exact sample membership and order."""
+    top = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.expr(_WRS_KEY).alias("_key"),
+        )
+        .orderBy(F.desc("_key"), F.asc("doc_id"))
+        .limit(100)  # TakeOrderedAndProject — k per partition, no global sort
+    )
+    # ranking the 100 survivors is a single-partition window over k rows
+    return top.withColumn(
+        "rnk",
+        F.row_number().over(W.orderBy(F.desc("_key"), F.asc("doc_id"))).cast("bigint"),
+    ).select("doc_id", "lang", "n_chars", "rnk")
