@@ -114,6 +114,13 @@ def main() -> None:
         "q_graph_components",
         "q_sim_ivf_kmeans",
         "q_dedup_lsh_groups",
+        # round 5: the LSH-pruned embedding pair and the recursive chain
+        # walk joined the heavy tail — same warm-pass rationale (large
+        # compiled plans / multi-step execution, so a host window
+        # inflates them disproportionately)
+        "q_dedup_embedding_pruned",
+        "q_dedup_embedding_recall",
+        "q_causal_chains",
     )
     warm: dict[str, float] = {}
     for name in quartet:

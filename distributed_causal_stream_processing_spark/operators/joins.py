@@ -836,3 +836,73 @@ def q_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, tables=("customer", "orders"))
     return spark.sql(_LATERAL_SQL)
+
+
+@query(
+    "q_join_pointintime",
+    oracle="""
+    WITH dim AS (
+        SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS c_acctbal,
+               TIMESTAMP '1995-01-01' AS valid_from,
+               CAST(NULL AS TIMESTAMP) AS valid_to
+        FROM customer
+    ),
+    chg AS (
+        SELECT c_custkey, round(c_acctbal * 1.1, 2) AS new_acctbal,
+               TIMESTAMP '1997-06-01' AS eff_ts
+        FROM customer WHERE c_custkey % 10 = 3
+    ),
+    versions AS (
+        SELECT d.c_custkey, d.c_acctbal, d.valid_from, c.eff_ts AS valid_to
+        FROM dim d JOIN chg c USING (c_custkey)
+        UNION ALL
+        SELECT d.c_custkey, d.c_acctbal, d.valid_from, d.valid_to
+        FROM dim d WHERE d.c_custkey NOT IN (SELECT c_custkey FROM chg)
+        UNION ALL
+        SELECT d.c_custkey, c.new_acctbal, c.eff_ts, CAST(NULL AS TIMESTAMP)
+        FROM dim d JOIN chg c USING (c_custkey)
+    )
+    SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+           v.c_acctbal AS acctbal_at_order, v.valid_from AS version_from
+    FROM orders o
+    JOIN versions v
+      ON v.c_custkey = o.o_custkey
+     AND o.o_orderdate >= v.valid_from
+     AND (v.valid_to IS NULL OR o.o_orderdate < v.valid_to)
+    """,
+)
+def q_join_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal-table) join: each order picks the SCD2
+    dimension version in effect AT its order date — interval
+    containment on (valid_from, valid_to], the semantics a versioned
+    feature store / audit-correct report needs. Distinct from
+    q_join_asof: as-of picks the nearest prior EVENT; point-in-time
+    picks the unique covering VERSION, and every fact row matches
+    exactly one version by the SCD2 no-overlap invariant
+    (tests/test_parity.py::test_scd2_apply_invariants).
+
+    Composes the registered q_scd2_apply output as the version table.
+    Scale: the join is EQUI on the dimension key with the interval
+    containment as a post-filter over the ≤2 matching versions per
+    key — never a range enumeration; the version table broadcasts at
+    dim scale (versions grow with change count, not fact count)."""
+    versions = q_scd2_apply(spark, sf_dir).select(
+        "c_custkey", "c_acctbal", "valid_from", "valid_to"
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    return (
+        o.join(F.broadcast(versions), o["o_custkey"] == versions["c_custkey"])
+        .filter(
+            (F.col("o_orderdate") >= F.col("valid_from"))
+            & (F.col("valid_to").isNull() | (F.col("o_orderdate") < F.col("valid_to")))
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderdate",
+            F.col("c_acctbal").alias("acctbal_at_order"),
+            F.col("valid_from").alias("version_from"),
+        )
+    )
