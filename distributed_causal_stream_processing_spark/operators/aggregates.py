@@ -845,3 +845,39 @@ def q_agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "q_agg_filter_clause",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_all,
+           CAST(count(*) FILTER (WHERE l_discount > 0.05) AS BIGINT) AS n_disc,
+           round(sum(l_quantity) FILTER (
+               WHERE l_shipdate >= TIMESTAMP '1997-01-01'), 2) AS qty_recent,
+           round(avg(l_extendedprice) FILTER (WHERE l_tax = 0), 2) AS avg_notax
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-aggregate FILTER (WHERE ...) clauses — four differently-
+    filtered aggregates over ONE scan and ONE shuffle, the idiom that
+    replaces self-join-per-condition reporting queries. Catalyst folds
+    each filter into the aggregate's update path (no extra exchange vs
+    q_agg_group; a 4-way self-join formulation would shuffle 4×).
+    A group whose filter matches nothing yields NULL for that
+    aggregate, identically in both engines."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n_all,
+               CAST(count(*) FILTER (WHERE l_discount > 0.05) AS BIGINT) AS n_disc,
+               round(sum(l_quantity) FILTER (
+                   WHERE l_shipdate >= TIMESTAMP '1997-01-01'), 2) AS qty_recent,
+               round(avg(l_extendedprice) FILTER (WHERE l_tax = 0), 2) AS avg_notax
+        FROM lineitem
+        GROUP BY l_returnflag
+        """
+    )
