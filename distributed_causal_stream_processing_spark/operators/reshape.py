@@ -166,3 +166,79 @@ def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     return spark.sql(_CORR_SUBQ_SQL)
+
+
+@query(
+    "q_profile_table",
+    oracle="""
+    WITH s AS (SELECT * FROM events)
+    SELECT 'event_id' AS col, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count(event_id) AS BIGINT) AS n_null,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+           CAST(min(event_id) AS VARCHAR) AS min_val,
+           CAST(max(event_id) AS VARCHAR) AS max_val
+    FROM s
+    UNION ALL
+    SELECT 'user_id', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(user_id) AS BIGINT),
+           CAST(count(DISTINCT user_id) AS BIGINT),
+           CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR)
+    FROM s
+    UNION ALL
+    SELECT 'event_type', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(event_type) AS BIGINT),
+           CAST(count(DISTINCT event_type) AS BIGINT),
+           min(event_type), max(event_type)
+    FROM s
+    UNION ALL
+    SELECT 'value', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(value) AS BIGINT),
+           CAST(count(DISTINCT value) AS BIGINT),
+           CAST(round(min(value), 2) AS VARCHAR),
+           CAST(round(max(value), 2) AS VARCHAR)
+    FROM s
+    """,
+)
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profile summary (null count, distinct count, min/max as
+    strings) for four events columns in ONE scan — the data-quality /
+    stats-collection primitive behind CBO statistics and ingest
+    monitoring. The per-column stats compute as a single wide
+    aggregate (one pass, partial+final; the count-distincts expand to
+    Spark's standard distinct-aggregate rewrite) and reshape to one
+    row per column with an in-memory stack — no repeated scans, no
+    union of four jobs (the oracle's UNION ALL form is for DuckDB
+    legibility; DuckDB CSE-merges the scans)."""
+    e = load(spark, sf_dir, "events")
+    agg = e.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            x
+            for c in ("event_id", "user_id", "event_type", "value")
+            for x in (
+                F.count(c).alias(f"nn_{c}"),
+                F.count_distinct(F.col(c)).alias(f"nd_{c}"),
+            )
+        ],
+        F.min("event_id").alias("min_event_id"),
+        F.max("event_id").alias("max_event_id"),
+        F.min("user_id").alias("min_user_id"),
+        F.max("user_id").alias("max_user_id"),
+        F.min("event_type").alias("min_event_type"),
+        F.max("event_type").alias("max_event_type"),
+        F.round(F.min("value"), 2).alias("min_value"),
+        F.round(F.max("value"), 2).alias("max_value"),
+    )
+    rows = []
+    for c in ("event_id", "user_id", "event_type", "value"):
+        rows.append(
+            F.struct(
+                F.lit(c).alias("col"),
+                F.col("n_rows").cast("bigint").alias("n_rows"),
+                (F.col("n_rows") - F.col(f"nn_{c}")).cast("bigint").alias("n_null"),
+                F.col(f"nd_{c}").cast("bigint").alias("n_distinct"),
+                F.col(f"min_{c}").cast("string").alias("min_val"),
+                F.col(f"max_{c}").cast("string").alias("max_val"),
+            )
+        )
+    return agg.select(F.explode(F.array(*rows)).alias("p")).select("p.*")

@@ -664,3 +664,57 @@ def q_win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
             "next_purchase"
         ),
     )
+
+
+@query(
+    "q_event_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        FROM events
+    ),
+    pairs AS (
+        SELECT event_type, next_type, count(*) AS n
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY event_type, next_type
+    ),
+    totals AS (
+        SELECT event_type, sum(n) AS tot FROM pairs GROUP BY event_type
+    )
+    SELECT p.event_type AS from_type, p.next_type AS to_type,
+           CAST(p.n AS BIGINT) AS n_transitions,
+           round(CAST(p.n AS DOUBLE) / t.tot, 4) AS p_transition
+    FROM pairs p JOIN totals t USING (event_type)
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current type), estimated from
+    adjacent pairs in (ts, event_id) order — the behavioral-model
+    summary (and anomaly baseline) for event streams, 25 rows out
+    regardless of corpus size.
+
+    Scale: one user_id shuffle for the lead() window, then two
+    hash-aggregations over (type, next_type) — 5×5 groups, so the
+    partial aggregate collapses each task to ≤25 rows before the
+    exchange; the totals join is a broadcast of 5 rows."""
+    seq = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.lead("event_type")
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("next_type"),
+    )
+    pairs = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("event_type").agg(F.sum("n").alias("tot"))
+    return pairs.join(F.broadcast(totals), "event_type").select(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+        F.col("n").cast("bigint").alias("n_transitions"),
+        F.round(F.col("n").cast("double") / F.col("tot"), 4).alias("p_transition"),
+    )
