@@ -194,8 +194,8 @@ def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'value', CAST(count(*) AS BIGINT),
            CAST(count(*) - count(value) AS BIGINT),
            CAST(count(DISTINCT value) AS BIGINT),
-           CAST(round(min(value), 2) AS VARCHAR),
-           CAST(round(max(value), 2) AS VARCHAR)
+           CAST(CAST(floor(min(value) * 100) AS BIGINT) AS VARCHAR),
+           CAST(CAST(floor(max(value) * 100) AS BIGINT) AS VARCHAR)
     FROM s
     """,
 )
@@ -226,8 +226,12 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("user_id").alias("max_user_id"),
         F.min("event_type").alias("min_event_type"),
         F.max("event_type").alias("max_event_type"),
-        F.round(F.min("value"), 2).alias("min_value"),
-        F.round(F.max("value"), 2).alias("max_value"),
+        # floor-scaled cents, NOT round(x, 2): round() of a double near a
+        # representation boundary resolves differently in Spark (HALF_UP on
+        # the shortest decimal) vs DuckDB (scale + rint) — floor of the
+        # identical product is unambiguous (the rolling-zscore lesson)
+        F.floor(F.min("value") * 100).cast("bigint").alias("min_value"),
+        F.floor(F.max("value") * 100).cast("bigint").alias("max_value"),
     )
     rows = []
     for c in ("event_id", "user_id", "event_type", "value"):
