@@ -760,3 +760,46 @@ def test_chain_assign_stream_matches_batch_recursion(spark, tmp_path):
         for r in q_causal_chains(spark, SF_SMOKE).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_available_now_trigger_self_terminates(spark, stream_dir):
+    """trigger(availableNow=True): process everything staged in bounded
+    micro-batches, then stop WITHOUT external processAllAvailable — the
+    backfill/catch-up mode an operator runs on a schedule. The query
+    must terminate on its own and its final aggregate must equal the
+    batch result exactly."""
+    from distributed_causal_stream_processing_spark.io import load
+    from distributed_causal_stream_processing_spark.streaming import jobs
+
+    agg = (
+        jobs.events_stream(spark, stream_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("available_now_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(180), "availableNow query did not self-terminate"
+        assert not q.isActive
+    finally:
+        if q.isActive:
+            q.stop()
+    got = {
+        (r.ws, r.event_type): r.n_events
+        for r in spark.sql(
+            "SELECT w.start AS ws, event_type, n_events FROM available_now_out"
+        ).collect()
+    }
+    batch = (
+        load(spark, SF_SMOKE, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    want = {(r.w.start, r.event_type): r.n for r in batch}
+    assert got == want
