@@ -133,3 +133,85 @@ def q_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
 
+
+
+@query(
+    "q_udf_cogroup",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, event_id AS c_id, ts AS c_ts
+        FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+        SELECT user_id, event_id AS p_id, ts AS p_ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    matched AS (
+        SELECT c.user_id, c.c_id, p.p_id,
+               row_number() OVER (
+                   PARTITION BY c.c_id
+                   ORDER BY p.p_ts DESC, p.p_id DESC) AS rn
+        FROM clicks c
+        JOIN purchases p
+          ON p.user_id = c.user_id AND p.p_ts <= c.c_ts
+    )
+    SELECT c.user_id, c.c_id,
+           m.p_id AS last_purchase_id
+    FROM clicks c
+    LEFT JOIN matched m ON m.c_id = c.c_id AND m.rn = 1
+    """,
+)
+def q_udf_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped-pandas surface (``groupBy().cogroup().applyInPandas``):
+    per-user as-of alignment of two event streams in one Python
+    callback — each click matched to the user's latest purchase at or
+    before it, via numpy searchsorted over the sorted purchase side.
+
+    The API completes the Python-boundary ladder (scalar UDF → pandas
+    UDF → grouped agg → grouped map → UDTF → cogrouped map): cogroup
+    ships BOTH sides of a key to one Arrow batch, the shape custom
+    cross-stream logic (sessionized attribution, trajectory stitching)
+    needs when no built-in join expresses it. The oracle is the plain
+    SQL as-of join — the pandas kernel must reproduce relational
+    semantics exactly, ties included (latest (ts, event_id) wins;
+    clicks with no prior purchase keep NULL). Scale: one shuffle per
+    side on user_id, Arrow-batched per key group, state none."""
+    import numpy as np
+
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("c_id"), F.col("ts").alias("c_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts")
+    )
+
+    def asof_match(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return pd.DataFrame(
+                {"user_id": [], "c_id": [], "last_purchase_id": []}
+            ).astype({"user_id": "int64", "c_id": "int64", "last_purchase_id": "Int64"})
+        # sort purchases by (ts, event_id) so the last index with
+        # p_ts <= c_ts is the as-of winner, event_id-tie included
+        r = right.sort_values(["p_ts", "p_id"], kind="mergesort")
+        p_ts = r["p_ts"].to_numpy()
+        p_id = r["p_id"].to_numpy()
+        c_ts = left["c_ts"].to_numpy()
+        pos = np.searchsorted(p_ts, c_ts, side="right") - 1
+        matched = np.where(pos >= 0, p_id[np.clip(pos, 0, None)], np.nan)
+        return pd.DataFrame(
+            {
+                "user_id": left["user_id"].to_numpy(),
+                "c_id": left["c_id"].to_numpy(),
+                # nullable Int64: NaN -> <NA> -> SQL NULL (an ANSI-mode
+                # double->bigint cast of NaN would be a hard error)
+                "last_purchase_id": pd.Series(matched).astype("Int64"),
+            }
+        )
+
+    out_schema = "user_id long, c_id long, last_purchase_id long"
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(asof_match, out_schema)
+    )
