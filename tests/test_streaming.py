@@ -803,3 +803,47 @@ def test_available_now_trigger_self_terminates(spark, stream_dir):
     )
     want = {(r.w.start, r.event_type): r.n for r in batch}
     assert got == want
+
+
+def test_update_mode_emits_incremental_group_changes(spark, stream_dir):
+    """outputMode('update') on a streaming aggregation emits, per
+    micro-batch, only the groups that changed — captured via
+    foreachBatch on the driver. Per-user counts must be monotone
+    across batches, the LAST update per user must equal the batch
+    count, and at least some users must have emitted multiple
+    intermediate updates (the incremental contract append mode
+    cannot give and complete mode gives wastefully)."""
+    from distributed_causal_stream_processing_spark.io import load
+    from distributed_causal_stream_processing_spark.streaming import jobs
+
+    updates: list[tuple[int, int, int]] = []
+
+    def capture(df, batch_id):
+        updates.extend((batch_id, r.user_id, r.n) for r in df.collect())
+
+    q = (
+        jobs.events_stream(spark, stream_dir, watermark="35 days")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .writeStream.outputMode("update")
+        .foreachBatch(capture)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    last: dict[int, int] = {}
+    for _, uid, n in sorted(updates):
+        assert n >= last.get(uid, 0), f"user {uid} count went backwards"
+        last[uid] = n
+    want = {
+        r.user_id: r.n
+        for r in load(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert last == want
+    assert len(updates) > len(last), "no incremental updates observed"
