@@ -881,3 +881,57 @@ def q_agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag
         """
     )
+
+
+@query(
+    "q_agg_ewma",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, epoch_us(CAST(date_trunc('microsecond', ts) AS TIMESTAMP)) AS us,
+               event_id, value
+        FROM events
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           round(list_reduce(list(value ORDER BY us, event_id),
+                             (a, b) -> 0.8 * a + 0.2 * b), 4) AS ewma
+    FROM ev
+    GROUP BY user_id
+    """,
+)
+def q_agg_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average (α=0.2) of event
+    values in causal (ts, event_id) order — a NON-ASSOCIATIVE
+    sequential recurrence, the computational shape partial/final hash
+    aggregation cannot express, run entirely in-engine: an ordered
+    collect per key, then a codegen'd left fold
+    (``F.aggregate`` seeded with the first element; DuckDB's
+    ``list_reduce`` folds identically left-to-right, so the float
+    chain is bit-identical and the 4 dp round cosmetic).
+
+    This is the pure-SQL sibling of the two other recurrence forms in
+    the repo: streaming keyed state (streaming/causal.py) and the
+    grouped-pandas fold (q_pack_sequences). Scale: one shuffle on the
+    key; the fold serializes per key BY THE MATH (each step needs its
+    predecessor), parallelism comes from keys; per-key array size is
+    the bound to watch at 100 TB — time-bucket the key (the module's
+    standard skew mitigation) or move to the streaming form when a
+    key's history no longer fits a task."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us"), "event_id", "value"
+    )
+    seq = (
+        e.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sort_array(
+                F.collect_list(F.struct("us", "event_id", "value"))
+            ).alias("seq"),
+        )
+        .withColumn("vals", F.transform("seq", lambda s: s["value"]))
+    )
+    ewma = F.aggregate(
+        F.slice(F.col("vals"), F.lit(2), F.size("vals") - 1),
+        F.element_at("vals", 1),
+        lambda acc, x: 0.8 * acc + 0.2 * x,
+    )
+    return seq.select("user_id", "n_events", F.round(ewma, 4).alias("ewma"))
