@@ -671,3 +671,27 @@ def run_chain_assign_stream(
         ).collect()
     finally:
         q.stop()
+
+
+def run_sliding_stream(spark: SparkSession, stream_dir: str) -> list:
+    """Streaming q_stream_sliding: 1h windows sliding every 30 min per
+    event_type, complete mode — each event lands in two overlapping
+    windows, maintained incrementally across micro-batches."""
+    agg = (
+        events_stream(spark, stream_dir)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sliding_out")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        return spark.sql(
+            "SELECT w.start AS window_start, event_type, n_events FROM sliding_out"
+        ).collect()
+    finally:
+        q.stop()

@@ -847,3 +847,24 @@ def test_update_mode_emits_incremental_group_changes(spark, stream_dir):
     }
     assert last == want
     assert len(updates) > len(last), "no incremental updates observed"
+
+
+def test_sliding_stream_matches_batch(spark, stream_dir):
+    """Sliding windows (1h / 30min hop) maintained across micro-batches
+    equal the batch computation — every event counted in exactly its
+    two covering windows regardless of batch boundaries."""
+    from distributed_causal_stream_processing_spark.io import load
+    from distributed_causal_stream_processing_spark.streaming import jobs
+
+    got = {
+        (r.window_start, r.event_type): r.n_events
+        for r in jobs.run_sliding_stream(spark, stream_dir)
+    }
+    batch = (
+        load(spark, SF_SMOKE, "events")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    want = {(r.w.start, r.event_type): r.n for r in batch}
+    assert got == want and len(want) > 0
