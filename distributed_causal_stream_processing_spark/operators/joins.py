@@ -906,3 +906,151 @@ def q_join_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("valid_from").alias("version_from"),
         )
     )
+
+
+@query(
+    "q_join_asof_nearest",
+    oracle="""
+    WITH merged AS (
+        SELECT o_custkey AS user_id, o_orderdate AS ts, 0 AS kind,
+               o_orderkey, o_orderdate AS o_ts, NULL::BIGINT AS event_id
+        FROM orders
+        UNION ALL
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, 1 AS kind,
+               NULL::BIGINT AS o_orderkey, NULL::TIMESTAMP AS o_ts, event_id
+        FROM events
+    ),
+    filled AS (
+        SELECT user_id, ts, kind, event_id,
+               last_value(o_orderkey IGNORE NULLS) OVER wb AS bwd_key,
+               last_value(o_ts IGNORE NULLS) OVER wb AS bwd_ts,
+               first_value(o_orderkey IGNORE NULLS) OVER wf AS fwd_key,
+               first_value(o_ts IGNORE NULLS) OVER wf AS fwd_ts
+        FROM merged
+        WINDOW wb AS (PARTITION BY user_id
+                      ORDER BY ts, kind, coalesce(o_orderkey, event_id)
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wf AS (PARTITION BY user_id
+                      ORDER BY ts, kind, coalesce(o_orderkey, event_id)
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_id, user_id, ts,
+           CASE WHEN fwd_key IS NULL THEN bwd_key
+                WHEN bwd_key IS NULL THEN fwd_key
+                WHEN epoch_us(ts) - epoch_us(bwd_ts)
+                     <= epoch_us(fwd_ts) - epoch_us(ts) THEN bwd_key
+                ELSE fwd_key END AS nearest_orderkey,
+           CASE WHEN bwd_key IS NULL AND fwd_key IS NULL THEN NULL
+                WHEN fwd_key IS NULL THEN 'b'
+                WHEN bwd_key IS NULL THEN 'f'
+                WHEN epoch_us(ts) - epoch_us(bwd_ts)
+                     <= epoch_us(fwd_ts) - epoch_us(ts) THEN 'b'
+                ELSE 'f' END AS direction
+    FROM filled WHERE kind = 1
+    """,
+)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of: each event matched to the order with
+    the SMALLEST absolute time distance, searching both directions —
+    the sensor-fusion/alignment variant of q_join_asof's backward-only
+    rule. Equal distance resolves backward ('b'); within one date,
+    backward carries the highest orderkey and forward the lowest (the
+    frame-direction artifact, deterministic in both engines).
+
+    Same 100 TB shape as asof_join: ONE union, one shuffle on the key,
+    one sort serving both directed IGNORE-NULLS fills (wb/wf share the
+    window ordering, so Spark plans a single Window operator pass) —
+    never a per-event candidate join."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us"), "ts", "event_id"
+    )
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        # o_orderdate is TIMESTAMP_NTZ in the fixture; unix_micros wants TIMESTAMP
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("o_us"),
+        "o_orderkey",
+    )
+    return asof_join_nearest(
+        e, o, key="user_id", left_ts="us", right_ts="o_us",
+        right_val="o_orderkey", out_col="nearest_orderkey",
+    ).select("event_id", "user_id", "ts", "nearest_orderkey", "direction")
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_val: str,
+    out_col: str = "nearest_val",
+) -> DataFrame:
+    """Nearest ``right_val`` by absolute NUMERIC time distance per key,
+    searching both directions (generic sibling of ``asof_join``; cast
+    timestamps to epoch numbers before calling). Equal distance
+    resolves backward; a right row at exactly the left timestamp is
+    backward. Ties within one timestamp: backward carries the largest
+    ``right_val``, forward the smallest (frame-direction artifact,
+    deterministic). Adds ``out_col`` and a ``direction`` ('b'/'f',
+    NULL when no right row exists for the key) to the left columns.
+
+    Same 100 TB shape as asof_join: one union, one shuffle on the key,
+    one sort serving both directed IGNORE-NULLS fills — never a
+    per-left-row candidate join."""
+    from pyspark.sql import Window as W
+
+    lcols = [c for c in left.columns if c != key]
+    r2 = right.select(
+        key,
+        F.col(right_ts).cast("long").alias("__ts"),
+        F.lit(0).alias("__kind"),
+        F.col(right_val).alias("__val"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+    )
+    l2 = left.select(
+        key,
+        F.col(left_ts).cast("long").alias("__ts"),
+        F.lit(1).alias("__kind"),
+        F.lit(None).cast(right.schema[right_val].dataType).alias("__val"),
+        *lcols,
+    )
+    order_cols = [F.col("__ts"), F.col("__kind"), F.col("__val")]
+    wb = (
+        W.partitionBy(key)
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wf = (
+        W.partitionBy(key)
+        .orderBy(*order_cols)
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    rts = F.when(F.col("__kind") == 0, F.col("__ts"))
+    filled = (
+        r2.unionByName(l2)
+        .select(
+            key,
+            "__ts",
+            "__kind",
+            *lcols,
+            F.last("__val", ignorenulls=True).over(wb).alias("__bwd_v"),
+            F.last(rts, ignorenulls=True).over(wb).alias("__bwd_ts"),
+            F.first("__val", ignorenulls=True).over(wf).alias("__fwd_v"),
+            F.first(rts, ignorenulls=True).over(wf).alias("__fwd_ts"),
+        )
+        .filter(F.col("__kind") == 1)
+    )
+    take_bwd = F.col("__fwd_v").isNull() | (
+        F.col("__bwd_v").isNotNull()
+        & ((F.col("__ts") - F.col("__bwd_ts")) <= (F.col("__fwd_ts") - F.col("__ts")))
+    )
+    has_any = F.col("__bwd_v").isNotNull() | F.col("__fwd_v").isNotNull()
+    return filled.select(
+        key,
+        *lcols,
+        F.when(take_bwd, F.col("__bwd_v")).otherwise(F.col("__fwd_v")).alias(out_col),
+        F.when(~has_any, F.lit(None).cast("string"))
+        .when(take_bwd, F.lit("b"))
+        .otherwise(F.lit("f"))
+        .alias("direction"),
+    )

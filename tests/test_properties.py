@@ -344,3 +344,49 @@ def test_causal_chains_matches_bruteforce(spark, rows, gap):
             exp[(k, i)] = (root, depth)
             prev = t
     assert got == exp
+
+
+def _brute_nearest(left_rows, right_rows):
+    """id -> (val, direction): right row with min |Δts| per key; equal
+    distance → backward; backward ties take max (ts, val), forward
+    ties min (ts, val); no right rows → (None, None)."""
+    out = {}
+    for rid, (k, ts) in enumerate(left_rows):
+        bwd = [(rts, v) for (rk, rts, v) in right_rows if rk == k and rts <= ts]
+        fwd = [(rts, v) for (rk, rts, v) in right_rows if rk == k and rts > ts]
+        b = max(bwd) if bwd else None
+        f = min(fwd) if fwd else None
+        if b is None and f is None:
+            out[rid] = (None, None)
+        elif f is None or (b is not None and ts - b[0] <= f[0] - ts):
+            out[rid] = (b[1], "b")
+        else:
+            out[rid] = (f[1], "f")
+    return out
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(left=_LEFT, right=_RIGHT)
+def test_asof_nearest_matches_bruteforce(spark, left, right):
+    from distributed_causal_stream_processing_spark.operators.joins import (
+        asof_join_nearest,
+    )
+
+    if not left:
+        return
+    ldf = spark.createDataFrame(
+        [(k, ts, rid) for rid, (k, ts) in enumerate(left)], "k int, ts int, rid int"
+    )
+    rdf = spark.createDataFrame(right or [], "k int, ts int, v int")
+    got = {
+        r.rid: (r.nearest_v, r.direction)
+        for r in asof_join_nearest(
+            ldf, rdf, key="k", left_ts="ts", right_ts="ts",
+            right_val="v", out_col="nearest_v",
+        ).collect()
+    }
+    assert got == _brute_nearest(left, right)
