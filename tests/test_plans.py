@@ -545,3 +545,30 @@ def test_dedup_embedding_pruned_no_cartesian_no_python(spark):
     assert "bucket" in plan  # the signature is the join key
     for py_op in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas", "BatchEvalPython"):
         assert py_op not in plan, py_op
+
+
+def test_sample_weighted_is_take_ordered(spark):
+    """Weighted sampling must select via TakeOrderedAndProject (k rows
+    per partition), never a global sort of the corpus."""
+    df = _registry()["q_sample_weighted"].fn(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "TakeOrdered" in plan
+
+
+def test_pointintime_broadcasts_versions(spark):
+    """The temporal join's version table (dim-scale) must broadcast;
+    interval containment stays a post-filter, never a range/NLJ join."""
+    df = _registry()["q_join_pointintime"].fn(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_asof_nearest_single_window_pass(spark):
+    """Both directed IGNORE-NULLS fills share one partition+ordering,
+    so Spark must plan a SINGLE Window operator (one shuffle, one
+    sort) — two Window nodes would mean a second sort of the union."""
+    df = _registry()["q_join_asof_nearest"].fn(spark, SF_SMOKE)
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    n_windows = plan.count("Window [")
+    assert n_windows <= 1, f"{n_windows} Window operators: {plan[:600]}"
