@@ -40,6 +40,10 @@ def __getattr__(name):  # pragma: no cover - thin lazy-import shims
     works without importing pyspark-heavy modules at package import."""
     lazy = {
         "asof_join": "operators.joins",
+        "asof_join_nearest": "operators.joins",
+        "hamming1_variants": "operators.similarity",
+        "chain_assign_stream": "streaming.causal",
+        "causal_chains_sql": "operators.recursion",
         "connected_components": "operators.graph",
         "sessionize": "operators.windows",
         "causal_sequence_batch": "streaming.batch_views",
@@ -64,6 +68,10 @@ __all__ = [
     "all_queries",
     "all_oracle_sql",
     "asof_join",
+    "asof_join_nearest",
+    "hamming1_variants",
+    "chain_assign_stream",
+    "causal_chains_sql",
     "connected_components",
     "sessionize",
     "causal_sequence_batch",
