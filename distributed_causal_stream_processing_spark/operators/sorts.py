@@ -9,7 +9,7 @@ scale, the right top-k at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from distributed_causal_stream_processing_spark.io import load
@@ -61,4 +61,45 @@ def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(25)
         .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+    )
+
+
+@query(
+    "q_topk_with_ties",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, round(l_quantity, 2) AS qty,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+        SELECT l_orderkey, l_linenumber, l_quantity,
+               rank() OVER (ORDER BY l_quantity DESC) AS rnk
+        FROM lineitem
+    )
+    WHERE rnk <= 10
+    """,
+)
+def q_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k WITH TIES (FETCH FIRST 10 ROWS WITH TIES semantics):
+    every row whose rank ≤ 10 survives, so equal quantities at the
+    cutoff all ship — the deterministic alternative to q_topk's
+    arbitrary-but-keyed truncation when the business rule is 'nothing
+    tied may be dropped'. Output size is data-dependent (≥ 10).
+
+    Scale: rank() over a global ORDER BY is a single-partition sort of
+    the full input in the naive plan; Spark 4's window-group-limit
+    pushes the rank ≤ 10 filter into per-partition top-k before the
+    final sort (the same optimization q_topk_per_group relies on,
+    asserted there), so only ~10 rows per partition reach the global
+    step."""
+    w = W.orderBy(F.desc("l_quantity"))
+    return (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .withColumn("rnk", F.rank().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 10)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round("l_quantity", 2).alias("qty"),
+            "rnk",
+        )
     )
