@@ -360,3 +360,36 @@ def q_array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sumsq"),
         F.exists("emb", lambda x: F.abs(x) > 0.4).alias("has_large"),
     )
+
+
+@query(
+    "q_explode_outer",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), t -> length(t) > 6) AS long_toks
+        FROM documents WHERE doc_id < 50
+    )
+    SELECT d.doc_id, u.tok
+    FROM toks d
+    LEFT JOIN LATERAL (SELECT unnest(d.long_toks) AS tok) u ON TRUE
+    """,
+)
+def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-preserving generation: ``explode_outer`` keeps a row (with
+    NULL) for documents whose filtered token array is EMPTY, where
+    plain explode silently drops the document — the left-join-shaped
+    generator semantics an audit/coverage query needs (every input row
+    accounted for in the output). The oracle is DuckDB's equivalent
+    LEFT JOIN LATERAL UNNEST."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select(
+            "doc_id",
+            F.filter(
+                F.split("text", " "), lambda t: F.length(t) > 6
+            ).alias("long_toks"),
+        )
+    )
+    return d.select("doc_id", F.explode_outer("long_toks").alias("tok"))

@@ -935,3 +935,41 @@ def q_agg_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: 0.8 * acc + 0.2 * x,
     )
     return seq.select("user_id", "n_events", F.round(ewma, 4).alias("ewma"))
+
+
+@query(
+    "q_agg_ordered_set",
+    oracle="""
+    SELECT l_returnflag,
+           round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity), 4)
+               AS median_qty,
+           round(percentile_cont(0.9) WITHIN GROUP (ORDER BY l_quantity), 4)
+               AS p90_qty,
+           round(percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice), 2)
+               AS median_price_disc
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_ordered_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-set aggregates — ``percentile_cont/_disc(f) WITHIN GROUP
+    (ORDER BY x)`` — the ANSI syntax surface distinct from
+    q_agg_percentile's function-call forms. _cont interpolates between
+    the two straddling sorted values (identical linear formula in both
+    engines over identical inputs); _disc returns an actual data value,
+    exactly comparable. Executes as one sort-based aggregate per group
+    per engine — no UDF, no collect."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity), 4)
+                   AS median_qty,
+               round(percentile_cont(0.9) WITHIN GROUP (ORDER BY l_quantity), 4)
+                   AS p90_qty,
+               round(percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice), 2)
+                   AS median_price_disc
+        FROM lineitem
+        GROUP BY l_returnflag
+        """
+    )
