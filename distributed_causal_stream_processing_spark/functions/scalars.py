@@ -393,3 +393,47 @@ def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return d.select("doc_id", F.explode_outer("long_toks").alias("tok"))
+
+
+@query(
+    "q_try_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           TRY_CAST(l_returnflag AS INTEGER) AS flag_as_int,
+           TRY_CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE) AS qty_roundtrip,
+           CAST(floor(l_extendedprice / NULLIF(l_quantity - l_quantity, 0) * 100)
+                AS BIGINT) AS div_by_zero_cents,
+           CAST(floor(l_extendedprice / NULLIF(l_quantity, 0) * 100) AS BIGINT)
+               AS unit_price_cents
+    FROM lineitem
+    WHERE l_orderkey < 200
+    """,
+)
+def q_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe error-to-NULL surface: under Spark 4's default ANSI
+    mode a bad cast or division by zero is a hard runtime ERROR that
+    kills the job — ``try_cast`` / ``try_divide`` convert exactly those
+    rows to NULL instead, which is what a 100 TB ingest wants (quarantine
+    the malformed row, not abort the 1000-executor stage). The oracle
+    expresses the same semantics with DuckDB's TRY_CAST and
+    NULLIF-guarded division. flag_as_int is NULL for every row ('A', 'N',
+    'R' never parse), div_by_zero is NULL for every row, the round-trip
+    cast and guarded unit price succeed — both the failing and the
+    succeeding paths are value-checked."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_returnflag").try_cast("int").alias("flag_as_int"),
+        F.col("l_quantity").cast("string").try_cast("double").alias("qty_roundtrip"),
+        # floor-scaled cents, not round(x, 2): unit prices are exact
+        # rationals that land on the half-grid constantly, where Spark
+        # and DuckDB round() disagree (SURVEY §7.4 round-half lesson)
+        F.floor(
+            F.try_divide("l_extendedprice", F.col("l_quantity") - F.col("l_quantity"))
+            * 100
+        ).cast("bigint").alias("div_by_zero_cents"),
+        F.floor(F.try_divide("l_extendedprice", "l_quantity") * 100)
+        .cast("bigint")
+        .alias("unit_price_cents"),
+    )
