@@ -973,3 +973,30 @@ def q_agg_ordered_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag
         """
     )
+
+
+@query(
+    "q_agg_boolean",
+    oracle="""
+    SELECT o_orderstatus,
+           bool_and(o_totalprice > 1000)   AS all_over_1k,
+           bool_or(o_totalprice > 400000)  AS any_over_400k,
+           bool_and(o_orderpriority <> '1-URGENT') AS none_urgent,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (every/any ≡ bool_and/bool_or): per-group
+    universally/existentially quantified predicates — the assertion
+    layer of data-quality checks, one hash aggregate, short-circuit
+    friendly. NULL predicate rows are ignored per ANSI (none occur on
+    these non-null columns, so both engines agree trivially)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.every(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.some(F.col("o_totalprice") > 400000).alias("any_over_400k"),
+        F.every(F.col("o_orderpriority") != "1-URGENT").alias("none_urgent"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )

@@ -868,3 +868,56 @@ def test_sliding_stream_matches_batch(spark, stream_dir):
     )
     want = {(r.w.start, r.event_type): r.n for r in batch}
     assert got == want and len(want) > 0
+
+
+def test_append_mode_emits_only_finalized_windows(spark, tmp_path):
+    """outputMode('append') on a watermarked windowed aggregation emits
+    a window exactly once, only after the watermark passes its END —
+    the finalized-result contract downstream consumers (a parquet
+    sink, a report) need. With the time-ordered staged log + future
+    sentinels the watermark provably passes every real window, so the
+    appended set must equal the batch aggregate exactly (sentinel
+    windows excluded by their reserved user ids)."""
+    from distributed_causal_stream_processing_spark.io import load
+    from distributed_causal_stream_processing_spark.streaming import jobs
+
+    d = str(tmp_path / "ordered_append")
+    jobs.stage_events_time_ordered(spark, SF_SMOKE, d, n_files=4, n_sentinels=2)
+
+    # NO pre-aggregation filter: Catalyst pushes it below
+    # EventTimeWatermark, hiding the sentinels from the watermark (the
+    # stage_events_time_ordered trap) — sentinel WINDOWS are excluded
+    # from the comparison instead (they sit 40+ days past real data)
+    agg = (
+        jobs.events_stream(spark, d, watermark="1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("append_windows_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT w.start AS ws, event_type, n_events FROM append_windows_out"
+        ).collect()
+    finally:
+        q.stop()
+    batch = (
+        load(spark, SF_SMOKE, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    want = {(r.w.start, r.event_type): r.n for r in batch}
+    max_real_ws = max(k[0] for k in want)
+    got = {}
+    for r in rows:
+        key = (r.ws, r.event_type)
+        assert key not in got, f"window {key} emitted twice"
+        if r.ws <= max_real_ws:
+            got[key] = r.n_events
+    assert got == want
