@@ -135,3 +135,70 @@ def test_read_json_robust_quarantines_corrupt_lines(spark, tmp_path):
     assert len(bad) == 2
     assert any("not json" in b for b in bad)
     assert any("NOT_A_NUMBER" in b for b in bad)
+
+
+def test_observe_batch_metrics_without_extra_pass(spark):
+    """df.observe(): accumulator-backed metrics ride the SAME action
+    that produces the result — the ingest-monitoring primitive (row
+    counts, null counts, sums for reconciliation) without a second
+    scan. Values must equal independently computed aggregates."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from distributed_causal_stream_processing_spark.io import load
+    from tests.conftest import SF_SMOKE
+
+    obs = Observation("ingest")
+    e = load(spark, SF_SMOKE, "events").observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("value").alias("sum_value"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchases"),
+    )
+    n_out = e.filter(F.col("value") > 0).count()  # the real action
+    got = obs.get
+    ref = (
+        load(spark, SF_SMOKE, "events")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("s"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias("p"),
+        )
+        .collect()[0]
+    )
+    assert got["n_rows"] == ref.n
+    assert abs(got["sum_value"] - ref.s) < 1e-6
+    assert got["n_purchases"] == ref.p
+    assert n_out > 0
+
+
+def test_observe_streaming_metrics_in_progress(spark, tmp_path):
+    """Streaming observe(): per-micro-batch metrics surface in
+    StreamingQueryProgress.observedMetrics — the monitoring hook an
+    operator alarms on (row rates, null spikes) without a side query.
+    Summed across batches they must equal the staged total."""
+    from pyspark.sql import functions as F
+
+    from distributed_causal_stream_processing_spark.streaming import jobs
+    from tests.conftest import SF_SMOKE
+
+    d = str(tmp_path / "observe_stream")
+    jobs.stage_events_as_stream_dir(spark, SF_SMOKE, d, n_files=3)
+    stream = jobs.events_stream(spark, d, watermark="35 days").observe(
+        "batch_metrics", F.count(F.lit(1)).alias("n_rows")
+    )
+    q = (
+        stream.writeStream.format("noop").start()
+    )
+    try:
+        q.processAllAvailable()
+        total = 0
+        for p in q.recentProgress:
+            m = p.get("observedMetrics", {}).get("batch_metrics")
+            if m:
+                total += m["n_rows"]
+    finally:
+        q.stop()
+    from distributed_causal_stream_processing_spark.io import load
+
+    assert total == load(spark, SF_SMOKE, "events").count()
