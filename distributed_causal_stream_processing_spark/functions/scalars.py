@@ -437,3 +437,68 @@ def q_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("unit_price_cents"),
     )
+
+
+@query(
+    "q_regex_extract_all",
+    oracle="""
+    SELECT doc_id,
+           array_to_string(regexp_extract_all(text, '[a-z]*o[a-z]*'), ',')
+               AS o_words,
+           CAST(len(regexp_extract_all(text, '[a-z]*o[a-z]*')) AS BIGINT)
+               AS n_matches
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def q_regex_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-returning regex: ALL non-overlapping matches per document
+    (vs q_str_funcs' single-match regexp_extract) — the pattern-mining
+    primitive behind PII sweeps and template extraction. Both engines
+    scan left-to-right greedy non-overlapping, so the match arrays are
+    identical; joined to one string for a hash-stable scalar."""
+    return (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select(
+            "doc_id",
+            F.array_join(
+                F.regexp_extract_all("text", F.lit("[a-z]*o[a-z]*"), 0), ","
+            ).alias("o_words"),
+            F.size(F.regexp_extract_all("text", F.lit("[a-z]*o[a-z]*"), 0))
+            .cast("bigint")
+            .alias("n_matches"),
+        )
+    )
+
+
+@query(
+    "q_histogram_2d",
+    oracle="""
+    SELECT CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hr,
+           CAST(CASE WHEN value < 0 THEN 0
+                     WHEN value >= 100 THEN 5
+                     ELSE floor(value / 25) + 1 END AS BIGINT) AS val_bucket,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D profiling histogram: hour-of-day × value-quartile-bucket
+    counts via ``width_bucket`` (below-range → 0, above → n+1, bounds
+    half-open per bucket; DuckDB 1.0 lacks the function, so the oracle
+    spells the same semantics with floor arithmetic — equal-width
+    buckets on [0,100) divide exactly by 25, so the float paths
+    agree). One hash aggregate over 24×6 cells —
+    the load-heatmap every ops dashboard draws, map-side combined."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.select(
+            F.hour("ts").cast("bigint").alias("hr"),
+            F.width_bucket("value", F.lit(0.0), F.lit(100.0), F.lit(4))
+            .cast("bigint")
+            .alias("val_bucket"),
+        )
+        .groupBy("hr", "val_bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
