@@ -191,14 +191,20 @@ def q_udf_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
             return pd.DataFrame(
                 {"user_id": [], "c_id": [], "last_purchase_id": []}
             ).astype({"user_id": "int64", "c_id": "int64", "last_purchase_id": "Int64"})
-        # sort purchases by (ts, event_id) so the last index with
-        # p_ts <= c_ts is the as-of winner, event_id-tie included
-        r = right.sort_values(["p_ts", "p_id"], kind="mergesort")
-        p_ts = r["p_ts"].to_numpy()
-        p_id = r["p_id"].to_numpy()
         c_ts = left["c_ts"].to_numpy()
-        pos = np.searchsorted(p_ts, c_ts, side="right") - 1
-        matched = np.where(pos >= 0, p_id[np.clip(pos, 0, None)], np.nan)
+        if right.empty:
+            # a key can arrive with clicks but NO purchases — the right
+            # cogroup side is then a 0-row frame, and any gather from it
+            # (even inside np.where's eagerly-evaluated branch) raises
+            matched = np.full(len(left), np.nan)
+        else:
+            # sort purchases by (ts, event_id) so the last index with
+            # p_ts <= c_ts is the as-of winner, event_id-tie included
+            r = right.sort_values(["p_ts", "p_id"], kind="mergesort")
+            p_ts = r["p_ts"].to_numpy()
+            p_id = r["p_id"].to_numpy()
+            pos = np.searchsorted(p_ts, c_ts, side="right") - 1
+            matched = np.where(pos >= 0, p_id[np.clip(pos, 0, None)], np.nan)
         return pd.DataFrame(
             {
                 "user_id": left["user_id"].to_numpy(),

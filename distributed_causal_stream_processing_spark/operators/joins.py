@@ -1000,7 +1000,11 @@ def asof_join_nearest(
     from pyspark.sql import Window as W
 
     lcols = [c for c in left.columns if c != key]
-    r2 = right.select(
+    # NULL-valued right rows are dropped up front: the value fill skips
+    # them (ignorenulls) but the timestamp fill would not, so a NULL-val
+    # row could supply the distance for a value taken from a DIFFERENT
+    # row — mixing the two corrupts the nearest decision
+    r2 = right.filter(F.col(right_val).isNotNull()).select(
         key,
         F.col(right_ts).cast("long").alias("__ts"),
         F.lit(0).alias("__kind"),

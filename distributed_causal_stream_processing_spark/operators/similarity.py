@@ -550,23 +550,19 @@ _MT_SIG_COLS = ", ".join(f"{_mt_sig_sql(t)} AS b{t}" for t in range(N_TABLES))
 
 
 def _mt_probe_join_sql(t: int) -> str:
-    """One table's Hamming≤1 candidate join: the probe side expands each
-    signature to itself (f=0) plus its PLANES_PER_TABLE one-bit flips,
-    equi-joined against the build side's exact signature. Probing from
-    one side suffices — flipping the single differing bit on either
-    member of a Hamming-1 pair reaches the other's signature."""
-    flip = (
-        f"substr(a.b{t}, 1, f.f - 1) || "
-        f"(CASE WHEN substr(a.b{t}, f.f, 1) = '1' THEN '0' ELSE '1' END) || "
-        f"substr(a.b{t}, f.f + 1)"
-    )
+    """One table's Hamming≤1 candidate join, built on the shared
+    _probe_eq_sql predicate: the probe side expands each signature to
+    itself (f=0) plus its PLANES_PER_TABLE one-bit flips, equi-joined
+    against the build side's exact signature. Probing from one side
+    suffices — flipping the single differing bit on either member of a
+    Hamming-1 pair reaches the other's signature."""
     return f"""        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                       CAST(b.embedding AS DOUBLE[])) AS sim
         FROM sigs a
         CROSS JOIN range(0, {PLANES_PER_TABLE + 1}) f(f)
         JOIN sigs b
-          ON (CASE WHEN f.f = 0 THEN a.b{t} ELSE {flip} END) = b.b{t}
+          ON {_probe_eq_sql(f"a.b{t}", f"b.b{t}")}
          AND a.vec_id < b.vec_id"""
 
 
@@ -624,11 +620,12 @@ def q_dedup_embedding_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _mt_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multiprobe LSH candidate pairs (vec_a < vec_b, exact cosine sim),
-    possibly repeated across tables — callers dedup/aggregate. The
-    probe side explodes each signature into itself plus its one-bit
-    flips and equi-joins the build side's exact signature (Hamming≤1
-    without ever comparing signatures pairwise)."""
+    """Multiprobe LSH candidate pairs (vec_a < vec_b, exact cosine
+    sim), ONE ROW PER DISTINCT PAIR — cross-table repeats are deduped
+    internally before scoring, so callers may count/filter directly.
+    The probe side explodes each signature into itself plus its
+    one-bit flips and equi-joins the build side's exact signature
+    (Hamming≤1 without ever comparing signatures pairwise)."""
     e = (
         load(spark, sf_dir, "embeddings")
         .select("vec_id", as_double("embedding").alias("emb"))
@@ -656,20 +653,6 @@ def _mt_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", *[table_sig(t).alias(f"b{t}") for t in range(N_TABLES)]
     )
 
-    def probe_keys(t: int):
-        sig = F.col(f"b{t}")
-        variants = [sig]
-        for j in range(1, PLANES_PER_TABLE + 1):
-            flipped = F.when(F.substring(sig, j, 1) == "1", F.lit("0")).otherwise("1")
-            variants.append(
-                F.concat(
-                    F.substring(sig, 1, j - 1),
-                    flipped,
-                    F.substring(sig, j + 1, PLANES_PER_TABLE),
-                )
-            )
-        return F.array(*variants)
-
     # Candidate generation stays NARROW — (vec_id, bucket) rows only —
     # and pairs are made DISTINCT before any vector is touched: a pair
     # colliding in k of the 8 tables would otherwise be scored k times
@@ -681,7 +664,9 @@ def _mt_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in range(N_TABLES):
         a = sigs.select(
             F.col("vec_id").alias("vec_a"),
-            F.explode(probe_keys(t)).alias("bucket"),
+            F.explode(
+                hamming1_variants(F.col(f"b{t}"), PLANES_PER_TABLE)
+            ).alias("bucket"),
         )
         b = sigs.select(F.col("vec_id").alias("vec_b"), F.col(f"b{t}").alias("bucket"))
         per_table.append(

@@ -70,31 +70,36 @@ def causal_sequence_stream(events: DataFrame) -> DataFrame:
         else:
             max_seq, last_ts_us, last_eid = 0, -(2**62), -1
 
-        out = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
-            ts_us = pdf["ts"].astype("int64") // 1000  # ns → µs
-            seqs, lates = [], []
-            for t, eid in zip(ts_us.tolist(), pdf["event_id"].tolist()):
-                max_seq += 1
-                late = (t, eid) < (last_ts_us, last_eid)
-                if not late:
-                    last_ts_us, last_eid = t, eid
-                seqs.append(max_seq)
-                lates.append(late)
-            out.append(
-                pd.DataFrame(
-                    {
-                        "user_id": user_id,
-                        "event_id": pdf["event_id"].to_numpy(),
-                        "ts": pdf["ts"].to_numpy(),
-                        "seq": seqs,
-                        "late": lates,
-                    }
-                )
-            )
+        # Arrow delivers one key's micro-batch as SEVERAL chunks in
+        # shuffle order; sorting each independently breaks (ts,
+        # event_id) order whenever a key spans chunks (default
+        # maxRecordsPerBatch 10k) — concatenate FIRST, sort once.
+        chunks = [c for c in pdfs if len(c)]
+        if not chunks:
+            state.update((max_seq, last_ts_us, last_eid))
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            ["ts", "event_id"], kind="mergesort"
+        )
+        ts_us = pdf["ts"].astype("int64") // 1000  # ns → µs
+        seqs, lates = [], []
+        for t, eid in zip(ts_us.tolist(), pdf["event_id"].tolist()):
+            max_seq += 1
+            late = (t, eid) < (last_ts_us, last_eid)
+            if not late:
+                last_ts_us, last_eid = t, eid
+            seqs.append(max_seq)
+            lates.append(late)
         state.update((max_seq, last_ts_us, last_eid))
-        yield from out
+        yield pd.DataFrame(
+            {
+                "user_id": user_id,
+                "event_id": pdf["event_id"].to_numpy(),
+                "ts": pdf["ts"].to_numpy(),
+                "seq": seqs,
+                "late": lates,
+            }
+        )
 
     return events.groupBy("user_id").applyInPandasWithState(
         sequence_group,
@@ -263,8 +268,13 @@ def pattern_match_stream(events: DataFrame) -> DataFrame:
             open_, n_events, n_matches, n_late, last_ts_us, last_eid = (
                 0, 0, 0, 0, -(2**62), -1,
             )
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        # concat-then-sort: chunk-local sorting breaks cross-chunk
+        # (ts, event_id) order for keys spanning Arrow chunks
+        chunks = [c for c in pdfs if len(c)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts", "event_id"], kind="mergesort"
+            )
             ts_us = pdf["ts"].astype("int64") // 1000
             for t, eid, et in zip(
                 ts_us.tolist(), pdf["event_id"].tolist(), pdf["event_type"].tolist()
@@ -347,31 +357,40 @@ def chain_assign_stream(events: DataFrame, gap_us: int) -> DataFrame:
         else:
             last_ts_us, cur_root, cur_depth = None, -1, -1
 
-        out = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
-            ts_us = pdf["ts"].astype("int64") // 1000  # ns → µs
-            roots, depths = [], []
-            for t, eid in zip(ts_us.tolist(), pdf["event_id"].tolist()):
-                if last_ts_us is None or t - last_ts_us > gap_us:
-                    cur_root, cur_depth = eid, 0
-                else:
-                    cur_depth += 1
-                last_ts_us = t
-                roots.append(cur_root)
-                depths.append(cur_depth)
-            out.append(
-                pd.DataFrame(
-                    {
-                        "user_id": user_id,
-                        "event_id": pdf["event_id"].to_numpy(),
-                        "root_id": roots,
-                        "depth": depths,
-                    }
-                )
+        # Arrow delivers one key's micro-batch as SEVERAL chunks in
+        # shuffle order — sorting each chunk independently breaks the
+        # (ts, event_id) order whenever a key spans chunks (default
+        # maxRecordsPerBatch 10k), so concatenate FIRST, sort once.
+        # Per-key micro-batch rows fit one task by the same argument
+        # the grouped-map packing kernel relies on.
+        chunks = [c for c in pdfs if len(c)]
+        if not chunks:
+            state.update(
+                (last_ts_us if last_ts_us is not None else -(2**62), cur_root, cur_depth)
             )
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            ["ts", "event_id"], kind="mergesort"
+        )
+        ts_us = pdf["ts"].astype("int64") // 1000  # ns → µs
+        roots, depths = [], []
+        for t, eid in zip(ts_us.tolist(), pdf["event_id"].tolist()):
+            if last_ts_us is None or t - last_ts_us > gap_us:
+                cur_root, cur_depth = eid, 0
+            else:
+                cur_depth += 1
+            last_ts_us = t
+            roots.append(cur_root)
+            depths.append(cur_depth)
         state.update((last_ts_us if last_ts_us is not None else -(2**62), cur_root, cur_depth))
-        yield from out
+        yield pd.DataFrame(
+            {
+                "user_id": user_id,
+                "event_id": pdf["event_id"].to_numpy(),
+                "root_id": roots,
+                "depth": depths,
+            }
+        )
 
     return events.groupBy("user_id").applyInPandasWithState(
         assign_group,

@@ -166,3 +166,38 @@ def test_causal_chains_match_sessionize(spark):
     assert len(by_root) == n_sessions
     for root, depths in by_root.items():
         assert sorted(depths) == list(range(len(depths))), f"chain {root}"
+
+
+def test_cogroup_asof_handles_clickers_without_purchases(spark):
+    """Regression (code-review find): a user with clicks but NO
+    purchases reaches the cogrouped kernel with an EMPTY right frame —
+    any gather from it (even inside np.where's eagerly evaluated
+    branch) raised IndexError. All fixtures coincidentally lack such a
+    user, so this synthetic case pins the guard."""
+    import datetime
+
+    from distributed_causal_stream_processing_spark.functions.udfs import (
+        q_udf_cogroup,
+    )
+
+    # user 7777 clicks twice, never purchases; user 8888 is normal
+    rows = [
+        (1, "2024-01-01 10:00:00", 7777, "click", 1.0, "{}"),
+        (2, "2024-01-01 11:00:00", 7777, "click", 1.0, "{}"),
+        (3, "2024-01-01 09:00:00", 8888, "purchase", 5.0, "{}"),
+        (4, "2024-01-01 10:30:00", 8888, "click", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        [
+            (e, datetime.datetime.fromisoformat(t), u, ty, v, p)
+            for e, t, u, ty, v, p in rows
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    got = {r.c_id: r.last_purchase_id for r in q_udf_cogroup(spark, d).collect()}
+    assert got == {1: None, 2: None, 4: 3}
