@@ -1000,3 +1000,32 @@ def q_agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.every(F.col("o_orderpriority") != "1-URGENT").alias("none_urgent"),
         F.count(F.lit(1)).cast("bigint").alias("n"),
     )
+
+
+@query(
+    "q_agg_multi_distinct",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+           CAST(count(DISTINCT l_returnflag) AS BIGINT) AS n_flags,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def q_agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple DISTINCT aggregates over DIFFERENT columns in one
+    GROUP BY — the planner shape q_agg_distinct (single distinct
+    column) cannot show: Catalyst rewrites via an Expand operator
+    (one row replicated per distinct-aggregate group with a gid),
+    then two aggregation layers — one shuffle carrying the expanded
+    rows instead of one full pass per distinct column.
+    tests/test_plans.py asserts Expand appears in the plan."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.count_distinct("l_partkey").cast("bigint").alias("n_parts"),
+        F.count_distinct("l_orderkey").cast("bigint").alias("n_orders"),
+        F.count_distinct("l_returnflag").cast("bigint").alias("n_flags"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )

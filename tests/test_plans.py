@@ -573,3 +573,12 @@ def test_asof_nearest_single_window_pass(spark):
     plan = _plan(df).split("== Initial Plan ==")[0]
     n_windows = plan.count("Window [")
     assert n_windows <= 1, f"{n_windows} Window operators: {plan[:600]}"
+
+
+def test_multi_distinct_uses_expand(spark):
+    """Multiple DISTINCT aggregates over different columns must plan
+    through Catalyst's Expand rewrite (replicate+gid, two aggregate
+    layers) — not one scan per distinct column."""
+    df = _registry()["q_agg_multi_distinct"].fn(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "Expand" in plan
