@@ -606,9 +606,16 @@ def q_dedup_embedding_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes). Both engines derive identical buckets, so this is
     value-hash-checked, not rows-only. Scale shape: one shuffle per
     table on the 8-bit signature, probe side expanded 9× by a
-    narrow-row explode (no quadratic blow-up — expansion is linear in
-    n with constant PLANES_PER_TABLE+1); heavy buckets shard via AQE
-    skew-join; nothing quadratic in n.
+    narrow-row explode (expansion is linear in n with constant
+    PLANES_PER_TABLE+1); heavy buckets shard via AQE skew-join. Be
+    precise about the asymptotics: with FIXED signature bits the
+    candidate set is p·n²/2 with constant p ≈ cand_frac (≈0.26 on this
+    isotropic corpus at BOTH fixture scales —
+    tests/test_scale_smoke.py pins that invariance) — a constant-
+    factor prune, not a lower exponent. Production holds candidates
+    near-linear by growing signature bits ~log n (more planes per
+    table as the corpus grows), the standard LSH scaling; here the
+    bits are fixture-tuned for the recall target instead.
 
     tests/test_plans.py asserts the plan has no cartesian/nested-loop
     join and no Python stage."""

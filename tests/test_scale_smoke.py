@@ -120,3 +120,28 @@ def test_decontaminate_scales_linearly(spark, tmp_path_factory):
     assert len(big) == COPIES * len(small)
     assert sum(r.n_shared for r in big) == COPIES * sum(r.n_shared for r in small)
     assert t_big < max(20 * t_small, 10.0), (t_small, t_big)
+
+
+def test_lsh_candidate_fraction_is_scale_invariant(spark):
+    """Pin the HONEST asymptotics of the fixed-bit LSH prune: on
+    isotropic data the candidate FRACTION (distinct candidate pairs /
+    all n(n-1)/2 pairs) is a property of the signature distribution,
+    NOT of corpus size — measured ≈0.26 at both 500 and 2000 vectors.
+    The prune is a constant-factor reduction of the quadratic work;
+    holding candidates near-linear as n grows requires growing
+    signature bits ~log n (the standard LSH scaling, documented in
+    q_dedup_embedding_pruned). This test exists so the docstring's
+    asymptotic claim can never silently drift from measurement."""
+    from distributed_causal_stream_processing_spark.io import load
+    from distributed_causal_stream_processing_spark.operators.similarity import (
+        _mt_candidates,
+    )
+
+    fracs = {}
+    for sf_dir in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        n = load(spark, sf_dir, "embeddings").count()
+        n_cand = _mt_candidates(spark, sf_dir).count()
+        fracs[sf_dir] = n_cand / (n * (n - 1) / 2)
+    a, b = fracs.values()
+    assert 0.15 < a < 0.4 and 0.15 < b < 0.4, fracs
+    assert abs(a - b) < 0.08, fracs
