@@ -854,6 +854,100 @@ def q_minhash_accuracy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fuzzy_name_pairs(names: DataFrame, tau: int) -> DataFrame:
+    """All ordered pairs (name_a, name_b) of distinct names with
+    edit distance ≤ ``tau``, plus that distance — via PassJoin
+    segment blocking (equi join; no cross product).
+
+    Segmentation convention for a string of length ``l`` into
+    ``tau+1`` segments: ``q = l div (tau+1)``, ``r = l mod (tau+1)``;
+    the first ``r`` segments have length ``q+1``, the rest ``q``
+    (0-based start of segment i: ``i*q + min(i, r)``). The probe side
+    re-derives this segmentation for every candidate index length
+    ``la ∈ [m-tau, m+tau]`` since it cannot know the partner's length
+    up front; zero-length segments (only possible for strings shorter
+    than tau+1 chars) emit '' keys on both sides so the pigeonhole
+    guarantee survives degenerate inputs."""
+    nseg = tau + 1
+    name = F.col("p_name")
+
+    def _seg(la, i):
+        # even segmentation of a length-la string: first r segments get q+1
+        q = F.floor(la / nseg).cast("int")
+        r = (la % nseg).cast("int")
+        seg_len = q + F.when(i < r, F.lit(1)).otherwise(F.lit(0))
+        seg_start = i * q + F.least(i, r)  # 0-based
+        return seg_start, seg_len
+
+    # The (candidate-length, segment, shift) space is exploded as DATA via
+    # sequence() (3 cheap Generates), not as 75 inlined expression trees —
+    # the literal-unrolled form blew past janino's method-size limit and
+    # fell out of whole-stage codegen.
+    i_col = F.col("seg_i")
+    idx_start, idx_len = _seg(F.col("la"), i_col)
+    idx = (
+        names.select(name.alias("name_a"), F.length(name).alias("la"))
+        .select("name_a", "la", F.explode(F.sequence(F.lit(0), F.lit(nseg - 1))).alias("seg_i"))
+        .select(
+            "name_a",
+            "la",
+            "seg_i",
+            F.col("name_a").substr(idx_start + F.lit(1), idx_len).alias("seg_key"),
+        )
+    )
+
+    la_col = F.col("la")
+    m_col = F.col("m")
+    p_start, p_len = _seg(la_col, i_col)
+    shift_lo = F.greatest(F.lit(0), p_start - F.lit(tau))
+    shift_hi = F.least(m_col - p_len, p_start + F.lit(tau))
+    probe = (
+        names.select(name.alias("name_b"), F.length(name).alias("m"))
+        .select(
+            "name_b",
+            "m",
+            F.explode(F.sequence(m_col - F.lit(tau), m_col + F.lit(tau))).alias("la"),
+        )
+        .filter(la_col >= 1)
+        .select(
+            "name_b",
+            "m",
+            "la",
+            F.explode(F.sequence(F.lit(0), F.lit(nseg - 1))).alias("seg_i"),
+        )
+        .select(
+            "name_b",
+            "m",
+            "la",
+            "seg_i",
+            F.explode(
+                F.when(shift_lo <= shift_hi, F.sequence(shift_lo, shift_hi)).otherwise(
+                    F.array().cast("array<int>")
+                )
+            ).alias("start"),
+            p_len.alias("seg_len"),
+        )
+        .select(
+            "name_b",
+            "la",
+            "seg_i",
+            F.col("name_b").substr(F.col("start") + F.lit(1), F.col("seg_len")).alias("seg_key"),
+        )
+    )
+
+    return (
+        idx.join(probe, ["la", "seg_i", "seg_key"])
+        .select("name_a", "name_b")
+        .distinct()
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b", tau).cast("bigint").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") >= 0)
+    )
+
+
 @query(
     "q_dedup_fuzzy",
     oracle="""
@@ -874,33 +968,26 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     (an edit inside a token changes every covering shingle, but moves
     edit distance by 1).
 
-    Scale shape — the quadratic runs over the VALUE DOMAIN, not the
-    corpus: edit distance is computed once per distinct (name, name)
-    combination (a deliberate domain × domain cross join — N distinct
-    names, not N rows), with a length-difference prefilter
-    (|len(a)−len(b)| lower-bounds edit distance) and Spark's
-    three-argument ``levenshtein(l, r, threshold)`` early-exiting the
-    DP outside a ±threshold band (O(len·k) per pair, -1 past the
-    bound). The surviving name-pair list is tiny and BROADCASTS; part
-    pairs then materialize by two equi joins (name_a, then
-    brand+name_b), so corpus-side work is output-bound — the brand
-    blocking still means no cross-brand pair ever exists. A naive
-    corpus-side blocked join computed the same 220k-row answer at
-    sf0.1 in ~10 s; this form is ~5× faster and its domain cross
-    scales with name cardinality, not row count."""
+    Scale shape — candidate name pairs come from PassJoin-style
+    segment blocking (Li, Deng, Feng, "PASS-JOIN", VLDB 2011), an
+    EQUI join, never a cross: by pigeonhole, if ed(a, b) ≤ τ=2 then b
+    contains at least one of a's τ+1=3 contiguous segments, starting
+    within ±τ of that segment's position in a. So the index side
+    explodes each distinct name into its 3 (length, seg_idx, segment)
+    keys, the probe side explodes each name into every substring that
+    could equal such a segment (5 candidate lengths × 3 segments ×
+    ≤5 shifts ≈ 75 short keys), and a hash join on the composite key
+    yields candidates — O(N · 75) index rows instead of O(N²) pairs,
+    with no false negatives. Spark's three-argument
+    ``levenshtein(l, r, threshold)`` then verifies candidates,
+    early-exiting the DP outside a ±2 band. The surviving name-pair
+    list is tiny and BROADCASTS; part pairs materialize by two equi
+    joins (name_a, then brand+name_b), so corpus-side work is
+    output-bound and the name stage scales with name-domain
+    cardinality × a constant, not its square."""
     p = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
     names = p.select("p_name").distinct()
-    npairs = (
-        names.select(F.col("p_name").alias("name_a"))
-        .crossJoin(names.select(F.col("p_name").alias("name_b")))
-        .filter(F.abs(F.length("name_a") - F.length("name_b")) <= 2)
-        .select(
-            "name_a",
-            "name_b",
-            F.levenshtein("name_a", "name_b", 2).cast("bigint").alias("edit_dist"),
-        )
-        .filter(F.col("edit_dist") >= 0)
-    )
+    npairs = _fuzzy_name_pairs(names, tau=2)
     a = p.select(
         F.col("p_partkey").alias("part_a"),
         F.col("p_brand").alias("brand"),

@@ -139,7 +139,6 @@ CARTESIAN_OK = {
     "q_dedup_embedding_recall",  # 1-row exact/pruned counts crossed
     "q_embed_pca_power",  # 1-row norm / eigenvalue scalars crossed per matvec
     "q_embed_abtt",  # same power-iteration lineage (1-row norm scalars)
-    "q_dedup_fuzzy",  # deliberate domain x domain name cross (N distinct values)
     "q_sim_knn_label",
     "q_pivot",
     "q_mix_weights",  # 1-row totals broadcast crossed into domain counts
@@ -546,6 +545,20 @@ def test_dedup_embedding_pruned_no_cartesian_no_python(spark):
     assert "bucket" in plan  # the signature is the join key
     for py_op in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas", "BatchEvalPython"):
         assert py_op not in plan, py_op
+
+
+def test_dedup_fuzzy_name_stage_is_hash_join(spark):
+    """The PassJoin name-candidate stage (VERDICT r05 item 2) must be
+    an equi HASH join on (la, seg_i, seg_key) — the old domain×domain
+    name cross is gone, so the whole query plans with zero
+    cartesian/nested-loop operators and the segment key appears as a
+    join key."""
+    df = _registry()["q_dedup_fuzzy"].fn(spark, SF_SMOKE)
+    df.collect()
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "seg_key" in plan  # segment blocking key drives the join
+    assert "HashJoin" in plan
 
 
 def test_sample_weighted_is_take_ordered(spark):

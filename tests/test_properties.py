@@ -390,3 +390,55 @@ def test_asof_nearest_matches_bruteforce(spark, left, right):
         ).collect()
     }
     assert got == _brute_nearest(left, right)
+
+
+def _brute_edit_pairs(names, tau):
+    """All ordered (a, b) pairs with Levenshtein distance <= tau."""
+    def ed(a, b):
+        if abs(len(a) - len(b)) > tau:
+            return tau + 1
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    uniq = sorted(set(names))
+    return sorted(
+        (a, b, d)
+        for a in uniq
+        for b in uniq
+        if (d := ed(a, b)) <= tau
+    )
+
+
+# Tiny alphabet + short lengths force degenerate segmentations (len <
+# tau+1 → zero-length segments), duplicate-prefix collisions, and
+# many true positives — the PassJoin edge cases.
+_NAMES = st.lists(
+    st.text(alphabet="ab", min_size=1, max_size=7), min_size=1, max_size=10
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(names=_NAMES)
+def test_fuzzy_name_pairs_matches_bruteforce(spark, names):
+    """PassJoin segment blocking must have NO false negatives (the
+    pigeonhole lemma) and the levenshtein verify no false positives —
+    so against brute-force edit distance it must match exactly."""
+    from distributed_causal_stream_processing_spark.operators.dedup import (
+        _fuzzy_name_pairs,
+    )
+
+    ndf = spark.createDataFrame([(n,) for n in set(names)], "p_name string")
+    got = sorted(
+        (r.name_a, r.name_b, r.edit_dist)
+        for r in _fuzzy_name_pairs(ndf, tau=2).collect()
+    )
+    assert got == _brute_edit_pairs(names, 2)
