@@ -60,6 +60,7 @@ def _blocked_cosine_pairs(
     sf_dir: str,
     thresh: float | None = None,
     local_topk: int | None = None,
+    pred: Column | None = None,
 ) -> DataFrame:
     """All unordered pairs (vec_a < vec_b, cosine sim) via blocked GEMM.
 
@@ -67,10 +68,15 @@ def _blocked_cosine_pairs(
     quadratic candidate set dies before leaving the task).
     local_topk: keep each block-pair's top-k by sim (ties kept), which
     upper-bounds a later global top-k — turns O(n²) output into O(B²·k).
+    pred: optional row filter on the vector table (e.g. a deterministic
+    hash-sample) applied BEFORE pair enumeration, so the quadratic
+    shrinks by the sample fraction squared.
     """
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("emb")
     )
+    if pred is not None:
+        e = e.filter(pred)
     blk = e.withColumn("blk", F.pmod(F.col("vec_id"), F.lit(N_BLOCKS)).cast("int"))
     packed = blk.groupBy("blk").applyInPandas(_pack_block, _PACK_SCHEMA)
     a = packed.select(
@@ -286,6 +292,17 @@ def _plane_literal_sql(i: int) -> str:
     return "[" + ", ".join(f"{v}.0" for v in _PLANES[i]) + "]"
 
 
+def _single_table_sig() -> Column:
+    """The 8-bit LSH bucket signature of ``emb`` — all plane dots via
+    one higher-order transform over the SQL-parsed plane matrix (see
+    ``_nested_double_literal`` for why not per-plane ``F.lit``)."""
+    bits = F.transform(
+        _nested_double_literal([[float(v) for v in p] for p in _PLANES]),
+        lambda p: F.when(dot(F.col("emb"), p) > 0, F.lit("1")).otherwise(F.lit("0")),
+    )
+    return F.concat_ws("", bits)
+
+
 _DUCK_SIG = " || ".join(
     f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
     f"CAST({_plane_literal_sql(i)} AS DOUBLE[])) > 0 THEN '1' ELSE '0' END)"
@@ -338,13 +355,7 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", as_double("embedding").alias("emb")
     ).withColumn("nrm", norm(F.col("emb")))
-    sig = F.concat(
-        *[
-            F.when(dot(F.col("emb"), F.lit(_PLANES[i]).cast("array<double>")) > 0, "1")
-            .otherwise("0")
-            for i in range(N_PLANES)
-        ]
-    )
+    sig = _single_table_sig()
     sigs = e.select("vec_id", "emb", "nrm", sig.alias("bucket"))
     q = sigs.filter(F.col("vec_id") < 50).select(
         F.col("vec_id").alias("query_id"),
@@ -484,14 +495,18 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  CAST(b.embedding AS DOUBLE[])) >= 0.3
     """,
 )
-def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dedup_embedding(
+    spark: SparkSession, sf_dir: str, pred: Column | None = None
+) -> DataFrame:
     """Embedding-cosine near-dup pairs (cos ≥ 0.3) — semantic dedup,
     EXACT baseline: blocked-GEMM all-pairs with the threshold applied
     inside the kernel. Deliberately quadratic — it exists to measure the
     recall of the scale path, ``q_dedup_embedding_pruned`` (LSH-bucketed
     candidates, nothing quadratic), which is what runs at 100 TB.
+    ``pred`` optionally restricts the vector table first (the recall
+    eval's hash-sample path).
     """
-    return _blocked_cosine_pairs(spark, sf_dir, thresh=0.3).select(
+    return _blocked_cosine_pairs(spark, sf_dir, thresh=0.3, pred=pred).select(
         "vec_a", "vec_b", F.round("sim", 4).alias("cos_sim")
     )
 
@@ -626,38 +641,67 @@ def q_dedup_embedding_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _mt_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _nested_double_literal(rows: list[list[float]]) -> Column:
+    """A constant ``array<array<double>>`` built as ONE SQL-parsed
+    expression. Building it element-wise with ``F.lit`` costs a py4j
+    round-trip per element — measured ~5 s of pure driver time for the
+    64×64 plane matrix at every query BUILD (before any job ran);
+    ``expr()`` hands the JVM a single string to parse instead."""
+    sql = (
+        "array("
+        + ", ".join("array(" + ", ".join(f"{v}D" for v in r) + ")" for r in rows)
+        + ")"
+    )
+    return F.expr(sql)
+
+
+def _mt_candidates(
+    spark: SparkSession, sf_dir: str, pred: Column | None = None
+) -> DataFrame:
     """Multiprobe LSH candidate pairs (vec_a < vec_b, exact cosine
     sim), ONE ROW PER DISTINCT PAIR — cross-table repeats are deduped
     internally before scoring, so callers may count/filter directly.
     The probe side explodes each signature into itself plus its
     one-bit flips and equi-joins the build side's exact signature
-    (Hamming≤1 without ever comparing signatures pairwise)."""
+    (Hamming≤1 without ever comparing signatures pairwise). ``pred``
+    optionally restricts the vector table first (a vector's buckets
+    depend only on that vector, so a pair of sampled vectors is a
+    candidate iff it is a candidate in the full corpus — sampling
+    commutes with the index)."""
     e = (
         load(spark, sf_dir, "embeddings")
         .select("vec_id", as_double("embedding").alias("emb"))
         .withColumn("nrm", norm(F.col("emb")))
     )
+    if pred is not None:
+        e = e.filter(pred)
 
-    def table_sig(t: int):
-        return F.concat(
+    # All 64 plane dots in ONE higher-order transform over the parsed
+    # plane matrix (same left-fold dot, so buckets stay bit-identical
+    # with the oracle's unrolled CASE chain), then 8 signature strings
+    # sliced out of the bit array. The narrow signature table
+    # (vec_id + 8 short strings) is materialized with its lineage CUT:
+    # the per-table candidate loop references sigs 16 times (build +
+    # probe per table), and without the cut Catalyst re-derives the
+    # plane expression in every branch — the query was driver-bound
+    # (plan/py4j, ~7 s at ANY sf), not data-bound. Same localCheckpoint
+    # pattern as the iterative graph queries.
+    bits = F.transform(
+        _nested_double_literal(_PLANES_MT),
+        lambda p: F.when(dot(F.col("emb"), p) > 0, F.lit("1")).otherwise(F.lit("0")),
+    )
+    sigs = (
+        e.select("vec_id", bits.alias("bits"))
+        .select(
+            "vec_id",
             *[
-                F.when(
-                    dot(
-                        F.col("emb"),
-                        F.lit(_PLANES_MT[t * PLANES_PER_TABLE + j]).cast(
-                            "array<double>"
-                        ),
-                    )
-                    > 0,
-                    "1",
-                ).otherwise("0")
-                for j in range(PLANES_PER_TABLE)
-            ]
+                F.concat_ws(
+                    "", F.slice("bits", t * PLANES_PER_TABLE + 1, PLANES_PER_TABLE)
+                ).alias(f"b{t}")
+                for t in range(N_TABLES)
+            ],
         )
-
-    sigs = e.select(
-        "vec_id", *[table_sig(t).alias(f"b{t}") for t in range(N_TABLES)]
+        .localCheckpoint(eager=True)
     )
 
     # Candidate generation stays NARROW — (vec_id, bucket) rows only —
@@ -700,16 +744,37 @@ def _mt_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic cross-engine hash-sample for the recall eval: first
+# hex digit of md5(vec_id) in 0-3 → an exact, engine-agnostic 4/16
+# expected fraction (md5 of the decimal string renders identically in
+# Spark and DuckDB, unlike their incompatible builtin hash()).
+_EVAL_SAMPLE_HEX = ("0", "1", "2", "3")
+_EVAL_SAMPLE_SQL = (
+    "substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) IN ('"
+    + "', '".join(_EVAL_SAMPLE_HEX)
+    + "')"
+)
+
+
+def _eval_sample_pred() -> Column:
+    return F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1).isin(
+        *_EVAL_SAMPLE_HEX
+    )
+
+
 @query(
     "q_dedup_embedding_recall",
     oracle=f"""
-    WITH sigs AS (
+    WITH se AS (
+        SELECT * FROM embeddings WHERE {_EVAL_SAMPLE_SQL}
+    ),
+    sigs AS (
         SELECT vec_id, embedding, {_MT_SIG_COLS}
-        FROM embeddings
+        FROM se
     ),
     exact_pairs AS (
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        FROM se a JOIN se b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                      CAST(b.embedding AS DOUBLE[])) >= 0.3
     ),
@@ -721,7 +786,7 @@ def _mt_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT DISTINCT vec_a, vec_b FROM cand WHERE sim >= 0.3
     ),
     npairs AS (
-        SELECT count(*) * (count(*) - 1) / 2 AS n FROM embeddings
+        SELECT count(*) * (count(*) - 1) / 2 AS n FROM se
     )
     SELECT (SELECT CAST(count(*) AS BIGINT) FROM exact_pairs) AS n_exact,
            (SELECT CAST(count(*) AS BIGINT) FROM pruned_pairs) AS n_pruned,
@@ -732,7 +797,9 @@ def _mt_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / (SELECT n FROM npairs), 4) AS cand_frac
     """,
 )
-def q_dedup_embedding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dedup_embedding_recall(
+    spark: SparkSession, sf_dir: str, full_exact: bool = False
+) -> DataFrame:
     """Recall AND cost of the LSH-pruned embedding dedup against the
     exact baseline — the two numbers that justify shipping the pruned
     path at 100 TB (sibling of q_sim_recall_eval, which scores the ANN
@@ -741,23 +808,33 @@ def q_dedup_embedding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     / n_exact; cand_frac = distinct candidate pairs / all n(n-1)/2
     pairs is the fraction of the quadratic work the index actually
     performs — recall without its cost column is how LSH evals lie.
-    A pipeline reruns this on a sample whenever the plane family or
-    probe radius changes. Eval-only: the exact side is the deliberately
-    quadratic baseline, run on a bounded slice/sample in production."""
-    exact = q_dedup_embedding(spark, sf_dir).agg(
+
+    The eval runs on a DETERMINISTIC HASH-SAMPLE of the vectors
+    (md5 first hex digit, expected 25% — VERDICT r05 item 3), applied
+    identically to BOTH sides: a pair's candidate status depends only
+    on its two vectors' signatures, so restricting the corpus to the
+    sample leaves per-pair collision behavior untouched and the
+    sampled recall/cand_frac are unbiased estimates of the full-corpus
+    numbers — while the exact side's quadratic shrinks 16×. Pass
+    ``full_exact=True`` for the unsampled eval (the pre-r06 behavior;
+    measured full-corpus: recall 0.6323 @ cand_frac 0.2641 at
+    sf0.01)."""
+    pred = None if full_exact else _eval_sample_pred()
+    exact = q_dedup_embedding(spark, sf_dir, pred=pred).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_exact")
     )
     # one pass over the candidate pipeline yields BOTH counters (a
     # separate agg per counter re-derived the whole LSH pipeline —
     # 13.3 s → ~9 s at sf0.1); pairs are already distinct
-    cand_stats = _mt_candidates(spark, sf_dir).agg(
+    cand_stats = _mt_candidates(spark, sf_dir, pred=pred).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_cand"),
         F.count(F.when(F.col("sim") >= 0.3, 1)).cast("bigint").alias("n_pruned"),
     )
-    npairs = (
-        load(spark, sf_dir, "embeddings")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select((F.col("n") * (F.col("n") - 1) / 2).alias("npairs"))
+    base = load(spark, sf_dir, "embeddings")
+    if pred is not None:
+        base = base.filter(pred)
+    npairs = base.agg(F.count(F.lit(1)).alias("n")).select(
+        (F.col("n") * (F.col("n") - 1) / 2).alias("npairs")
     )
     # four 1-row aggregates crossed — the standard scalar-broadcast shape
     return (
@@ -1142,13 +1219,7 @@ def q_sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("emb")
     ).withColumn("nrm", norm(F.col("emb")))
-    sig = F.concat(
-        *[
-            F.when(dot(F.col("emb"), F.lit(_PLANES[i]).cast("array<double>")) > 0, "1")
-            .otherwise("0")
-            for i in range(N_PLANES)
-        ]
-    )
+    sig = _single_table_sig()
     sigs = e.select("vec_id", "emb", "nrm", sig.alias("bucket"))
     q = sigs.filter(F.col("vec_id") < 50).select(
         F.col("vec_id").alias("query_id"),
