@@ -54,6 +54,17 @@ def get_spark(
 ) -> SparkSession:
     """Build (or reuse) the engine's SparkSession."""
     n = cpus or DEFAULT_CPUS
+    # Python workers don't inherit the driver's script-dir sys.path
+    # entry, only cwd + PYTHONPATH — so a mapInPandas kernel that
+    # references this package dies with ModuleNotFoundError whenever
+    # the entrypoint is launched from outside the repo root. Export
+    # the package's parent dir to the workers explicitly.
+    repo_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo_dir not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo_dir + (os.pathsep + existing if existing else "")
+        )
     builder = (
         SparkSession.builder.master(f"local[{n}]")
         .appName(app_name)

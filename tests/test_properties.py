@@ -442,3 +442,63 @@ def test_fuzzy_name_pairs_matches_bruteforce(spark, names):
         for r in _fuzzy_name_pairs(ndf, tau=2).collect()
     )
     assert got == _brute_edit_pairs(names, 2)
+
+
+def _brute_ewma(rows):
+    """user -> plain sequential EWMA over (us, event_id)-ordered values."""
+    out = {}
+    byuser = {}
+    for u, us, eid, v in rows:
+        byuser.setdefault(u, []).append((us, eid, v))
+    for u, evs in byuser.items():
+        vals = [v for (_, _, v) in sorted(evs)]
+        y = vals[0]
+        for v in vals[1:]:
+            y = 0.8 * y + 0.2 * v
+        out[u] = (len(vals), y)
+    return out
+
+
+# Timestamps straddle several tiny buckets AND collide within buckets;
+# duplicate (us) rows force the event_id tie-break.
+_EWMA_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),    # user
+        st.integers(min_value=0, max_value=40),   # us
+        st.integers(min_value=0, max_value=99),   # event_id
+        st.floats(min_value=-8, max_value=8, allow_nan=False, width=32),
+    ),
+    min_size=1,
+    max_size=25,
+    unique_by=lambda r: (r[0], r[1], r[2]),
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(rows=_EWMA_ROWS)
+def test_ewma_two_level_matches_sequential(spark, rows):
+    """The bucketed affine recombination must equal the plain
+    sequential fold (same math, different association — so compare to
+    float tolerance, not bit-exactly) for every key, with bucket
+    boundaries falling mid-stream (width 7 over us in [0, 40])."""
+    from distributed_causal_stream_processing_spark.operators.aggregates import (
+        ewma_two_level,
+    )
+
+    df = spark.createDataFrame(
+        [(u, us, eid, float(v)) for (u, us, eid, v) in rows],
+        "user_id int, us long, event_id int, value double",
+    )
+    got = {
+        r.user_id: (r.n_events, r.ewma)
+        for r in ewma_two_level(df, bucket_us=7).collect()
+    }
+    want = _brute_ewma(rows)
+    assert set(got) == set(want)
+    for u, (n, y) in want.items():
+        assert got[u][0] == n
+        assert abs(got[u][1] - round(y, 4)) <= 1e-4, (u, got[u], y)
