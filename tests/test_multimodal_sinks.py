@@ -106,3 +106,62 @@ def test_orc_csv_json_sink_roundtrip(spark, tmp_path):
     df.write.mode("overwrite").json(json_out)
     back = spark.read.schema(schema).json(json_out)
     assert sorted(map(tuple, back.collect())) == want
+
+
+def test_encoded_media_headers_validate_independently(spark):
+    """The generated payloads must be REAL containers: re-parse a PNG
+    and a WAV with fresh stdlib struct code (independent of the
+    decode kernel), including the PNG CRC the encoder computed with
+    Spark's crc32."""
+    import binascii
+    import struct
+
+    from distributed_causal_stream_processing_spark.operators.multimodal import (
+        as_encoded_media_table,
+    )
+
+    rows = {
+        r.doc_id: bytes(r.payload)
+        for r in as_encoded_media_table(spark, SF_SMOKE)
+        .filter("doc_id IN (2, 3)")
+        .collect()
+    }
+    png, wav = rows[2], rows[3]
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    assert png[12:16] == b"IHDR"
+    assert binascii.crc32(png[12:29]) == struct.unpack(">I", png[29:33])[0]
+    assert struct.unpack(">II", png[16:24]) == (2 % 640 + 64, 2 % 480 + 48)
+    assert wav[:4] == b"RIFF" and wav[8:12] == b"WAVE" and wav[12:16] == b"fmt "
+    fmt_len, audio_fmt, ch, rate = struct.unpack("<IHHI", wav[16:28])
+    assert (fmt_len, audio_fmt, ch) == (16, 1, 3 % 2 + 1)
+    assert rate == 8000 + (3 % 8) * 4000
+    assert wav[36:40] == b"data"
+    assert struct.unpack("<I", wav[40:44])[0] == len(wav) - 44
+
+
+def test_decode_headers_rejects_corrupt_payloads(spark):
+    """Corrupt magic or a wrong CRC must fail loudly, not yield nulls."""
+    import pytest as _pytest
+
+    from distributed_causal_stream_processing_spark.operators.multimodal import (
+        decode_headers,
+    )
+
+    bad = spark.createDataFrame(
+        [(1, bytearray(b"NOTAPNGORWAVE___" * 4))], "doc_id long, payload binary"
+    )
+    with _pytest.raises(Exception, match="unknown container"):
+        decode_headers(bad).collect()
+
+    # valid PNG signature but zeroed CRC
+    hdr = (
+        b"\x89PNG\r\n\x1a\n"
+        + b"\x00\x00\x00\x0dIHDR"
+        + b"\x00\x00\x00\x40\x00\x00\x00\x30\x08\x06\x00\x00\x00"
+        + b"\x00\x00\x00\x00"
+    )
+    badcrc = spark.createDataFrame(
+        [(1, bytearray(hdr))], "doc_id long, payload binary"
+    )
+    with _pytest.raises(Exception, match="CRC mismatch"):
+        decode_headers(badcrc).collect()
