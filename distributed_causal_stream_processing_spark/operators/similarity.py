@@ -537,15 +537,38 @@ def q_dedup_embedding(
 # both numbers as a registered query.
 N_TABLES = 8
 PLANES_PER_TABLE = 8
-_PLANES_MT = [
-    [
-        1.0
-        if int(hashlib.md5(f"plane:{i}:{d}".encode()).hexdigest()[:8], 16) & 1
-        else -1.0
-        for d in range(DIM)
+
+
+def _mt_planes(n_planes: int) -> list[list[float]]:
+    """Deterministic i.i.d. ±1 sign planes (md5-derived): one global
+    plane sequence that per-table layouts slice contiguously, so any
+    (n_tables, bits) configuration is reproducible from the seed
+    formula alone."""
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"plane:{i}:{d}".encode()).hexdigest()[:8], 16) & 1
+            else -1.0
+            for d in range(DIM)
+        ]
+        for i in range(n_planes)
     ]
-    for i in range(N_TABLES * PLANES_PER_TABLE)
-]
+
+
+_PLANES_MT = _mt_planes(N_TABLES * PLANES_PER_TABLE)
+
+
+def planes_for_corpus(n: int, ref_n: int = 500, ref_bits: int = PLANES_PER_TABLE) -> int:
+    """The production LSH bit-growth law: signature bits per table grow
+    ~log2(n) so the per-bucket occupancy n/2^bits — and with it the
+    candidate count — stays near-LINEAR in corpus size instead of the
+    fixed-bit constant-fraction-of-n² (see q_dedup_embedding_pruned's
+    asymptotics note). Anchored at the fixture-tuned (ref_n, ref_bits)
+    recall point; floor of 4 keeps tiny corpora from degenerating to
+    everything-in-one-bucket."""
+    import math
+
+    return max(4, ref_bits + round(math.log2(max(n, 2) / ref_n)))
 
 
 def _mt_plane_literal_sql(i: int) -> str:
@@ -656,7 +679,10 @@ def _nested_double_literal(rows: list[list[float]]) -> Column:
 
 
 def _mt_candidates(
-    spark: SparkSession, sf_dir: str, pred: Column | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    pred: Column | None = None,
+    planes_per_table: int = PLANES_PER_TABLE,
 ) -> DataFrame:
     """Multiprobe LSH candidate pairs (vec_a < vec_b, exact cosine
     sim), ONE ROW PER DISTINCT PAIR — cross-table repeats are deduped
@@ -687,7 +713,7 @@ def _mt_candidates(
     # (plan/py4j, ~7 s at ANY sf), not data-bound. Same localCheckpoint
     # pattern as the iterative graph queries.
     bits = F.transform(
-        _nested_double_literal(_PLANES_MT),
+        _nested_double_literal(_mt_planes(N_TABLES * planes_per_table)),
         lambda p: F.when(dot(F.col("emb"), p) > 0, F.lit("1")).otherwise(F.lit("0")),
     )
     sigs = (
@@ -696,7 +722,7 @@ def _mt_candidates(
             "vec_id",
             *[
                 F.concat_ws(
-                    "", F.slice("bits", t * PLANES_PER_TABLE + 1, PLANES_PER_TABLE)
+                    "", F.slice("bits", t * planes_per_table + 1, planes_per_table)
                 ).alias(f"b{t}")
                 for t in range(N_TABLES)
             ],
@@ -716,7 +742,7 @@ def _mt_candidates(
         a = sigs.select(
             F.col("vec_id").alias("vec_a"),
             F.explode(
-                hamming1_variants(F.col(f"b{t}"), PLANES_PER_TABLE)
+                hamming1_variants(F.col(f"b{t}"), planes_per_table)
             ).alias("bucket"),
         )
         b = sigs.select(F.col("vec_id").alias("vec_b"), F.col(f"b{t}").alias("bucket"))
