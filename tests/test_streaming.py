@@ -921,3 +921,85 @@ def test_append_mode_emits_only_finalized_windows(spark, tmp_path):
         if r.ws <= max_real_ws:
             got[key] = r.n_events
     assert got == want
+
+
+def test_crash_mid_foreachbatch_recovers_exactly_once(spark, stream_dir, tmp_path):
+    """Crash-recovery depth (VERDICT r05 item 7): inject crashes
+    INSIDE process() — after the data write but before the commit
+    marker (a torn batch: data on disk, no marker) — on three separate
+    batches across three restarts from one checkpoint. Structured
+    Streaming replays each uncommitted batch with the SAME batch_id;
+    the sink's overwrite-then-commit contract must absorb every torn
+    attempt, ending with each event exactly once and one commit marker
+    per batch."""
+    import time as _t
+
+    from distributed_causal_stream_processing_spark.io import load
+    from distributed_causal_stream_processing_spark.streaming import jobs
+
+    class TornBatchSink(jobs.IdempotentForeachBatchSink):
+        """Crashes after the parquet write, before the marker, the
+        first time each batch id in crash_on is processed — the
+        worst-case torn write."""
+
+        def __init__(self, root, crash_on):
+            super().__init__(root)
+            self.crash_on = set(crash_on)
+
+        def process(self, df, batch_id):
+            if self.is_committed(batch_id):
+                return
+            out = os.path.join(self.data_dir, f"batch_id={batch_id}")
+            df.write.mode("overwrite").parquet(out)
+            if batch_id in self.crash_on:
+                self.crash_on.discard(batch_id)  # crash once per batch
+                raise RuntimeError(f"injected crash mid-batch {batch_id}")
+            import json as _json
+
+            with open(self._marker(batch_id), "w") as fh:
+                _json.dump({"batch_id": batch_id, "rows": df.count()}, fh)
+
+    sink = TornBatchSink(str(tmp_path / "sink"), crash_on={0, 1, 2})
+    checkpoint = str(tmp_path / "checkpoint")
+
+    def run_until_dead_or_done():
+        q = (
+            jobs.events_stream(spark, stream_dir)
+            .writeStream.foreachBatch(sink.process)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        except Exception:
+            pass  # the injected crash killed the query
+        finally:
+            try:
+                q.stop()
+            except Exception:
+                pass
+        _t.sleep(0.2)
+
+    # 3 crashes -> up to 4 runs finish all batches; torn data dirs
+    # exist without markers between runs.
+    for _ in range(4):
+        run_until_dead_or_done()
+        if not sink.crash_on:
+            n_data = len(
+                [d for d in os.listdir(sink.data_dir) if d.startswith("batch_id=")]
+            )
+            if len(os.listdir(sink.commits_dir)) == n_data and n_data >= 4:
+                break
+
+    total = load(spark, SF_SMOKE, "events").count()
+    ids = [r.event_id for r in sink.read_all(spark).select("event_id").collect()]
+    assert len(ids) == len(set(ids)) == total  # exactly once after 3 crashes
+    # every data dir has its marker (no torn batch survived)
+    data_batches = {
+        d.split("=")[1]
+        for d in os.listdir(sink.data_dir)
+        if d.startswith("batch_id=")
+    }
+    assert data_batches == set(os.listdir(sink.commits_dir))
+    assert len(data_batches) >= 4  # the staged dir feeds >= 4 micro-batches

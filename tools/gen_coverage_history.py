@@ -54,6 +54,14 @@ def render() -> str:
         "window remain pytest-parity-gated locally every session (tests/test_parity.py).",
         "Regenerate with `python tools/gen_coverage_history.py`.",
         "",
+        "Rotation plan (standing): the window holds 50 of 62 ids, so 12 park",
+        "each round; each round's FIRST task swaps the two 12-id blocks in",
+        "`plans/registry.py::CONTRACT_ORDER` so the block parked last round",
+        "earns fresh driver rows (never mid-round — the driver grades",
+        "end-of-round HEAD). The r06 window restored `q_join_theta` …",
+        "`q_set_except` (parked in r05), parking `q_filter_like` …",
+        "`q_join_cross` (all fresh-green in r05).",
+        "",
         "| query id | " + " | ".join(f"r{r:02d}" for r in rounds) + " | last green |",
         "| --- | " + " | ".join("---" for _ in rounds) + " | --- |",
     ]
