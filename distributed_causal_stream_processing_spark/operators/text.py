@@ -1221,7 +1221,12 @@ _WRS_U = "((" + hex_u32_sql("md5(concat('wrs', doc_id))") + ") + 1) / 4294967296
 # Efraimidis–Spirakis priority: maximizing u^(1/w) == maximizing
 # ln(u)/w (ln u ≤ 0, heavier w pulls the key toward 0) — the log form
 # avoids pow(), whose libm last-ulp behavior differs across engines.
-_WRS_KEY = f"(ln({_WRS_U}) / n_chars)"
+# NULLIF guards w=0 (a zero-length doc must mean "never sampled", and
+# Spark 4's ANSI mode would otherwise hard-error the division); the
+# NULL priority sorts last under DESC on both engines, i.e. after
+# every real candidate — latent on these fixtures (min n_chars 44)
+# but load-bearing on real corpora (ADVICE r05).
+_WRS_KEY = f"(ln({_WRS_U}) / nullif(n_chars, 0))"
 
 
 @query(

@@ -340,9 +340,13 @@ def chain_assign_stream(events: DataFrame, gap_us: int) -> DataFrame:
     either extends the open chain (gap ≤ bound) or roots a new one.
     On a causally ordered replay the two formulations agree exactly
     (asserted in tests/test_streaming.py); an out-of-order arrival
-    joins the open chain (its gap to the last-seen event decides), a
-    deterministic policy rather than a silent reorder, matching the
-    sequencer's late-flag philosophy. State is O(keys); one shuffle
+    joins the open chain (its gap to the furthest-seen event decides,
+    and is necessarily ≤ 0 ≤ gap_us), a deterministic policy rather
+    than a silent reorder, matching the sequencer's late-flag
+    philosophy. The high-water mark is MONOTONE — a late arrival never
+    drags it backwards, so subsequent on-time events still measure
+    their gap against the furthest-seen timestamp, same as
+    causal_sequence_stream (ADVICE r05). State is O(keys); one shuffle
     per micro-batch on user_id.
     """
 
@@ -379,7 +383,11 @@ def chain_assign_stream(events: DataFrame, gap_us: int) -> DataFrame:
                 cur_root, cur_depth = eid, 0
             else:
                 cur_depth += 1
-            last_ts_us = t
+            # keep the per-key high-water mark monotone: a late
+            # (out-of-order) arrival must not rebase the gap reference
+            # for events after it (ADVICE r05)
+            if last_ts_us is None or t > last_ts_us:
+                last_ts_us = t
             roots.append(cur_root)
             depths.append(cur_depth)
         state.update((last_ts_us if last_ts_us is not None else -(2**62), cur_root, cur_depth))

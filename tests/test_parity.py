@@ -168,7 +168,7 @@ def test_causal_chains_match_sessionize(spark):
         assert sorted(depths) == list(range(len(depths))), f"chain {root}"
 
 
-def test_cogroup_asof_handles_clickers_without_purchases(spark):
+def test_cogroup_asof_handles_clickers_without_purchases(spark, tmp_path):
     """Regression (code-review find): a user with clicks but NO
     purchases reaches the cogrouped kernel with an EMPTY right frame —
     any gather from it (even inside np.where's eagerly evaluated
@@ -195,9 +195,7 @@ def test_cogroup_asof_handles_clickers_without_purchases(spark):
         "event_id long, ts timestamp, user_id long, event_type string, "
         "value double, props string",
     )
-    import tempfile
-
-    d = tempfile.mkdtemp()
+    d = str(tmp_path)
     df.write.mode("overwrite").parquet(f"{d}/events.parquet")
     got = {r.c_id: r.last_purchase_id for r in q_udf_cogroup(spark, d).collect()}
     assert got == {1: None, 2: None, 4: 3}
