@@ -423,15 +423,16 @@ _NAMES = st.lists(
 
 
 @settings(
-    max_examples=12,
+    max_examples=10,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
-@given(names=_NAMES)
-def test_fuzzy_name_pairs_matches_bruteforce(spark, names):
+@given(names=_NAMES, tau=st.sampled_from([1, 2, 3]))
+def test_fuzzy_name_pairs_matches_bruteforce(spark, names, tau):
     """PassJoin segment blocking must have NO false negatives (the
-    pigeonhole lemma) and the levenshtein verify no false positives —
-    so against brute-force edit distance it must match exactly."""
+    pigeonhole lemma, for every threshold: tau+1 segments, ±tau shift
+    window) and the levenshtein verify no false positives — so against
+    brute-force edit distance it must match exactly."""
     from distributed_causal_stream_processing_spark.operators.dedup import (
         _fuzzy_name_pairs,
     )
@@ -439,9 +440,9 @@ def test_fuzzy_name_pairs_matches_bruteforce(spark, names):
     ndf = spark.createDataFrame([(n,) for n in set(names)], "p_name string")
     got = sorted(
         (r.name_a, r.name_b, r.edit_dist)
-        for r in _fuzzy_name_pairs(ndf, tau=2).collect()
+        for r in _fuzzy_name_pairs(ndf, tau=tau).collect()
     )
-    assert got == _brute_edit_pairs(names, 2)
+    assert got == _brute_edit_pairs(names, tau)
 
 
 def _brute_ewma(rows):
