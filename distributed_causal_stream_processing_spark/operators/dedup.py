@@ -908,7 +908,9 @@ def _fuzzy_name_pairs(names: DataFrame, tau: int) -> DataFrame:
             "m",
             F.explode(F.sequence(m_col - F.lit(tau), m_col + F.lit(tau))).alias("la"),
         )
-        .filter(la_col >= 1)
+        # la = 0 must stay: an EMPTY index-side name is a legitimate
+        # partner (ed('', s) = len(s) ≤ tau) whose every segment is ''
+        .filter(la_col >= 0)
         .select(
             "name_b",
             "m",

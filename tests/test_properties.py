@@ -415,10 +415,12 @@ def _brute_edit_pairs(names, tau):
 
 
 # Tiny alphabet + short lengths force degenerate segmentations (len <
-# tau+1 → zero-length segments), duplicate-prefix collisions, and
-# many true positives — the PassJoin edge cases.
+# tau+1 → zero-length segments, including the EMPTY string — a
+# code-review find: the probe once filtered out length-0 partners),
+# duplicate-prefix collisions, and many true positives — the PassJoin
+# edge cases.
 _NAMES = st.lists(
-    st.text(alphabet="ab", min_size=1, max_size=7), min_size=1, max_size=10
+    st.text(alphabet="ab", min_size=0, max_size=7), min_size=1, max_size=10
 )
 
 

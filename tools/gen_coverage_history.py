@@ -58,9 +58,9 @@ def render() -> str:
         "each round; each round's FIRST task swaps the two 12-id blocks in",
         "`plans/registry.py::CONTRACT_ORDER` so the block parked last round",
         "earns fresh driver rows (never mid-round — the driver grades",
-        "end-of-round HEAD). The r06 window restored `q_join_theta` …",
-        "`q_set_except` (parked in r05), parking `q_filter_like` …",
-        "`q_join_cross` (all fresh-green in r05).",
+        "end-of-round HEAD). Currently parked (positions 50-61, derived live",
+        "from the registry): "
+        + ", ".join(f"`{q}`" for q in CONTRACT_ORDER[50:]) + ".",
         "",
         "| query id | " + " | ".join(f"r{r:02d}" for r in rounds) + " | last green |",
         "| --- | " + " | ".join("---" for _ in rounds) + " | --- |",
