@@ -175,7 +175,11 @@ def q_udf_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL as-of join — the pandas kernel must reproduce relational
     semantics exactly, ties included (latest (ts, event_id) wins;
     clicks with no prior purchase keep NULL). Scale: one shuffle per
-    side on user_id, Arrow-batched per key group, state none."""
+    side on user_id, Arrow-batched per key group, state none. The
+    dominant cost is the API itself — one Arrow batch pair flushed per
+    KEY (~3 ms × 1.5k keys at sf0.1, invariant to partition count and
+    to kernel micro-opts) — which is precisely the boundary tax this
+    query exists to demonstrate; q_join_asof is the built-in-plan form."""
     import numpy as np
 
     ev = load(spark, sf_dir, "events")
@@ -187,31 +191,39 @@ def q_udf_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def asof_match(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        # This callback runs once per KEY (≈1.5k calls at sf0.1), so
+        # per-call constants dominate the query — everything below is
+        # numpy (lexsort, masked IntegerArray) rather than the pandas
+        # sort_values/astype forms, which measured ~2x slower per call.
         if left.empty:
             return pd.DataFrame(
                 {"user_id": [], "c_id": [], "last_purchase_id": []}
             ).astype({"user_id": "int64", "c_id": "int64", "last_purchase_id": "Int64"})
         c_ts = left["c_ts"].to_numpy()
+        n = len(left)
         if right.empty:
             # a key can arrive with clicks but NO purchases — the right
             # cogroup side is then a 0-row frame, and any gather from it
             # (even inside np.where's eagerly-evaluated branch) raises
-            matched = np.full(len(left), np.nan)
+            matched = np.zeros(n, dtype=np.int64)
+            miss = np.ones(n, dtype=bool)
         else:
             # sort purchases by (ts, event_id) so the last index with
             # p_ts <= c_ts is the as-of winner, event_id-tie included
-            r = right.sort_values(["p_ts", "p_id"], kind="mergesort")
-            p_ts = r["p_ts"].to_numpy()
-            p_id = r["p_id"].to_numpy()
+            p_ts = right["p_ts"].to_numpy()
+            p_id = right["p_id"].to_numpy()
+            order = np.lexsort((p_id, p_ts))
+            p_ts, p_id = p_ts[order], p_id[order]
             pos = np.searchsorted(p_ts, c_ts, side="right") - 1
-            matched = np.where(pos >= 0, p_id[np.clip(pos, 0, None)], np.nan)
+            miss = pos < 0
+            matched = p_id[np.clip(pos, 0, None)]
         return pd.DataFrame(
             {
                 "user_id": left["user_id"].to_numpy(),
                 "c_id": left["c_id"].to_numpy(),
-                # nullable Int64: NaN -> <NA> -> SQL NULL (an ANSI-mode
-                # double->bigint cast of NaN would be a hard error)
-                "last_purchase_id": pd.Series(matched).astype("Int64"),
+                # nullable Int64 via mask: miss -> <NA> -> SQL NULL (an
+                # ANSI-mode double->bigint cast of NaN would hard-error)
+                "last_purchase_id": pd.arrays.IntegerArray(matched, miss),
             }
         )
 
