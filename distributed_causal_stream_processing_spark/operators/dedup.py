@@ -593,6 +593,23 @@ _INCR_LSH_SPARK = _incr_lsh_sql(
 )
 
 
+def band_rows_for(df: DataFrame) -> DataFrame:
+    """(doc_id, band_no, band_key) MinHash LSH band rows for ANY
+    documents-shaped frame (doc_id, text) — the one signature pipeline
+    shared by the batch queries and the streaming content-dedup job
+    (streaming/jobs.py), so stream and batch probe IDENTICAL buckets."""
+    df.createOrReplaceTempView("_band_src")
+    return df.sparkSession.sql(
+        _minhash_cte(
+            "SELECT doc_id, explode(array_distinct(split(text, ' '))) AS tok"
+            " FROM _band_src",
+            "STRING",
+        )
+        + f", band_rows AS ({_UNPIVOT_SPARK})"
+        " SELECT doc_id, band_no, band_key FROM band_rows"
+    )
+
+
 @query("q_dedup_incremental", oracle=_INCR_LSH_DUCK)
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental LSH dedup: flag NEW documents (doc_id >= 400, the

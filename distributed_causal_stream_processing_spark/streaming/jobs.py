@@ -695,3 +695,156 @@ def run_sliding_stream(spark: SparkSession, stream_dir: str) -> list:
         ).collect()
     finally:
         q.stop()
+
+
+# --- Streaming content dedup (MinHash bands vs accumulating index) -------
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def stage_documents_as_stream_dir(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> int:
+    """Stage documents as TWO mtime-ordered parquet files — the
+    existing corpus (doc_id < 0.8·max, same boundary formula as
+    q_dedup_incremental) then the ingest batch — so the file source
+    replays corpus-first, one file per micro-batch. Returns the
+    boundary id."""
+    import glob
+    import time as _time
+
+    from distributed_causal_stream_processing_spark.io import load
+
+    d = load(spark, sf_dir, "documents")
+    b = int(0.8 * d.agg(F.max("doc_id")).first()[0])
+    seen: set[str] = set()
+    for i, part in enumerate(
+        (d.filter(F.col("doc_id") < b), d.filter(F.col("doc_id") >= b))
+    ):
+        part.coalesce(1).write.mode("overwrite" if i == 0 else "append").parquet(
+            out_dir
+        )
+        new_files = set(glob.glob(os.path.join(out_dir, "part-*.parquet"))) - seen
+        seen |= new_files
+        t = _time.time() + 1000 * i
+        for f in new_files:
+            os.utime(f, (t, t))
+    return b
+
+
+class StreamingContentDedup:
+    """foreachBatch kernel: content-level near-dup detection of an
+    unbounded document stream against an ACCUMULATING MinHash band
+    index — the true-streaming form of q_dedup_incremental's
+    daily-ingest probe (each micro-batch is "today's ingest"; every
+    earlier batch is "the corpus").
+
+    Per batch: (1) the batch's band rows come from the SAME signature
+    pipeline as the batch queries (operators/dedup.py:band_rows_for);
+    (2) a hash-equi left join against the index's distinct
+    (band_no, band_key) set marks docs whose any band already exists
+    — within-batch self-dups are deliberately NOT flagged, matching
+    the batch query's corpus-only probe; (3) decisions and the batch's
+    new band rows land under batch_id=N dirs with a commit marker
+    written last, the same overwrite-then-commit contract as
+    IdempotentForeachBatchSink, so crash-replay is exactly-once.
+
+    Scale: the index grows with the corpus but is only ever touched by
+    a hash join on (band_no, band_key) — per batch cost is
+    O(batch bands) + one probe join; on a real deployment the index
+    is bucketed by band_key so the probe is shuffle-free corpus-side,
+    and state lives in storage, not executor memory."""
+
+    def __init__(self, root: str):
+        self.root = root
+        self.index_dir = os.path.join(root, "index")
+        self.decisions_dir = os.path.join(root, "decisions")
+        self.commits_dir = os.path.join(root, "_commits")
+        for d in (self.index_dir, self.decisions_dir, self.commits_dir):
+            os.makedirs(d, exist_ok=True)
+
+    def _marker(self, batch_id: int) -> str:
+        return os.path.join(self.commits_dir, str(batch_id))
+
+    def is_committed(self, batch_id: int) -> bool:
+        return os.path.exists(self._marker(batch_id))
+
+    def _committed_index(self, spark: SparkSession) -> DataFrame | None:
+        dirs = [
+            os.path.join(self.index_dir, f"batch_id={b}")
+            for b in sorted(os.listdir(self.commits_dir), key=int)
+        ]
+        dirs = [d for d in dirs if os.path.isdir(d)]
+        if not dirs:
+            return None
+        return spark.read.parquet(*dirs)
+
+    def process(self, df: DataFrame, batch_id: int) -> None:
+        from distributed_causal_stream_processing_spark.operators.dedup import (
+            band_rows_for,
+        )
+
+        if self.is_committed(batch_id):
+            return
+        spark = df.sparkSession
+        # signatures once per batch; the decisions join and the index
+        # append both read them
+        bands = band_rows_for(df).localCheckpoint(eager=True)
+        index = self._committed_index(spark)
+        if index is None:
+            hits = bands.select(
+                "doc_id", F.lit(None).cast("string").alias("hit")
+            )
+        else:
+            probe = index.select("band_no", "band_key").distinct()
+            hits = bands.join(probe.withColumn("hit", F.lit("y")),
+                              ["band_no", "band_key"], "left").select(
+                "doc_id", "hit"
+            )
+        decisions = hits.groupBy("doc_id").agg(
+            F.count("hit").cast("bigint").alias("n_hit_bands"),
+            (F.count("hit") > 0).alias("is_near_dup"),
+        )
+        decisions.write.mode("overwrite").parquet(
+            os.path.join(self.decisions_dir, f"batch_id={batch_id}")
+        )
+        bands.select("band_no", "band_key").distinct().write.mode(
+            "overwrite"
+        ).parquet(os.path.join(self.index_dir, f"batch_id={batch_id}"))
+        with open(self._marker(batch_id), "w") as fh:
+            json.dump({"batch_id": batch_id}, fh)
+
+    def read_decisions(self, spark: SparkSession) -> DataFrame:
+        return spark.read.option("basePath", self.decisions_dir).parquet(
+            os.path.join(self.decisions_dir, "batch_id=*")
+        )
+
+
+def run_streaming_content_dedup(
+    spark: SparkSession, doc_stream_dir: str, root: str
+) -> StreamingContentDedup:
+    """Stream staged documents through the content-dedup kernel, one
+    file per micro-batch, checkpointed under root."""
+    sink = StreamingContentDedup(root)
+    q = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(doc_stream_dir)
+        .writeStream.foreachBatch(sink.process)
+        .option("checkpointLocation", os.path.join(root, "_checkpoint"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return sink

@@ -1003,3 +1003,45 @@ def test_crash_mid_foreachbatch_recovers_exactly_once(spark, stream_dir, tmp_pat
     }
     assert data_batches == set(os.listdir(sink.commits_dir))
     assert len(data_batches) >= 4  # the staged dir feeds >= 4 micro-batches
+
+
+def test_streaming_content_dedup_matches_batch_incremental(spark, tmp_path):
+    """The streaming MinHash content-dedup (each micro-batch probed
+    against the accumulating band index) must agree EXACTLY with the
+    batch daily-ingest query q_dedup_incremental when the stream
+    replays the same corpus/ingest split: batch 0 (the corpus) sees an
+    empty index — all non-dup; batch 1 (the ingest) probes exactly the
+    corpus's bands."""
+    from distributed_causal_stream_processing_spark.operators.dedup import (
+        q_dedup_incremental,
+    )
+    from distributed_causal_stream_processing_spark.streaming import jobs
+
+    d = str(tmp_path / "docs_stream")
+    b = jobs.stage_documents_as_stream_dir(spark, SF_SMOKE, d)
+    sink = jobs.run_streaming_content_dedup(spark, d, str(tmp_path / "dedup"))
+
+    got = {
+        r.doc_id: (r.n_hit_bands, r.is_near_dup)
+        for r in sink.read_decisions(spark).collect()
+    }
+    want_batch = {
+        r.doc_id: (r.n_hit_bands, r.is_near_dup)
+        for r in q_dedup_incremental(spark, SF_SMOKE).collect()
+    }
+    # ingest docs: exact agreement with the batch probe
+    for doc_id, want in want_batch.items():
+        assert got[doc_id] == want, (doc_id, got[doc_id], want)
+    # corpus docs were batch 0 against an empty index: never flagged
+    corpus_ids = set(got) - set(want_batch)
+    assert corpus_ids and all(got[i] == (0, False) for i in corpus_ids)
+    assert min(want_batch) >= b and max(corpus_ids) < b
+
+    # replaying a committed batch is a no-op (write-then-commit contract)
+    committed = int(sorted(os.listdir(sink.commits_dir))[0])
+    sink.process(spark.read.schema(jobs.DOC_SCHEMA).parquet(d).limit(5), committed)
+    again = {
+        r.doc_id: (r.n_hit_bands, r.is_near_dup)
+        for r in sink.read_decisions(spark).collect()
+    }
+    assert again == got
