@@ -678,6 +678,35 @@ def _nested_double_literal(rows: list[list[float]]) -> Column:
     return F.expr(sql)
 
 
+def mt_signature_frame(
+    e: DataFrame, planes_per_table: int = PLANES_PER_TABLE
+) -> DataFrame:
+    """(vec_id, b0..b{N_TABLES-1}) — the multi-table hyperplane LSH
+    signatures of a frame with columns (vec_id, emb array<double>).
+
+    All plane dots run in ONE higher-order transform over the
+    SQL-parsed plane matrix (same left-fold dot, so buckets stay
+    bit-identical with the oracle's unrolled CASE chain), then the
+    per-table signature strings are sliced out of the bit array.
+    Callers that branch over the result repeatedly should
+    localCheckpoint it: without the lineage cut Catalyst re-derives
+    the plane expression in every branch — the pruned-dedup query was
+    driver-bound (plan/py4j, ~7 s at ANY sf), not data-bound."""
+    bits = F.transform(
+        _nested_double_literal(_mt_planes(N_TABLES * planes_per_table)),
+        lambda p: F.when(dot(F.col("emb"), p) > 0, F.lit("1")).otherwise(F.lit("0")),
+    )
+    return e.select("vec_id", bits.alias("bits")).select(
+        "vec_id",
+        *[
+            F.concat_ws(
+                "", F.slice("bits", t * planes_per_table + 1, planes_per_table)
+            ).alias(f"b{t}")
+            for t in range(N_TABLES)
+        ],
+    )
+
+
 def _mt_candidates(
     spark: SparkSession,
     sf_dir: str,
@@ -702,33 +731,7 @@ def _mt_candidates(
     if pred is not None:
         e = e.filter(pred)
 
-    # All 64 plane dots in ONE higher-order transform over the parsed
-    # plane matrix (same left-fold dot, so buckets stay bit-identical
-    # with the oracle's unrolled CASE chain), then 8 signature strings
-    # sliced out of the bit array. The narrow signature table
-    # (vec_id + 8 short strings) is materialized with its lineage CUT:
-    # the per-table candidate loop references sigs 16 times (build +
-    # probe per table), and without the cut Catalyst re-derives the
-    # plane expression in every branch — the query was driver-bound
-    # (plan/py4j, ~7 s at ANY sf), not data-bound. Same localCheckpoint
-    # pattern as the iterative graph queries.
-    bits = F.transform(
-        _nested_double_literal(_mt_planes(N_TABLES * planes_per_table)),
-        lambda p: F.when(dot(F.col("emb"), p) > 0, F.lit("1")).otherwise(F.lit("0")),
-    )
-    sigs = (
-        e.select("vec_id", bits.alias("bits"))
-        .select(
-            "vec_id",
-            *[
-                F.concat_ws(
-                    "", F.slice("bits", t * planes_per_table + 1, planes_per_table)
-                ).alias(f"b{t}")
-                for t in range(N_TABLES)
-            ],
-        )
-        .localCheckpoint(eager=True)
-    )
+    sigs = mt_signature_frame(e, planes_per_table).localCheckpoint(eager=True)
 
     # Candidate generation stays NARROW — (vec_id, bucket) rows only —
     # and pairs are made DISTINCT before any vector is touched: a pair
@@ -1604,4 +1607,124 @@ def q_dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", scored("na", "nb").alias("sim"))
         .filter(F.col("sim") >= 0.3)
         .select("vec_a", "vec_b", F.round("sim", 4).alias("cos_sim"))
+    )
+
+
+# --- Incremental embedding dedup (batch) + streaming twin support --------
+
+_MT_SIG_ROWS_DUCK = "\n        UNION ALL\n".join(
+    f"        SELECT vec_id, {t} AS table_no, b{t} AS bucket FROM sigs"
+    for t in range(N_TABLES)
+)
+
+# The incremental probe runs at 16 bits/table — the bit-growth law
+# applied: at 8 bits a 400-vector corpus saturates the 256 buckets and
+# EVERY batch vector collides somewhere (measured: 101/101 flagged),
+# so the flag carries no signal. 65536 buckets keep random any-of-8
+# collisions rare while genuinely close vectors still collide.
+PPT_INCR = 16
+_PLANES_INCR = _mt_planes(N_TABLES * PPT_INCR)
+
+
+def _incr_sig_sql(t: int) -> str:
+    def plane_lit(i: int) -> str:
+        return "[" + ", ".join(f"{v}" for v in _PLANES_INCR[i]) + "]"
+
+    return " || ".join(
+        f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"CAST({plane_lit(t * PPT_INCR + j)} AS DOUBLE[])) > 0 "
+        f"THEN '1' ELSE '0' END)"
+        for j in range(PPT_INCR)
+    )
+
+
+_INCR_SIG_COLS = ", ".join(f"{_incr_sig_sql(t)} AS b{t}" for t in range(N_TABLES))
+
+
+def mt_sig_rows_for(df: DataFrame) -> DataFrame:
+    """(vec_id, table_no, bucket) LSH signature rows for ANY
+    embeddings-shaped frame (vec_id, embedding), at the incremental
+    probe's 16 bits/table — the one signature pipeline shared by the
+    batch incremental query and the streaming embedding-dedup job
+    (streaming/jobs.py), so stream and batch probe IDENTICAL
+    buckets."""
+    e = df.select("vec_id", as_double("embedding").alias("emb"))
+    pairs = ", ".join(f"{t}, b{t}" for t in range(N_TABLES))
+    return mt_signature_frame(e, PPT_INCR).selectExpr(
+        "vec_id", f"stack({N_TABLES}, {pairs}) AS (table_no, bucket)"
+    )
+
+
+@query(
+    "q_dedup_embedding_incremental",
+    oracle=f"""
+    WITH sigs AS (
+        SELECT vec_id, {_INCR_SIG_COLS} FROM embeddings
+    ),
+    boundary AS (
+        SELECT CAST(0.8 * max(vec_id) AS BIGINT) AS b FROM embeddings
+    ),
+    sig_rows AS (
+{_MT_SIG_ROWS_DUCK}
+    ),
+    corpus AS (
+        SELECT DISTINCT table_no, bucket FROM sig_rows
+        WHERE vec_id < (SELECT b FROM boundary)
+    ),
+    batch AS (
+        SELECT vec_id, table_no, bucket FROM sig_rows
+        WHERE vec_id >= (SELECT b FROM boundary)
+    )
+    SELECT s.vec_id,
+           CAST(sum(CASE WHEN c.bucket IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hit_tables,
+           sum(CASE WHEN c.bucket IS NOT NULL THEN 1 ELSE 0 END) > 0
+               AS is_near_dup
+    FROM batch s
+    LEFT JOIN corpus c
+      ON s.table_no = c.table_no AND s.bucket = c.bucket
+    GROUP BY s.vec_id
+    """,
+)
+def q_dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental EMBEDDING dedup: flag new vectors (vec_id ≥
+    0.8·max, the ingest batch) that hyperplane-LSH-collide with the
+    existing corpus in ANY of the 8 signature tables — the semantic
+    sibling of q_dedup_incremental's lexical MinHash probe, and the
+    batch view of streaming/jobs.py:StreamingEmbeddingDedup (a test
+    pins their exact agreement on the same corpus/ingest split).
+
+    Signatures run at PPT_INCR=16 bits/table — the bit-growth law in
+    action: at the pruned-dedup query's 8 bits this corpus saturates
+    all 256 buckets and every batch vector flags (measured 101/101 —
+    zero signal); at 16 bits the flag discriminates (9/101 at sf0.01).
+
+    Scale shape: the corpus reduces to its DISTINCT (table, bucket)
+    set — an index that stays near-linear in the corpus under the
+    log-n bit-growth law (planes_for_corpus) — and a day's batch costs
+    O(batch signatures) + one hash-equi probe join, never a pair
+    enumeration or a vector move: only 16-bit bucket strings shuffle.
+    The boundary is a 1-row broadcast crossed in (the module's
+    standard scalar shape), so no driver-side collect sits in the
+    data path."""
+    emb = load(spark, sf_dir, "embeddings")
+    sig_rows = mt_sig_rows_for(emb).localCheckpoint(eager=True)
+    bnd = emb.agg((0.8 * F.max("vec_id")).cast("bigint").alias("b"))
+    sr = sig_rows.crossJoin(F.broadcast(bnd))
+    corpus = (
+        sr.filter(F.col("vec_id") < F.col("b"))
+        .select("table_no", "bucket")
+        .distinct()
+        .withColumn("hit", F.lit("y"))
+    )
+    batch = sr.filter(F.col("vec_id") >= F.col("b")).select(
+        "vec_id", "table_no", "bucket"
+    )
+    return (
+        batch.join(corpus, ["table_no", "bucket"], "left")
+        .groupBy("vec_id")
+        .agg(
+            F.count("hit").cast("bigint").alias("n_hit_tables"),
+            (F.count("hit") > 0).alias("is_near_dup"),
+        )
     )

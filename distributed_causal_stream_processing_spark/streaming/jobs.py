@@ -740,28 +740,37 @@ def stage_documents_as_stream_dir(
     return b
 
 
-class StreamingContentDedup:
-    """foreachBatch kernel: content-level near-dup detection of an
-    unbounded document stream against an ACCUMULATING MinHash band
-    index — the true-streaming form of q_dedup_incremental's
-    daily-ingest probe (each micro-batch is "today's ingest"; every
-    earlier batch is "the corpus").
+class _StreamingIndexDedup:
+    """foreachBatch kernel: near-dup detection of an unbounded stream
+    against an ACCUMULATING signature index — the true-streaming form
+    of the daily-ingest probe (each micro-batch is "today's ingest";
+    every earlier batch is "the corpus"). Subclasses pick the
+    signature pipeline (MinHash bands for documents, hyperplane LSH
+    buckets for embeddings) so stream and batch probe IDENTICAL
+    buckets.
 
-    Per batch: (1) the batch's band rows come from the SAME signature
-    pipeline as the batch queries (operators/dedup.py:band_rows_for);
-    (2) a hash-equi left join against the index's distinct
-    (band_no, band_key) set marks docs whose any band already exists
-    — within-batch self-dups are deliberately NOT flagged, matching
-    the batch query's corpus-only probe; (3) decisions and the batch's
-    new band rows land under batch_id=N dirs with a commit marker
-    written last, the same overwrite-then-commit contract as
-    IdempotentForeachBatchSink, so crash-replay is exactly-once.
+    Per batch: (1) signature rows come from the SAME pipeline as the
+    batch queries; (2) a hash-equi left join against the index's
+    distinct key set marks items any of whose signatures already
+    exist — within-batch self-dups are deliberately NOT flagged,
+    matching the batch queries' corpus-only probe; (3) decisions and
+    the batch's new signature rows land under batch_id=N dirs with a
+    commit marker written last, the same overwrite-then-commit
+    contract as IdempotentForeachBatchSink, so crash-replay is
+    exactly-once.
 
     Scale: the index grows with the corpus but is only ever touched by
-    a hash join on (band_no, band_key) — per batch cost is
-    O(batch bands) + one probe join; on a real deployment the index
-    is bucketed by band_key so the probe is shuffle-free corpus-side,
-    and state lives in storage, not executor memory."""
+    a hash join on the signature key — per batch cost is
+    O(batch signatures) + one probe join; on a real deployment the
+    index is bucketed by the key so the probe is shuffle-free
+    corpus-side, and state lives in storage, not executor memory."""
+
+    id_col: str
+    key_cols: tuple[str, str]
+    hits_col: str
+
+    def _sig_rows(self, df: DataFrame) -> DataFrame:
+        raise NotImplementedError
 
     def __init__(self, root: str):
         self.root = root
@@ -788,37 +797,32 @@ class StreamingContentDedup:
         return spark.read.parquet(*dirs)
 
     def process(self, df: DataFrame, batch_id: int) -> None:
-        from distributed_causal_stream_processing_spark.operators.dedup import (
-            band_rows_for,
-        )
-
         if self.is_committed(batch_id):
             return
         spark = df.sparkSession
         # signatures once per batch; the decisions join and the index
         # append both read them
-        bands = band_rows_for(df).localCheckpoint(eager=True)
+        sigs = self._sig_rows(df).localCheckpoint(eager=True)
         index = self._committed_index(spark)
         if index is None:
-            hits = bands.select(
-                "doc_id", F.lit(None).cast("string").alias("hit")
+            hits = sigs.select(
+                self.id_col, F.lit(None).cast("string").alias("hit")
             )
         else:
-            probe = index.select("band_no", "band_key").distinct()
-            hits = bands.join(probe.withColumn("hit", F.lit("y")),
-                              ["band_no", "band_key"], "left").select(
-                "doc_id", "hit"
-            )
-        decisions = hits.groupBy("doc_id").agg(
-            F.count("hit").cast("bigint").alias("n_hit_bands"),
+            probe = index.select(*self.key_cols).distinct()
+            hits = sigs.join(
+                probe.withColumn("hit", F.lit("y")), list(self.key_cols), "left"
+            ).select(self.id_col, "hit")
+        decisions = hits.groupBy(self.id_col).agg(
+            F.count("hit").cast("bigint").alias(self.hits_col),
             (F.count("hit") > 0).alias("is_near_dup"),
         )
         decisions.write.mode("overwrite").parquet(
             os.path.join(self.decisions_dir, f"batch_id={batch_id}")
         )
-        bands.select("band_no", "band_key").distinct().write.mode(
-            "overwrite"
-        ).parquet(os.path.join(self.index_dir, f"batch_id={batch_id}"))
+        sigs.select(*self.key_cols).distinct().write.mode("overwrite").parquet(
+            os.path.join(self.index_dir, f"batch_id={batch_id}")
+        )
         with open(self._marker(batch_id), "w") as fh:
             json.dump({"batch_id": batch_id}, fh)
 
@@ -828,18 +832,51 @@ class StreamingContentDedup:
         )
 
 
-def run_streaming_content_dedup(
-    spark: SparkSession, doc_stream_dir: str, root: str
-) -> StreamingContentDedup:
-    """Stream staged documents through the content-dedup kernel, one
-    file per micro-batch, checkpointed under root."""
-    sink = StreamingContentDedup(root)
+class StreamingContentDedup(_StreamingIndexDedup):
+    """Lexical streaming dedup: MinHash band index over documents —
+    the streaming twin of q_dedup_incremental."""
+
+    id_col = "doc_id"
+    key_cols = ("band_no", "band_key")
+    hits_col = "n_hit_bands"
+
+    def _sig_rows(self, df: DataFrame) -> DataFrame:
+        from distributed_causal_stream_processing_spark.operators.dedup import (
+            band_rows_for,
+        )
+
+        return band_rows_for(df)
+
+
+class StreamingEmbeddingDedup(_StreamingIndexDedup):
+    """Semantic streaming dedup: 16-bit hyperplane-LSH bucket index
+    over embeddings — the streaming twin of
+    q_dedup_embedding_incremental."""
+
+    id_col = "vec_id"
+    key_cols = ("table_no", "bucket")
+    hits_col = "n_hit_tables"
+
+    def _sig_rows(self, df: DataFrame) -> DataFrame:
+        from distributed_causal_stream_processing_spark.operators.similarity import (
+            mt_sig_rows_for,
+        )
+
+        return mt_sig_rows_for(df)
+
+
+def _run_index_dedup(
+    sink: _StreamingIndexDedup,
+    spark: SparkSession,
+    stream_dir: str,
+    schema: T.StructType,
+) -> _StreamingIndexDedup:
     q = (
-        spark.readStream.schema(DOC_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
-        .parquet(doc_stream_dir)
+        .parquet(stream_dir)
         .writeStream.foreachBatch(sink.process)
-        .option("checkpointLocation", os.path.join(root, "_checkpoint"))
+        .option("checkpointLocation", os.path.join(sink.root, "_checkpoint"))
         .outputMode("append")
         .start()
     )
@@ -848,3 +885,60 @@ def run_streaming_content_dedup(
     finally:
         q.stop()
     return sink
+
+
+def run_streaming_content_dedup(
+    spark: SparkSession, doc_stream_dir: str, root: str
+) -> StreamingContentDedup:
+    """Stream staged documents through the content-dedup kernel, one
+    file per micro-batch, checkpointed under root."""
+    return _run_index_dedup(
+        StreamingContentDedup(root), spark, doc_stream_dir, DOC_SCHEMA
+    )
+
+
+EMBEDDING_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ]
+)
+
+
+def stage_embeddings_as_stream_dir(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> int:
+    """Stage embeddings as TWO mtime-ordered parquet files (corpus
+    vec_id < 0.8·max, then the ingest batch — the same boundary
+    formula as q_dedup_embedding_incremental). Returns the boundary."""
+    import glob
+    import time as _time
+
+    from distributed_causal_stream_processing_spark.io import load
+
+    d = load(spark, sf_dir, "embeddings")
+    b = int(0.8 * d.agg(F.max("vec_id")).first()[0])
+    seen: set[str] = set()
+    for i, part in enumerate(
+        (d.filter(F.col("vec_id") < b), d.filter(F.col("vec_id") >= b))
+    ):
+        part.coalesce(1).write.mode("overwrite" if i == 0 else "append").parquet(
+            out_dir
+        )
+        new_files = set(glob.glob(os.path.join(out_dir, "part-*.parquet"))) - seen
+        seen |= new_files
+        t = _time.time() + 1000 * i
+        for f in new_files:
+            os.utime(f, (t, t))
+    return b
+
+
+def run_streaming_embedding_dedup(
+    spark: SparkSession, emb_stream_dir: str, root: str
+) -> StreamingEmbeddingDedup:
+    """Stream staged embeddings through the semantic-dedup kernel, one
+    file per micro-batch, checkpointed under root."""
+    return _run_index_dedup(
+        StreamingEmbeddingDedup(root), spark, emb_stream_dir, EMBEDDING_SCHEMA
+    )

@@ -131,6 +131,7 @@ CARTESIAN_OK = {
     "q_sim_ann_ivf",
     "q_sim_ivf_kmeans",  # broadcast k=8 centroid fan-out, same as ann_ivf
     "q_dedup_embedding_ivf",  # broadcast 16-centroid assignment fan-out
+    "q_dedup_embedding_incremental",  # 1-row corpus-boundary broadcast crossed in
     "q_sim_cosine_topk",
     "q_text_tfidf",  # 1-row corpus-size broadcast crossed in
     "q_text_collocations",  # 1-row corpus-totals broadcast crossed in

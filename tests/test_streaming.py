@@ -1045,3 +1045,31 @@ def test_streaming_content_dedup_matches_batch_incremental(spark, tmp_path):
         for r in sink.read_decisions(spark).collect()
     }
     assert again == got
+
+
+def test_streaming_embedding_dedup_matches_batch_incremental(spark, tmp_path):
+    """Semantic twin of the content-dedup equivalence: the streaming
+    hyperplane-LSH index probe must agree exactly with
+    q_dedup_embedding_incremental on the same corpus/ingest split."""
+    from distributed_causal_stream_processing_spark.operators.similarity import (
+        q_dedup_embedding_incremental,
+    )
+    from distributed_causal_stream_processing_spark.streaming import jobs
+
+    d = str(tmp_path / "emb_stream")
+    b = jobs.stage_embeddings_as_stream_dir(spark, SF_SMOKE, d)
+    sink = jobs.run_streaming_embedding_dedup(spark, d, str(tmp_path / "dedup"))
+
+    got = {
+        r.vec_id: (r.n_hit_tables, r.is_near_dup)
+        for r in sink.read_decisions(spark).collect()
+    }
+    want_batch = {
+        r.vec_id: (r.n_hit_tables, r.is_near_dup)
+        for r in q_dedup_embedding_incremental(spark, SF_SMOKE).collect()
+    }
+    for vec_id, want in want_batch.items():
+        assert got[vec_id] == want, (vec_id, got[vec_id], want)
+    corpus_ids = set(got) - set(want_batch)
+    assert corpus_ids and all(got[i] == (0, False) for i in corpus_ids)
+    assert min(want_batch) >= b and max(corpus_ids) < b
