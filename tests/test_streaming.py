@@ -1073,3 +1073,64 @@ def test_streaming_embedding_dedup_matches_batch_incremental(spark, tmp_path):
     corpus_ids = set(got) - set(want_batch)
     assert corpus_ids and all(got[i] == (0, False) for i in corpus_ids)
     assert min(want_batch) >= b and max(corpus_ids) < b
+
+
+def test_available_now_trigger_incremental_batch(spark, tmp_path):
+    """Trigger.AvailableNow — the 'incremental batch' production mode:
+    one invocation drains everything currently staged and STOPS (no
+    long-running driver); the next invocation resumes from the same
+    checkpoint and touches ONLY files staged since. This is how a
+    scheduled (cron-style) job gets streaming's exactly-once offset
+    tracking without a resident cluster."""
+    import glob
+    import time as _time
+
+    from distributed_causal_stream_processing_spark.io import load
+    from distributed_causal_stream_processing_spark.streaming import jobs
+
+    d = str(tmp_path / "stream")
+    e = load(spark, SF_SMOKE, "events")
+    n_total = e.count()
+    first = e.filter(F.col("event_id") % 3 != 0)
+    second = e.filter(F.col("event_id") % 3 == 0)
+    first.coalesce(1).write.mode("overwrite").parquet(d)
+
+    sink = jobs.IdempotentForeachBatchSink(str(tmp_path / "sink"))
+    checkpoint = str(tmp_path / "checkpoint")
+
+    def drain():
+        q = (
+            spark.readStream.schema(jobs.EVENT_SCHEMA)
+            .parquet(d)
+            .writeStream.foreachBatch(sink.process)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start()
+        )
+        q.awaitTermination(120)  # availableNow self-terminates
+        assert not q.isActive
+
+    drain()
+    n_first = sink.read_all(spark).count()
+    assert n_first == first.count()
+    batches_run1 = set(os.listdir(sink.commits_dir))
+
+    # stage more data with a LATER mtime, re-drain from the checkpoint
+    seen = set(glob.glob(os.path.join(d, "part-*.parquet")))
+    second.coalesce(1).write.mode("append").parquet(d)
+    t = _time.time() + 1000
+    for f in set(glob.glob(os.path.join(d, "part-*.parquet"))) - seen:
+        os.utime(f, (t, t))
+    drain()
+
+    assert sink.read_all(spark).count() == n_total
+    new_batches = set(os.listdir(sink.commits_dir)) - batches_run1
+    assert new_batches  # run 2 produced its own batch(es)...
+    new_rows = spark.read.parquet(
+        *[os.path.join(sink.data_dir, f"batch_id={b}") for b in new_batches]
+    )
+    # ...containing exactly the newly staged rows, nothing reprocessed
+    assert new_rows.count() == second.count()
+    ids = [r.event_id for r in sink.read_all(spark).select("event_id").collect()]
+    assert len(ids) == len(set(ids)) == n_total
