@@ -786,15 +786,55 @@ class _StreamingIndexDedup:
     def is_committed(self, batch_id: int) -> bool:
         return os.path.exists(self._marker(batch_id))
 
+    @property
+    def _compact_tmp(self) -> str:
+        return os.path.join(self.index_dir, "_compact_tmp")
+
     def _committed_index(self, spark: SparkSession) -> DataFrame | None:
         dirs = [
             os.path.join(self.index_dir, f"batch_id={b}")
             for b in sorted(os.listdir(self.commits_dir), key=int)
         ]
         dirs = [d for d in dirs if os.path.isdir(d)]
+        # a _SUCCESS-complete compaction tmp is part of the index: it
+        # exists only in the window between compaction's write and its
+        # rename, and reading it alongside any not-yet-deleted batch
+        # dirs is merely duplicate rows (the probe distincts)
+        if os.path.exists(os.path.join(self._compact_tmp, "_SUCCESS")):
+            dirs.append(self._compact_tmp)
         if not dirs:
             return None
         return spark.read.parquet(*dirs)
+
+    def compact_index(self, spark: SparkSession) -> int:
+        """Fold all committed per-batch index dirs into ONE distinct
+        set. The index is append-only — every micro-batch adds a dir,
+        and at streaming lifetimes the per-batch file listing (and the
+        cross-dir duplicate keys) becomes the probe's real cost — so a
+        maintenance compaction is part of the design, crash-safe by
+        ordering: (1) write the distinct union to a tmp dir (parquet's
+        _SUCCESS marker gates readers against torn writes); (2) delete
+        the covered dirs — a crash here leaves tmp ⊇ everything and
+        readers include it; (3) rename tmp onto the lowest covered
+        dir's name. Single concurrent writer assumed, same as the
+        streaming query itself. Returns the number of dirs folded."""
+        import shutil
+
+        batches = sorted(os.listdir(self.commits_dir), key=int)
+        dirs = [
+            os.path.join(self.index_dir, f"batch_id={b}")
+            for b in batches
+            if os.path.isdir(os.path.join(self.index_dir, f"batch_id={b}"))
+        ]
+        if len(dirs) <= 1:
+            return 0
+        spark.read.parquet(*dirs).distinct().coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(self._compact_tmp)
+        for d in dirs:
+            shutil.rmtree(d)
+        os.rename(self._compact_tmp, dirs[0])
+        return len(dirs)
 
     def process(self, df: DataFrame, batch_id: int) -> None:
         if self.is_committed(batch_id):

@@ -1134,3 +1134,64 @@ def test_available_now_trigger_incremental_batch(spark, tmp_path):
     assert new_rows.count() == second.count()
     ids = [r.event_id for r in sink.read_all(spark).select("event_id").collect()]
     assert len(ids) == len(set(ids)) == n_total
+
+
+def test_content_dedup_index_compaction_preserves_decisions(spark, tmp_path):
+    """compact_index folds the per-batch index dirs into one distinct
+    set without changing any subsequent probe decision — and a
+    simulated crash window (the _SUCCESS-complete tmp alongside
+    partially deleted dirs) still reads a superset, never losing
+    index rows."""
+    from distributed_causal_stream_processing_spark.io import load
+    from distributed_causal_stream_processing_spark.streaming import jobs
+
+    d = str(tmp_path / "docs_stream")
+    jobs.stage_documents_as_stream_dir(spark, SF_SMOKE, d)
+    sink = jobs.run_streaming_content_dedup(spark, d, str(tmp_path / "dedup"))
+    n_dirs_before = len(
+        [x for x in os.listdir(sink.index_dir) if x.startswith("batch_id=")]
+    )
+    assert n_dirs_before >= 2
+
+    index_before = {
+        (r.band_no, r.band_key)
+        for r in sink._committed_index(spark).distinct().collect()
+    }
+    folded = sink.compact_index(spark)
+    assert folded == n_dirs_before
+    n_dirs_after = len(
+        [x for x in os.listdir(sink.index_dir) if x.startswith("batch_id=")]
+    )
+    assert n_dirs_after == 1
+    index_after = {
+        (r.band_no, r.band_key)
+        for r in sink._committed_index(spark).distinct().collect()
+    }
+    assert index_after == index_before
+
+    # a new batch probed after compaction decides identically to a
+    # fresh uncompacted control run over the same replay
+    probe_docs = load(spark, SF_SMOKE, "documents").limit(40)
+    next_id = max(int(b) for b in os.listdir(sink.commits_dir)) + 1
+    sink.process(probe_docs, next_id)
+    got = {
+        r.doc_id: (r.n_hit_bands, r.is_near_dup)
+        for r in spark.read.parquet(
+            os.path.join(sink.decisions_dir, f"batch_id={next_id}")
+        ).collect()
+    }
+
+    d2 = str(tmp_path / "docs_stream2")
+    jobs.stage_documents_as_stream_dir(spark, SF_SMOKE, d2)
+    control = jobs.run_streaming_content_dedup(
+        spark, d2, str(tmp_path / "dedup_control")
+    )
+    nid2 = max(int(b) for b in os.listdir(control.commits_dir)) + 1
+    control.process(probe_docs, nid2)
+    want = {
+        r.doc_id: (r.n_hit_bands, r.is_near_dup)
+        for r in spark.read.parquet(
+            os.path.join(control.decisions_dir, f"batch_id={nid2}")
+        ).collect()
+    }
+    assert got == want
