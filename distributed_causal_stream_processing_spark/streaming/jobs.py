@@ -710,24 +710,19 @@ DOC_SCHEMA = T.StructType(
 )
 
 
-def stage_documents_as_stream_dir(
-    spark: SparkSession, sf_dir: str, out_dir: str
-) -> int:
-    """Stage documents as TWO mtime-ordered parquet files — the
-    existing corpus (doc_id < 0.8·max, same boundary formula as
-    q_dedup_incremental) then the ingest batch — so the file source
+def _stage_split_as_stream_dir(df: DataFrame, id_col: str, out_dir: str) -> int:
+    """Stage a table as TWO mtime-ordered parquet files — the existing
+    corpus (id < 0.8·max, the same boundary formula the incremental
+    batch queries use) then the ingest batch — so the file source
     replays corpus-first, one file per micro-batch. Returns the
     boundary id."""
     import glob
     import time as _time
 
-    from distributed_causal_stream_processing_spark.io import load
-
-    d = load(spark, sf_dir, "documents")
-    b = int(0.8 * d.agg(F.max("doc_id")).first()[0])
+    b = int(0.8 * df.agg(F.max(id_col)).first()[0])
     seen: set[str] = set()
     for i, part in enumerate(
-        (d.filter(F.col("doc_id") < b), d.filter(F.col("doc_id") >= b))
+        (df.filter(F.col(id_col) < b), df.filter(F.col(id_col) >= b))
     ):
         part.coalesce(1).write.mode("overwrite" if i == 0 else "append").parquet(
             out_dir
@@ -738,6 +733,17 @@ def stage_documents_as_stream_dir(
         for f in new_files:
             os.utime(f, (t, t))
     return b
+
+
+def stage_documents_as_stream_dir(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> int:
+    """Stage documents corpus-then-ingest (see _stage_split_as_stream_dir)."""
+    from distributed_causal_stream_processing_spark.io import load
+
+    return _stage_split_as_stream_dir(
+        load(spark, sf_dir, "documents"), "doc_id", out_dir
+    )
 
 
 class _StreamingIndexDedup:
@@ -949,29 +955,12 @@ EMBEDDING_SCHEMA = T.StructType(
 def stage_embeddings_as_stream_dir(
     spark: SparkSession, sf_dir: str, out_dir: str
 ) -> int:
-    """Stage embeddings as TWO mtime-ordered parquet files (corpus
-    vec_id < 0.8·max, then the ingest batch — the same boundary
-    formula as q_dedup_embedding_incremental). Returns the boundary."""
-    import glob
-    import time as _time
-
+    """Stage embeddings corpus-then-ingest (see _stage_split_as_stream_dir)."""
     from distributed_causal_stream_processing_spark.io import load
 
-    d = load(spark, sf_dir, "embeddings")
-    b = int(0.8 * d.agg(F.max("vec_id")).first()[0])
-    seen: set[str] = set()
-    for i, part in enumerate(
-        (d.filter(F.col("vec_id") < b), d.filter(F.col("vec_id") >= b))
-    ):
-        part.coalesce(1).write.mode("overwrite" if i == 0 else "append").parquet(
-            out_dir
-        )
-        new_files = set(glob.glob(os.path.join(out_dir, "part-*.parquet"))) - seen
-        seen |= new_files
-        t = _time.time() + 1000 * i
-        for f in new_files:
-            os.utime(f, (t, t))
-    return b
+    return _stage_split_as_stream_dir(
+        load(spark, sf_dir, "embeddings"), "vec_id", out_dir
+    )
 
 
 def run_streaming_embedding_dedup(
