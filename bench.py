@@ -158,6 +158,49 @@ def main() -> None:
         "jvm_rss_mb_after_suite": jvm_rss_mb,
     }
 
+    # Streaming throughput probe: the reference is a stream processor,
+    # so the bench also records events/sec through the causal sequencer
+    # (keyed applyInPandasWithState, 4 micro-batches, noop sink). Wall
+    # time includes micro-batch scheduling and state commits — the
+    # end-to-end number a consumer of the sequenced view experiences.
+    streaming = None
+    try:
+        import shutil
+        import tempfile
+
+        from distributed_causal_stream_processing_spark.streaming import jobs
+        from distributed_causal_stream_processing_spark.streaming.causal import (
+            causal_sequence_stream,
+        )
+
+        sdir = tempfile.mkdtemp(prefix="bench_stream_")
+        jobs.stage_events_as_stream_dir(spark, sf_dir, sdir, n_files=4)
+        src = jobs.events_stream(spark, sdir, watermark="35 days").select(
+            "event_id", "ts", "user_id"
+        )
+        n_rows = spark.read.parquet(sdir).count()
+        t0 = time.perf_counter()
+        q = (
+            causal_sequence_stream(src)
+            .writeStream.format("noop")
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(sdir, "_ck"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        wall = time.perf_counter() - t0
+        streaming = {
+            "job": "causal_sequence_stream",
+            "rows": n_rows,
+            "micro_batches": 4,
+            "wall_sec": round(wall, 3),
+            "rows_per_sec": round(n_rows / wall),
+        }
+        shutil.rmtree(sdir, ignore_errors=True)
+    except Exception as exc:  # noqa: BLE001 — probe is best-effort
+        streaming = {"error": f"{type(exc).__name__}: {exc}"[:200]}
+
     # Stop the JVM BEFORE printing: Spark's log4j console appender also
     # writes to stdout, and a straggling WARN line printed after (or
     # interleaved with) the JSON would corrupt "the last stdout line is
@@ -178,6 +221,7 @@ def main() -> None:
         "retried": retried,
         "failures": failures,
         "iterative": iterative,
+        "streaming": streaming,
         "sf": sf,
     }
     with open(os.path.join(REPO_DIR, "BENCH_DETAIL.json"), "w") as f:
@@ -196,6 +240,7 @@ def main() -> None:
                 "n_failed": len(failures),
                 "failed": sorted(failures)[:10],
                 "queries": slowest,
+                "streaming": streaming,
                 "iterative": {
                     "warm": warm,
                     "rdd_blocks": rdd_blocks,

@@ -276,3 +276,101 @@ def q_stream_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_name",
         "c_mktsegment",
     )
+
+
+@query(
+    "q_causal_audit",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, event_id,
+               epoch_us(CAST(date_trunc('microsecond', ts) AS TIMESTAMP)) AS us
+        FROM events
+    ),
+    by_time AS (
+        SELECT user_id, us,
+               lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+                   AS prev_us
+        FROM ev
+    ),
+    by_id AS (
+        SELECT user_id, us,
+               lag(us) OVER (PARTITION BY user_id ORDER BY event_id)
+                   AS prev_id_us
+        FROM ev
+    ),
+    t AS (
+        SELECT user_id,
+               count(*) AS n_events,
+               sum(CASE WHEN us = prev_us THEN 1 ELSE 0 END) AS n_concurrent,
+               max(us - prev_us) AS max_gap_us
+        FROM by_time GROUP BY user_id
+    ),
+    i AS (
+        SELECT user_id,
+               sum(CASE WHEN us < prev_id_us THEN 1 ELSE 0 END)
+                   AS n_inversions,
+               max(CASE WHEN us < prev_id_us THEN prev_id_us - us END)
+                   AS max_inversion_us
+        FROM by_id GROUP BY user_id
+    )
+    SELECT t.user_id, CAST(t.n_events AS BIGINT) AS n_events,
+           CAST(t.n_concurrent AS BIGINT) AS n_concurrent,
+           CAST(t.max_gap_us AS BIGINT) AS max_gap_us,
+           CAST(i.n_inversions AS BIGINT) AS n_inversions,
+           CAST(i.max_inversion_us AS BIGINT) AS max_inversion_us
+    FROM t JOIN i ON t.user_id = i.user_id
+    """,
+)
+def q_causal_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Causal-log health audit, per key: the metrics an operator of a
+    happened-before log watches before trusting downstream views.
+
+    - ``n_concurrent``: consecutive events (in causal (ts, event_id)
+      order) with EQUAL timestamps — concurrency the tie-break rule
+      must order deterministically (the sequencer's (ts, event_id)
+      policy);
+    - ``max_gap_us``: largest inter-event gap — the session/chain gap
+      parameter must dominate typical gaps or chains fragment;
+    - ``n_inversions`` / ``max_inversion_us``: consecutive events in
+      ID-ASSIGNMENT order whose event times run backwards — the
+      reorder rate (and worst displacement) the causal merge absorbs;
+      max_inversion_us lower-bounds the watermark/buffer any correct
+      streaming consumer needs.
+
+    Two window passes over the same per-key partitioning (one per
+    ordering) + one hash agg each, joined on the key — O(n) with two
+    shuffles, no state beyond the windows'."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us")
+    )
+    wt = W.partitionBy("user_id").orderBy("us", "event_id")
+    wi = W.partitionBy("user_id").orderBy("event_id")
+    t = (
+        e.select("user_id", "us", F.lag("us").over(wt).alias("prev_us"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.when(F.col("us") == F.col("prev_us"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_concurrent"),
+            F.max(F.col("us") - F.col("prev_us")).cast("bigint").alias("max_gap_us"),
+        )
+    )
+    i = (
+        e.select("user_id", "us", F.lag("us").over(wi).alias("prev_id_us"))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("us") < F.col("prev_id_us"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_inversions"),
+            F.max(
+                F.when(
+                    F.col("us") < F.col("prev_id_us"),
+                    F.col("prev_id_us") - F.col("us"),
+                )
+            )
+            .cast("bigint")
+            .alias("max_inversion_us"),
+        )
+    )
+    return t.join(i, "user_id")

@@ -199,3 +199,47 @@ def test_cogroup_asof_handles_clickers_without_purchases(spark, tmp_path):
     df.write.mode("overwrite").parquet(f"{d}/events.parquet")
     got = {r.c_id: r.last_purchase_id for r in q_udf_cogroup(spark, d).collect()}
     assert got == {1: None, 2: None, 4: 3}
+
+
+def test_causal_audit_detects_inversions_and_concurrency(spark, tmp_path):
+    """The fixtures' event_ids are perfectly time-ordered per user, so
+    q_causal_audit's inversion/concurrency columns are all zero there
+    (the oracle still checks them) — this synthetic log makes every
+    metric fire: one concurrent pair, one inverted assignment 90s
+    displaced, one clean user."""
+    import datetime as dt
+
+    from distributed_causal_stream_processing_spark.streaming.batch_views import (
+        q_causal_audit,
+    )
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(eid, user, sec):
+        return (eid, base + dt.timedelta(seconds=sec), user, "click", 1.0, "{}")
+
+    rows = [
+        # user 1: ids 1,2 concurrent (equal ts); id 4 assigned AFTER id 3
+        # but happened 90s EARLIER -> one inversion, displacement 90s
+        ev(1, 1, 0),
+        ev(2, 1, 0),
+        ev(3, 1, 100),
+        ev(4, 1, 10),
+        # user 2: clean, strictly ordered
+        ev(5, 2, 0),
+        ev(6, 2, 60),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    d = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    got = {r.user_id: r.asDict() for r in q_causal_audit(spark, d).collect()}
+    u1, u2 = got[1], got[2]
+    assert u1["n_events"] == 4 and u1["n_concurrent"] == 1
+    assert u1["n_inversions"] == 1 and u1["max_inversion_us"] == 90_000_000
+    assert u1["max_gap_us"] == 90_000_000  # causal order: 0,0,10,100
+    assert u2["n_inversions"] == 0 and u2["n_concurrent"] == 0
+    assert u2["max_inversion_us"] is None
