@@ -180,15 +180,22 @@ def main() -> None:
         )
         n_rows = spark.read.parquet(sdir).count()
         t0 = time.perf_counter()
-        q = (
-            causal_sequence_stream(src)
-            .writeStream.format("noop")
-            .outputMode("append")
-            .option("checkpointLocation", os.path.join(sdir, "_ck"))
-            .start()
-        )
-        q.processAllAvailable()
-        q.stop()
+        q = None
+        try:
+            q = (
+                causal_sequence_stream(src)
+                .writeStream.format("noop")
+                .outputMode("append")
+                .option("checkpointLocation", os.path.join(sdir, "_ck"))
+                .start()
+            )
+            q.processAllAvailable()
+        finally:
+            # a probe failure must not leak the running query or the
+            # staged events copy + checkpoint under /tmp
+            if q is not None:
+                q.stop()
+            shutil.rmtree(sdir, ignore_errors=True)
         wall = time.perf_counter() - t0
         streaming = {
             "job": "causal_sequence_stream",
@@ -197,7 +204,6 @@ def main() -> None:
             "wall_sec": round(wall, 3),
             "rows_per_sec": round(n_rows / wall),
         }
-        shutil.rmtree(sdir, ignore_errors=True)
     except Exception as exc:  # noqa: BLE001 — probe is best-effort
         streaming = {"error": f"{type(exc).__name__}: {exc}"[:200]}
 

@@ -558,7 +558,10 @@ def _incr_lsh_sql(split_clause: str, str_type: str, unpivot: str) -> str:
         + f""",
     band_rows AS ({unpivot}),
     boundary AS (
-        SELECT CAST(0.8 * max(doc_id) AS BIGINT) AS b FROM documents
+        -- floor() pins truncation: a bare CAST rounds-to-nearest in
+        -- DuckDB but truncates in Spark, so the two engines would
+        -- disagree whenever max(doc_id) mod 5 is 1 or 2
+        SELECT CAST(floor(0.8 * max(doc_id)) AS BIGINT) AS b FROM documents
     ),
     corpus AS (
         SELECT DISTINCT band_no, band_key FROM band_rows

@@ -1662,7 +1662,9 @@ def mt_sig_rows_for(df: DataFrame) -> DataFrame:
         SELECT vec_id, {_INCR_SIG_COLS} FROM embeddings
     ),
     boundary AS (
-        SELECT CAST(0.8 * max(vec_id) AS BIGINT) AS b FROM embeddings
+        -- floor(): same truncation-vs-round cast divergence note as
+        -- the MinHash incremental oracle (operators/dedup.py)
+        SELECT CAST(floor(0.8 * max(vec_id)) AS BIGINT) AS b FROM embeddings
     ),
     sig_rows AS (
 {_MT_SIG_ROWS_DUCK}
@@ -1709,7 +1711,7 @@ def q_dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     data path."""
     emb = load(spark, sf_dir, "embeddings")
     sig_rows = mt_sig_rows_for(emb).localCheckpoint(eager=True)
-    bnd = emb.agg((0.8 * F.max("vec_id")).cast("bigint").alias("b"))
+    bnd = emb.agg(F.floor(0.8 * F.max("vec_id")).cast("bigint").alias("b"))
     sr = sig_rows.crossJoin(F.broadcast(bnd))
     corpus = (
         sr.filter(F.col("vec_id") < F.col("b"))

@@ -812,20 +812,54 @@ class _StreamingIndexDedup:
             return None
         return spark.read.parquet(*dirs)
 
+    def _recover_pending_compaction(self) -> None:
+        """Complete (or discard) a compaction interrupted by a crash,
+        BEFORE reading or starting a new one. A _SUCCESS-complete tmp
+        is the union of every dir that existed when it was written —
+        including any the crash already deleted — so: if some
+        committed id lost its dir, the tmp is the SOLE copy of that
+        data and must be adopted as that id's dir (finishing the
+        interrupted rename); if every committed dir survives, the tmp
+        is a pure duplicate and is dropped. A tmp without _SUCCESS is
+        a torn write (deletes only ever happen after _SUCCESS), so it
+        is dropped too. Re-running compaction without this recovery
+        overwrote the sole-copy tmp from the surviving dirs only —
+        permanent index loss (code-review find, round 6)."""
+        import shutil
+
+        tmp = self._compact_tmp
+        if not os.path.isdir(tmp):
+            return
+        if not os.path.exists(os.path.join(tmp, "_SUCCESS")):
+            shutil.rmtree(tmp)
+            return
+        missing = [
+            b
+            for b in sorted(os.listdir(self.commits_dir), key=int)
+            if not os.path.isdir(os.path.join(self.index_dir, f"batch_id={b}"))
+        ]
+        if missing:
+            os.rename(tmp, os.path.join(self.index_dir, f"batch_id={missing[0]}"))
+        else:
+            shutil.rmtree(tmp)
+
     def compact_index(self, spark: SparkSession) -> int:
         """Fold all committed per-batch index dirs into ONE distinct
         set. The index is append-only — every micro-batch adds a dir,
         and at streaming lifetimes the per-batch file listing (and the
         cross-dir duplicate keys) becomes the probe's real cost — so a
         maintenance compaction is part of the design, crash-safe by
-        ordering: (1) write the distinct union to a tmp dir (parquet's
-        _SUCCESS marker gates readers against torn writes); (2) delete
-        the covered dirs — a crash here leaves tmp ⊇ everything and
-        readers include it; (3) rename tmp onto the lowest covered
-        dir's name. Single concurrent writer assumed, same as the
-        streaming query itself. Returns the number of dirs folded."""
+        ordering: (0) recover any interrupted earlier compaction
+        (_recover_pending_compaction); (1) write the distinct union to
+        a tmp dir (parquet's _SUCCESS marker gates readers against
+        torn writes); (2) delete the covered dirs — a crash here
+        leaves tmp ⊇ everything and readers include it; (3) rename tmp
+        onto the lowest covered dir's name. Single concurrent writer
+        assumed, same as the streaming query itself. Returns the
+        number of dirs folded."""
         import shutil
 
+        self._recover_pending_compaction()
         batches = sorted(os.listdir(self.commits_dir), key=int)
         dirs = [
             os.path.join(self.index_dir, f"batch_id={b}")

@@ -1195,3 +1195,57 @@ def test_content_dedup_index_compaction_preserves_decisions(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_compaction_crash_recovery_never_loses_index_rows(spark, tmp_path):
+    """Code-review find (round 6): a compaction crash AFTER the tmp
+    write and some dir deletes leaves the _SUCCESS-complete tmp as the
+    SOLE copy of the deleted dirs' keys — a re-run must adopt it, not
+    rebuild the tmp from the surviving dirs (which silently lost index
+    rows forever). Also: a torn tmp (no _SUCCESS) is discarded."""
+    import shutil
+
+    from distributed_causal_stream_processing_spark.streaming import jobs
+
+    d = str(tmp_path / "docs_stream")
+    jobs.stage_documents_as_stream_dir(spark, SF_SMOKE, d)
+    sink = jobs.run_streaming_content_dedup(spark, d, str(tmp_path / "dedup"))
+    full_index = {
+        (r.band_no, r.band_key)
+        for r in sink._committed_index(spark).distinct().collect()
+    }
+
+    # simulate the crash window: tmp written (_SUCCESS), FIRST dir deleted
+    dirs = sorted(
+        x for x in os.listdir(sink.index_dir) if x.startswith("batch_id=")
+    )
+    assert len(dirs) >= 2
+    spark.read.parquet(
+        *[os.path.join(sink.index_dir, x) for x in dirs]
+    ).distinct().coalesce(1).write.mode("overwrite").parquet(sink._compact_tmp)
+    shutil.rmtree(os.path.join(sink.index_dir, dirs[0]))
+
+    # readers in the crash window already see the full set via the tmp
+    assert {
+        (r.band_no, r.band_key)
+        for r in sink._committed_index(spark).distinct().collect()
+    } == full_index
+
+    # re-running compaction must recover, then fold — losing nothing
+    sink.compact_index(spark)
+    assert {
+        (r.band_no, r.band_key)
+        for r in sink._committed_index(spark).distinct().collect()
+    } == full_index
+    assert not os.path.isdir(sink._compact_tmp)
+
+    # torn tmp (no _SUCCESS): discarded, index unchanged
+    os.makedirs(sink._compact_tmp)
+    with open(os.path.join(sink._compact_tmp, "part-00000.parquet"), "wb") as f:
+        f.write(b"torn")
+    sink.compact_index(spark)
+    assert not os.path.isdir(sink._compact_tmp)
+    assert {
+        (r.band_no, r.band_key)
+        for r in sink._committed_index(spark).distinct().collect()
+    } == full_index
