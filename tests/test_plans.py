@@ -562,6 +562,26 @@ def test_dedup_fuzzy_name_stage_is_hash_join(spark):
     assert "HashJoin" in plan
 
 
+def test_incremental_dedup_probes_are_hash_joins_no_python(spark):
+    """Both daily-ingest probes (MinHash bands / LSH buckets) must plan
+    the batch-vs-corpus-index join as a hash join on the signature key
+    with no Python stage — the whole point of the index shape is that
+    a day's ingest never pays more than O(batch signatures) + one
+    equi probe."""
+    for qid in ("q_dedup_incremental", "q_dedup_embedding_incremental"):
+        df = _registry()[qid].fn(spark, SF_SMOKE)
+        df.collect()
+        plan = _plan(df).split("== Initial Plan ==")[0]
+        assert "HashJoin" in plan, qid
+        for py_op in ("ArrowEvalPython", "MapInPandas", "BatchEvalPython"):
+            assert py_op not in plan, (qid, py_op)
+        # only the allowlisted 1-row boundary cross may nest-loop (the
+        # embedding variant crosses it into BOTH the corpus and batch
+        # branches — two BNLJ nodes sharing one reused 1-row broadcast)
+        nlj = plan.count("BroadcastNestedLoopJoin")
+        assert nlj <= (2 if qid == "q_dedup_embedding_incremental" else 0), qid
+
+
 def test_sample_weighted_is_take_ordered(spark):
     """Weighted sampling must select via TakeOrderedAndProject (k rows
     per partition), never a global sort of the corpus."""
