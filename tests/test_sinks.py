@@ -185,3 +185,43 @@ def test_json_source_roundtrip_exact(spark, tmp_path):
     e.write.option("timestampFormat", fmt).json(d)
     back = spark.read.schema(EVENT_SCHEMA).option("timestampFormat", fmt).json(d)
     assert _rows_set(back) == _rows_set(e)
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Schema evolution on the parquet layout: an ingest that ADDS a
+    column (the routine evolution on a long-lived 100 TB table) must
+    read back as one unified schema with NULLs for pre-evolution rows
+    — via mergeSchema on read — while the default read keeps working
+    on the unevolved projection. Column pruning still reaches the scan
+    for old columns regardless of which footer carried them."""
+    from pyspark.sql import functions as F
+
+    from distributed_causal_stream_processing_spark.io import load
+
+    d = str(tmp_path / "evolving")
+    e = load(spark, SF_SMOKE, "events").select("event_id", "user_id", "value")
+    v1 = e.filter(F.col("event_id") % 2 == 0)
+    v2 = (
+        e.filter(F.col("event_id") % 2 == 1)
+        .withColumn("quality_score", (F.col("value") * 2).cast("double"))
+    )
+    v1.write.mode("overwrite").parquet(d)
+    v2.write.mode("append").parquet(d)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(d)
+    assert "quality_score" in merged.columns
+    assert merged.count() == e.count()
+    nulls = merged.filter(F.col("quality_score").isNull()).count()
+    assert nulls == v1.count()  # pre-evolution rows read as NULL
+    got = {
+        r.event_id: r.quality_score
+        for r in merged.filter(F.col("quality_score").isNotNull()).collect()
+    }
+    want = {r.event_id: r.quality_score for r in v2.collect()}
+    assert got == want
+
+    # old-projection reads keep working without mergeSchema
+    old = spark.read.parquet(d).select("event_id", "value")
+    assert old.count() == e.count()
+    plan = old._jdf.queryExecution().executedPlan().toString()
+    assert "quality_score" not in plan.split("ReadSchema:")[1].split("\n")[0]
