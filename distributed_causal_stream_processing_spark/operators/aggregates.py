@@ -655,8 +655,11 @@ def q_agg_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_returnflag, median(adev) AS mad FROM dev GROUP BY l_returnflag
     )
     SELECT d.l_returnflag,
-           round(any_value(d.med_price), 2) AS med_price,
-           round(any_value(m.mad), 2) AS mad,
+           -- floor-scaling, not round(): a median of an even-count
+           -- cents-valued group is exactly .xx5, where Spark HALF_UPs
+           -- and DuckDB rints (SURVEY §7.4 half-grid)
+           floor(any_value(d.med_price) * 100) / 100 AS med_price,
+           floor(any_value(m.mad) * 100) / 100 AS mad,
            CAST(sum(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
                AS n_outliers
     FROM dev d JOIN mad m USING (l_returnflag)
@@ -686,8 +689,8 @@ def q_agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         dev.join(F.broadcast(mad), "l_returnflag")
         .groupBy("l_returnflag")
         .agg(
-            F.round(F.any_value("med_price"), 2).alias("med_price"),
-            F.round(F.any_value("mad"), 2).alias("mad"),
+            (F.floor(F.any_value("med_price") * 100) / 100).alias("med_price"),
+            (F.floor(F.any_value("mad") * 100) / 100).alias("mad"),
             F.sum((F.col("adev") > 3 * F.col("mad")).cast("int"))
             .cast("bigint")
             .alias("n_outliers"),

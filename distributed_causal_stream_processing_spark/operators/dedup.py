@@ -394,13 +394,13 @@ def _dedup_best_duck() -> str:
     WITH groups AS ({_LSH_GROUPS_DUCK}),
     quality AS (
         SELECT doc_id,
-               round(0.4 * (len(list_distinct(string_split(text, ' ')))
-                            / CAST(len(string_split(text, ' ')) AS DOUBLE))
-                     + 0.3 * least(len(string_split(text, ' ')) / 100.0, 1.0)
-                     + 0.3 * (1.0 - len(list_filter(string_split(text, ' '),
-                                                    t -> t IN ({_STOP_IN})))
-                              / CAST(len(string_split(text, ' ')) AS DOUBLE)),
-                     4) AS quality_score
+               floor((0.4 * (len(list_distinct(string_split(text, ' ')))
+                             / CAST(len(string_split(text, ' ')) AS DOUBLE))
+                      + 0.3 * least(len(string_split(text, ' ')) / 100.0, 1.0)
+                      + 0.3 * (1.0 - len(list_filter(string_split(text, ' '),
+                                                     t -> t IN ({_STOP_IN})))
+                               / CAST(len(string_split(text, ' ')) AS DOUBLE)))
+                     * 10000) / 10000 AS quality_score
         FROM documents
     )
     SELECT group_id, doc_id AS kept_doc_id, quality_score AS best_quality,

@@ -91,6 +91,15 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STOP_IN = ", ".join(f"'{s}'" for s in STOPWORDS)
 
 
+def floor4(x):
+    """Tie-free 4-dp quantization by floor-scaling. round(x, 4) is the
+    cross-engine killer on this formula's value domain: token counts
+    like 16/32 make dyadic ratios that land EXACTLY on the 4-dp
+    half-grid (e.g. 0.72925), where Spark HALF_UPs and DuckDB rints —
+    SURVEY §7.4. floor of the identical double product cannot tie."""
+    return F.floor(x * 10000) / 10000
+
+
 def with_quality_score(d: DataFrame) -> DataFrame:
     """Append the quality-signal columns to any DataFrame with a
     ``text`` column — pure stateless column expressions, so the same
@@ -108,10 +117,10 @@ def with_quality_score(d: DataFrame) -> DataFrame:
     )
     return (
         d.withColumn("n_tokens", n_tokens.cast("bigint"))
-        .withColumn("distinct_ratio", F.round(n_distinct / n_tokens, 4))
-        .withColumn("avg_token_len", F.round(n_letters / n_tokens, 4))
-        .withColumn("stopword_ratio", F.round(n_stop / n_tokens, 4))
-        .withColumn("quality_score", F.round(quality, 4))
+        .withColumn("distinct_ratio", floor4(n_distinct / n_tokens))
+        .withColumn("avg_token_len", floor4(n_letters / n_tokens))
+        .withColumn("stopword_ratio", floor4(n_stop / n_tokens))
+        .withColumn("quality_score", floor4(quality))
     )
 
 
@@ -129,12 +138,13 @@ def with_quality_score(d: DataFrame) -> DataFrame:
     )
     SELECT doc_id,
            CAST(n_tokens AS BIGINT) AS n_tokens,
-           round(n_distinct / n_tokens, 4) AS distinct_ratio,
-           round(n_letters / n_tokens, 4) AS avg_token_len,
-           round(n_stop / n_tokens, 4) AS stopword_ratio,
-           round(0.4 * (n_distinct / n_tokens)
-                 + 0.3 * least(n_tokens / 100.0, 1.0)
-                 + 0.3 * (1.0 - n_stop / n_tokens), 4) AS quality_score
+           floor((n_distinct / n_tokens) * 10000) / 10000 AS distinct_ratio,
+           floor((n_letters / n_tokens) * 10000) / 10000 AS avg_token_len,
+           floor((n_stop / n_tokens) * 10000) / 10000 AS stopword_ratio,
+           floor((0.4 * (n_distinct / n_tokens)
+                  + 0.3 * least(n_tokens / 100.0, 1.0)
+                  + 0.3 * (1.0 - n_stop / n_tokens)) * 10000) / 10000
+               AS quality_score
     FROM feat
     """,
 )
@@ -278,9 +288,10 @@ _STOP_IN_PIPE = ", ".join(f"'{s}'" for s in STOPWORDS)
     ),
     scored AS (
         SELECT *,
-               round(0.4 * (n_distinct / n_tokens)
-                     + 0.3 * least(n_tokens / 100.0, 1.0)
-                     + 0.3 * (1.0 - n_stop / n_tokens), 4) AS quality_score
+               floor((0.4 * (n_distinct / n_tokens)
+                      + 0.3 * least(n_tokens / 100.0, 1.0)
+                      + 0.3 * (1.0 - n_stop / n_tokens)) * 10000) / 10000
+                   AS quality_score
         FROM feat
     ),
     kept AS (
@@ -293,7 +304,7 @@ _STOP_IN_PIPE = ", ".join(f"'{s}'" for s in STOPWORDS)
     SELECT lang,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(CAST(n_tokens AS BIGINT)) AS BIGINT) AS total_tokens,
-           round(avg(quality_score), 4) AS avg_quality
+           floor(avg(quality_score) * 10000) / 10000 AS avg_quality
     FROM deduped WHERE rn = 1
     GROUP BY lang
     """,
@@ -312,11 +323,10 @@ def q_pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tokens = F.size(toks).cast("double")
     n_distinct = F.size(F.array_distinct(toks)).cast("double")
     n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("double")
-    quality = F.round(
+    quality = floor4(
         0.4 * (n_distinct / n_tokens)
         + 0.3 * F.least(n_tokens / 100.0, F.lit(1.0))
-        + 0.3 * (1.0 - n_stop / n_tokens),
-        4,
+        + 0.3 * (1.0 - n_stop / n_tokens)
     )
     scored = d.select(
         "doc_id", "lang", "text", n_tokens.alias("n_tokens"), quality.alias("quality_score")
@@ -327,7 +337,7 @@ def q_pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deduped.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col("n_tokens").cast("bigint")).alias("total_tokens"),
-        F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+        floor4(F.avg("quality_score")).alias("avg_quality"),
     )
 
 
@@ -1105,13 +1115,13 @@ def q_text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH feat AS (
         SELECT doc_id, lang,
-               round(0.4 * (len(list_distinct(string_split(text, ' ')))
-                            / CAST(len(string_split(text, ' ')) AS DOUBLE))
-                     + 0.3 * least(len(string_split(text, ' ')) / 100.0, 1.0)
-                     + 0.3 * (1.0 - len(list_filter(string_split(text, ' '),
-                                        t -> t IN ({_STOP_IN})))
-                                    / CAST(len(string_split(text, ' ')) AS DOUBLE)),
-                     4) AS quality_score
+               floor((0.4 * (len(list_distinct(string_split(text, ' ')))
+                             / CAST(len(string_split(text, ' ')) AS DOUBLE))
+                      + 0.3 * least(len(string_split(text, ' ')) / 100.0, 1.0)
+                      + 0.3 * (1.0 - len(list_filter(string_split(text, ' '),
+                                         t -> t IN ({_STOP_IN})))
+                                     / CAST(len(string_split(text, ' ')) AS DOUBLE)))
+                     * 10000) / 10000 AS quality_score
         FROM documents
     )
     SELECT doc_id, lang, quality_score,

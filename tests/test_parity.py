@@ -22,6 +22,16 @@ def duck_views(duck):
     return duck
 
 
+@pytest.fixture(scope="session")
+def duck_sf0001():
+    import duckdb
+
+    con = duckdb.connect()
+    register_duck_views(con, "/root/testdata/sf0.001")
+    yield con
+    con.close()
+
+
 def pytest_generate_tests(metafunc):
     if "query_name" in metafunc.fixturenames:
         metafunc.parametrize("query_name", sorted(_registry()))
@@ -243,3 +253,24 @@ def test_causal_audit_detects_inversions_and_concurrency(spark, tmp_path):
     assert u1["max_gap_us"] == 90_000_000  # causal order: 0,0,10,100
     assert u2["n_inversions"] == 0 and u2["n_concurrent"] == 0
     assert u2["max_inversion_us"] is None
+
+
+@pytest.mark.parametrize(
+    "tie_query",
+    [
+        "q_text_quality",
+        "q_text_quality_retention",
+        "q_pipeline_dedup_best",
+        "q_pipeline_training_data",
+        "q_agg_mad_outliers",
+    ],
+)
+def test_tie_prone_queries_parity_at_sf0001(tie_query, spark, duck_sf0001):
+    """Round-6 regression pin: these five diverged at sf0.001 (only!)
+    because their value domains land EXACTLY on the rounding half-grid
+    there — dyadic token ratios like 0.72925, even-count cent medians
+    like 52724.245 — where Spark HALF_UPs and DuckDB rints. All now
+    quantize by floor-scaling (text.py floor4); this second-scale gate
+    keeps any future round() from reintroducing the tie."""
+    spec = _registry()[tie_query]
+    compare(spec.fn(spark, "/root/testdata/sf0.001"), duck_sf0001, spec.oracle)
