@@ -42,12 +42,17 @@ def main() -> int:
         for name, t in det.get("queries", {}).items()
     }
 
+    # Absolute floor alongside the ratio: sub-second queries jitter
+    # 2-3x between host windows without any code change (first
+    # deployment flagged 0.08s -> 0.19s), so a regression must ALSO
+    # cost at least MIN_DELTA_S of real wall time.
+    MIN_DELTA_S = 0.5
     regressions, new = [], []
     for name, t in sorted(cur.items()):
         base = ref["queries"].get(name)
         if base is None:
             new.append(name)
-        elif base > 0 and t > threshold * base:
+        elif base > 0 and t > threshold * base and (t - base) > MIN_DELTA_S:
             regressions.append((name, base, t, t / base))
     for name, base, t, ratio in regressions:
         print(f"REGRESSION {name}: {base:.2f}s -> {t:.2f}s ({ratio:.1f}x)")
