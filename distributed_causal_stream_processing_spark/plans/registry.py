@@ -58,14 +58,14 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # sit outside the window each round. Rotate so the window covers the ids
 # with the LEAST driver signal:
 # - positions 0-24: unchanged — the streaming/scalar/LLM/UDF block
-#   (fresh green in r04+r05; keep for continuity);
+#   (fresh green every round since r04; keep for continuity);
 # - positions 25-30: the six P0 relational ids — never leave the window;
-# - positions 31-42: the 12 ids parked during r05 (q_join_theta ...
-#   q_set_except) rotated back IN — green in r01+r04 but the r05
-#   window missed them; VERDICT r05 item 1 requires fresh rows;
+# - positions 31-42: the 12 ids parked during r06 (q_filter_like ...
+#   q_join_cross) rotated back IN — green in r05 but the r06 window
+#   missed them; VERDICT r06 item 1 requires fresh r07 rows;
 # - positions 43-49: P1 ids kept to fill the window;
-# - positions 50-61: the 12 ids rotated IN for r05 (q_filter_like ...
-#   q_join_cross) rotated OUT — each now has a green r05 driver row and
+# - positions 50-61: the 12 ids rotated IN for r06 (q_join_theta ...
+#   q_set_except) rotated OUT — each now has a green r06 driver row and
 #   stays pytest-parity-gated every session;
 # - positions 62+: extras (TPC-H composites, graph, ANN variants, ...)
 #   in module insertion order.
@@ -106,28 +106,7 @@ CONTRACT_ORDER = (
     "q_join_inner",          # P0
     "q_agg_global",          # P0
     "q_agg_group",           # P0 flagship
-    # -- rotated IN: parked during r05, need fresh driver rows ----------
-    "q_join_theta",
-    "q_join_range",
-    "q_join_asof",
-    "q_agg_rollup",
-    "q_agg_cube",
-    "q_agg_grouping_sets",
-    "q_agg_collect",
-    "q_agg_approx_distinct",
-    "q_win_frame_range",
-    "q_win_dist",
-    "q_set_intersect",
-    "q_set_except",
-    # -- window fill: P1 ids kept in ------------------------------------
-    "q_filter_compound",
-    "q_win_rank",
-    "q_win_analytic",
-    "q_agg_stats",
-    "q_sort_multi",
-    "q_topk",
-    "q_join_broadcast",
-    # -- rotated OUT: fresh green in r05, pytest-gated locally ----------
+    # -- rotated IN: parked during r06, need fresh driver rows ----------
     "q_filter_like",
     "q_join_left",
     "q_join_full",
@@ -140,6 +119,27 @@ CONTRACT_ORDER = (
     "q_set_union_all",
     "q_set_union_distinct",
     "q_join_cross",
+    # -- window fill: P1 ids kept in ------------------------------------
+    "q_filter_compound",
+    "q_win_rank",
+    "q_win_analytic",
+    "q_agg_stats",
+    "q_sort_multi",
+    "q_topk",
+    "q_join_broadcast",
+    # -- rotated OUT: fresh green in r06, pytest-gated locally ----------
+    "q_join_theta",
+    "q_join_range",
+    "q_join_asof",
+    "q_agg_rollup",
+    "q_agg_cube",
+    "q_agg_grouping_sets",
+    "q_agg_collect",
+    "q_agg_approx_distinct",
+    "q_win_frame_range",
+    "q_win_dist",
+    "q_set_intersect",
+    "q_set_except",
 )
 
 # Modules whose import populates REGISTRY. Order roughly follows SURVEY §2.
