@@ -8,13 +8,22 @@ THRESHOLD× its reference — the same 2× band the driver applies to the
 suite total, applied per query so a single operator regressing inside a
 stable total cannot hide.
 
+False-positive policy (VERDICT r06 item 2): sub-second queries jitter
+2-3× between host windows with no code change (r06 flagged
+q_text_stats 0.25→0.88 s; a fresh re-run measured 0.36 s warm). So a
+candidate regression is only REPORTED after an in-process warm re-run:
+the tool spins up one Spark session, warms it the way bench.py does,
+runs each candidate twice, and keeps the minimum of recorded and
+re-measured time. Host jitter melts away under the warm re-run; a
+genuine plan regression reproduces and still trips.
+
 Retry-aware: a query's effective time is the MIN of its final timing and
 its warm-pass timing (when the iterative block re-ran it), mirroring
 bench.py's own host-variance policy. Queries new since the reference are
 listed informationally, never failed on.
 
 Usage: python tools/check_bench_regression.py [threshold]
-Exit 1 iff any regression at the threshold (default 2.0).
+Exit 1 iff any regression survives the warm re-run (default 2.0×).
 """
 
 from __future__ import annotations
@@ -25,9 +34,89 @@ import sys
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# Absolute floor alongside the ratio: a regression must ALSO cost at
+# least MIN_DELTA_S of real wall time (first deployment flagged
+# 0.08s -> 0.19s; sub-second noise is not a signal).
+MIN_DELTA_S = 0.5
 
-def main() -> int:
-    threshold = float(sys.argv[1]) if len(sys.argv) > 1 else 2.0
+
+def candidates(
+    ref: dict, det: dict, threshold: float
+) -> tuple[list[tuple[str, float, float, float]], list[str], int]:
+    """Pure comparison step: (flagged, new_names, n_checked).
+
+    flagged rows are (name, base_s, current_s, ratio) where current is
+    already the min over bench.py's own retry/warm passes.
+    """
+    warm = det.get("iterative", {}).get("warm", {}) or {}
+    cur = {
+        name: min(t, warm.get(name, t))
+        for name, t in det.get("queries", {}).items()
+    }
+    flagged, new = [], []
+    for name, t in sorted(cur.items()):
+        base = ref["queries"].get(name)
+        if base is None:
+            new.append(name)
+        elif base > 0 and t > threshold * base and (t - base) > MIN_DELTA_S:
+            flagged.append((name, base, t, t / base))
+    return flagged, new, len(cur)
+
+
+def retime(names: list[str], sf: float, runs: int = 2) -> dict[str, float]:
+    """Re-measure the flagged queries in one warm Spark session.
+
+    Mirrors bench.py's materialization (noop sink) and warmup; returns
+    the per-query MIN over `runs` executions. Session scoped to this
+    call so a healthy check leaves nothing running.
+    """
+    import time
+
+    sys.path.insert(0, ROOT)
+    from distributed_causal_stream_processing_spark import all_queries
+    from distributed_causal_stream_processing_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", f"/root/testdata/sf{sf:g}")
+    spark = get_spark(app_name="dcsp-regression-retime")
+    queries = all_queries()
+    out: dict[str, float] = {}
+    try:
+        # same warmups as bench.py: JVM+file cache, pandas worker pool,
+        # ICU collation load
+        try:
+            queries["q_agg_group"](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception:  # noqa: BLE001 — warmup is best-effort
+            pass
+        spark.range(64).mapInPandas(lambda it: it, "id long").write.format(
+            "noop"
+        ).mode("overwrite").save()
+        spark.sql("SELECT upper('x'), lower('X')").collect()
+        for name in names:
+            if name not in queries:
+                continue
+            best = None
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                try:
+                    queries[name](spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                except Exception:  # noqa: BLE001 — a broken query stays flagged
+                    break
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            if best is not None:
+                out[name] = round(best, 3)
+    finally:
+        spark.stop()
+    return out
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    threshold = float(argv[0]) if argv else 2.0
     ref = json.load(open(os.path.join(ROOT, "BENCH_REFERENCE.json")))
     det = json.load(open(os.path.join(ROOT, "BENCH_DETAIL.json")))
     if det.get("sf") != ref.get("sf"):
@@ -36,34 +125,32 @@ def main() -> int:
             f"sf={ref.get('sf')} — per-query comparison is meaningless; skipping"
         )
         return 0
-    warm = det.get("iterative", {}).get("warm", {}) or {}
-    cur = {
-        name: min(t, warm.get(name, t))
-        for name, t in det.get("queries", {}).items()
-    }
+    flagged, new, n_checked = candidates(ref, det, threshold)
 
-    # Absolute floor alongside the ratio: sub-second queries jitter
-    # 2-3x between host windows without any code change (first
-    # deployment flagged 0.08s -> 0.19s), so a regression must ALSO
-    # cost at least MIN_DELTA_S of real wall time.
-    MIN_DELTA_S = 0.5
-    regressions, new = [], []
-    for name, t in sorted(cur.items()):
-        base = ref["queries"].get(name)
-        if base is None:
-            new.append(name)
-        elif base > 0 and t > threshold * base and (t - base) > MIN_DELTA_S:
-            regressions.append((name, base, t, t / base))
-    for name, base, t, ratio in regressions:
-        print(f"REGRESSION {name}: {base:.2f}s -> {t:.2f}s ({ratio:.1f}x)")
+    confirmed = []
+    if flagged:
+        names = [name for name, *_ in flagged]
+        print(f"candidates (pre re-run): {', '.join(names)} — re-timing warm...")
+        fresh = retime(names, float(det.get("sf", 0.1)))
+        for name, base, t, _ in flagged:
+            eff = min(t, fresh.get(name, t))
+            if eff > threshold * base and (eff - base) > MIN_DELTA_S:
+                confirmed.append((name, base, eff, eff / base))
+            else:
+                print(
+                    f"cleared by warm re-run: {name} recorded {t:.2f}s, "
+                    f"re-measured {fresh.get(name, t):.2f}s (ref {base:.2f}s)"
+                )
+    for name, base, t, ratio in confirmed:
+        print(f"REGRESSION {name}: {base:.2f}s -> {t:.2f}s ({ratio:.1f}x, warm-confirmed)")
     if new:
         print(f"new since reference (not compared): {', '.join(new)}")
-    n_ok = len(cur) - len(regressions) - len(new)
+    n_ok = n_checked - len(confirmed) - len(new)
     print(
-        f"checked {len(cur)} queries vs reference: {n_ok} within "
-        f"{threshold}x, {len(regressions)} regressed, {len(new)} new"
+        f"checked {n_checked} queries vs reference: {n_ok} within "
+        f"{threshold}x, {len(confirmed)} regressed, {len(new)} new"
     )
-    return 1 if regressions else 0
+    return 1 if confirmed else 0
 
 
 if __name__ == "__main__":
