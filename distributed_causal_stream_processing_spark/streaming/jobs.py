@@ -793,88 +793,133 @@ class _StreamingIndexDedup:
         return os.path.exists(self._marker(batch_id))
 
     @property
-    def _compact_tmp(self) -> str:
-        return os.path.join(self.index_dir, "_compact_tmp")
+    def _manifest_path(self) -> str:
+        return os.path.join(self.index_dir, "MANIFEST.json")
 
-    def _committed_index(self, spark: SparkSession) -> DataFrame | None:
-        dirs = [
+    def _read_manifest(self) -> dict | None:
+        try:
+            with open(self._manifest_path) as fh:
+                return json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            return None
+
+    def _write_manifest(self, manifest: dict) -> None:
+        # single-key replace: os.replace locally, one atomic PUT on an
+        # object store — readers see the old or the new manifest, never
+        # a torn one; no rename-of-a-directory anywhere in the protocol
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, self._manifest_path)
+
+    def _live_dirs(self) -> list[str]:
+        """The dirs readers may trust: the manifested compacted dir (if
+        any) plus committed per-batch dirs NEWER than the manifest's
+        coverage. Covered batch dirs are skipped even when they still
+        exist on disk (a crash between manifest commit and cleanup
+        leaves them behind; their content is, by the commit ordering, a
+        subset of the compacted dir)."""
+        m = self._read_manifest()
+        covers = m["covers_through"] if m else -1
+        dirs = []
+        if m:
+            cd = os.path.join(self.index_dir, m["compacted_dir"])
+            if os.path.isdir(cd):
+                dirs.append(cd)
+        dirs += [
             os.path.join(self.index_dir, f"batch_id={b}")
             for b in sorted(os.listdir(self.commits_dir), key=int)
+            if int(b) > covers
+            and os.path.isdir(os.path.join(self.index_dir, f"batch_id={b}"))
         ]
-        dirs = [d for d in dirs if os.path.isdir(d)]
-        # a _SUCCESS-complete compaction tmp is part of the index: it
-        # exists only in the window between compaction's write and its
-        # rename, and reading it alongside any not-yet-deleted batch
-        # dirs is merely duplicate rows (the probe distincts)
-        if os.path.exists(os.path.join(self._compact_tmp, "_SUCCESS")):
-            dirs.append(self._compact_tmp)
+        return dirs
+
+    def _committed_index(self, spark: SparkSession) -> DataFrame | None:
+        dirs = self._live_dirs()
         if not dirs:
             return None
         return spark.read.parquet(*dirs)
 
-    def _recover_pending_compaction(self) -> None:
-        """Complete (or discard) a compaction interrupted by a crash,
-        BEFORE reading or starting a new one. A _SUCCESS-complete tmp
-        is the union of every dir that existed when it was written —
-        including any the crash already deleted — so: if some
-        committed id lost its dir, the tmp is the SOLE copy of that
-        data and must be adopted as that id's dir (finishing the
-        interrupted rename); if every committed dir survives, the tmp
-        is a pure duplicate and is dropped. A tmp without _SUCCESS is
-        a torn write (deletes only ever happen after _SUCCESS), so it
-        is dropped too. Re-running compaction without this recovery
-        overwrote the sole-copy tmp from the surviving dirs only —
-        permanent index loss (code-review find, round 6)."""
+    def _purge_unmanifested(self) -> None:
+        """Recovery = garbage collection, never data movement. Deletes
+        (a) compact-* dirs the manifest does not name — torn or
+        unmanifested compaction output; their content still lives in
+        the batch dirs, because batch dirs are only ever deleted AFTER
+        the manifest commit that covers them — and (b) covered batch
+        dirs a crash left behind after the manifest commit; their
+        content is a subset of the manifested compacted dir. Both
+        deletes are therefore always safe, which is the point of the
+        manifest protocol: no recovery step ever has to decide whether
+        a tmp dir is the sole copy of anything (the round-6 rename
+        protocol did, and got it wrong once)."""
         import shutil
 
-        tmp = self._compact_tmp
-        if not os.path.isdir(tmp):
-            return
-        if not os.path.exists(os.path.join(tmp, "_SUCCESS")):
-            shutil.rmtree(tmp)
-            return
-        missing = [
-            b
-            for b in sorted(os.listdir(self.commits_dir), key=int)
-            if not os.path.isdir(os.path.join(self.index_dir, f"batch_id={b}"))
-        ]
-        if missing:
-            os.rename(tmp, os.path.join(self.index_dir, f"batch_id={missing[0]}"))
-        else:
-            shutil.rmtree(tmp)
+        m = self._read_manifest()
+        keep = m["compacted_dir"] if m else None
+        covers = m["covers_through"] if m else -1
+        for name in os.listdir(self.index_dir):
+            p = os.path.join(self.index_dir, name)
+            if not os.path.isdir(p):
+                continue
+            if name.startswith("compact-") and name != keep:
+                shutil.rmtree(p)
+            elif name.startswith("batch_id=") and int(name.split("=")[1]) <= covers:
+                shutil.rmtree(p)
 
     def compact_index(self, spark: SparkSession) -> int:
-        """Fold all committed per-batch index dirs into ONE distinct
-        set. The index is append-only — every micro-batch adds a dir,
-        and at streaming lifetimes the per-batch file listing (and the
-        cross-dir duplicate keys) becomes the probe's real cost — so a
-        maintenance compaction is part of the design, crash-safe by
-        ordering: (0) recover any interrupted earlier compaction
-        (_recover_pending_compaction); (1) write the distinct union to
-        a tmp dir (parquet's _SUCCESS marker gates readers against
-        torn writes); (2) delete the covered dirs — a crash here
-        leaves tmp ⊇ everything and readers include it; (3) rename tmp
-        onto the lowest covered dir's name. Single concurrent writer
-        assumed, same as the streaming query itself. Returns the
-        number of dirs folded."""
+        """Fold the live index dirs into ONE distinct set under a
+        manifest commit. The index is append-only — every micro-batch
+        adds a dir, and at streaming lifetimes the per-batch file
+        listing (and the cross-dir duplicate keys) becomes the probe's
+        real cost — so a maintenance compaction is part of the design.
+
+        Object-store-safe ordering (VERDICT r06 item 3 — no atomic
+        directory rename assumed anywhere): (0) purge unmanifested
+        garbage from earlier crashes; (1) write the distinct union of
+        the live dirs to a NEW generation dir compact-<g> (never
+        renamed, never reused); (2) commit by atomically replacing the
+        single manifest key to name compact-<g> and the batch id it
+        covers through — this one small-file PUT is the commit point;
+        (3) best-effort delete of the superseded dirs — a crash here
+        leaves harmless garbage that step 0 collects next time, and
+        readers ignore it meanwhile because they trust only the
+        manifest + newer batch commits. Single concurrent writer
+        assumed, same as the streaming query itself. On a real object
+        store, step 3 would be deferred by a retention window so
+        in-flight readers of the previous manifest finish their scans.
+        Returns the number of dirs folded."""
         import shutil
 
-        self._recover_pending_compaction()
-        batches = sorted(os.listdir(self.commits_dir), key=int)
-        dirs = [
-            os.path.join(self.index_dir, f"batch_id={b}")
-            for b in batches
-            if os.path.isdir(os.path.join(self.index_dir, f"batch_id={b}"))
-        ]
-        if len(dirs) <= 1:
+        self._purge_unmanifested()
+        prev = self._read_manifest()
+        live = self._live_dirs()
+        if len(live) <= 1:
             return 0
-        spark.read.parquet(*dirs).distinct().coalesce(1).write.mode(
+        # coverage derives from the batch dirs actually FOLDED (plus the
+        # previous manifest's coverage) — never from a re-listing of the
+        # commits dir, which a batch committing mid-compaction could
+        # extend and thereby be marked covered without being folded
+        folded_batches = [
+            int(os.path.basename(d).split("=")[1])
+            for d in live
+            if os.path.basename(d).startswith("batch_id=")
+        ]
+        covers = max(folded_batches + [prev["covers_through"] if prev else -1])
+        gen = (prev["generation"] + 1) if prev else 0
+        new_dir = f"compact-{gen}"
+        spark.read.parquet(*live).distinct().coalesce(1).write.mode(
             "overwrite"
-        ).parquet(self._compact_tmp)
-        for d in dirs:
-            shutil.rmtree(d)
-        os.rename(self._compact_tmp, dirs[0])
-        return len(dirs)
+        ).parquet(os.path.join(self.index_dir, new_dir))
+        self._write_manifest(
+            {
+                "generation": gen,
+                "compacted_dir": new_dir,
+                "covers_through": covers,
+            }
+        )
+        for d in live:
+            shutil.rmtree(d, ignore_errors=True)
+        return len(live)
 
     def process(self, df: DataFrame, batch_id: int) -> None:
         if self.is_committed(batch_id):

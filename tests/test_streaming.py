@@ -1137,11 +1137,10 @@ def test_available_now_trigger_incremental_batch(spark, tmp_path):
 
 
 def test_content_dedup_index_compaction_preserves_decisions(spark, tmp_path):
-    """compact_index folds the per-batch index dirs into one distinct
-    set without changing any subsequent probe decision — and a
-    simulated crash window (the _SUCCESS-complete tmp alongside
-    partially deleted dirs) still reads a superset, never losing
-    index rows."""
+    """compact_index folds the live index dirs into one manifested
+    compacted dir without changing any subsequent probe decision; a
+    second compaction after more batches folds compacted + new dirs
+    into the next generation."""
     from distributed_causal_stream_processing_spark.io import load
     from distributed_causal_stream_processing_spark.streaming import jobs
 
@@ -1159,10 +1158,10 @@ def test_content_dedup_index_compaction_preserves_decisions(spark, tmp_path):
     }
     folded = sink.compact_index(spark)
     assert folded == n_dirs_before
-    n_dirs_after = len(
-        [x for x in os.listdir(sink.index_dir) if x.startswith("batch_id=")]
-    )
-    assert n_dirs_after == 1
+    m = sink._read_manifest()
+    assert m["generation"] == 0 and m["compacted_dir"] == "compact-0"
+    # every folded batch dir is gone; the one live dir is the manifested one
+    assert sink._live_dirs() == [os.path.join(sink.index_dir, "compact-0")]
     index_after = {
         (r.band_no, r.band_key)
         for r in sink._committed_index(spark).distinct().collect()
@@ -1198,11 +1197,16 @@ def test_content_dedup_index_compaction_preserves_decisions(spark, tmp_path):
 
 
 def test_compaction_crash_recovery_never_loses_index_rows(spark, tmp_path):
-    """Code-review find (round 6): a compaction crash AFTER the tmp
-    write and some dir deletes leaves the _SUCCESS-complete tmp as the
-    SOLE copy of the deleted dirs' keys — a re-run must adopt it, not
-    rebuild the tmp from the surviving dirs (which silently lost index
-    rows forever). Also: a torn tmp (no _SUCCESS) is discarded."""
+    """Manifest-protocol crash matrix (VERDICT r06 item 3): every crash
+    point either leaves readers on the previous manifest or on the new
+    one, and recovery is pure garbage collection — no rename, no
+    adopt-the-tmp decision.
+
+    (a) crash BEFORE the manifest commit: the written compact dir is
+        unmanifested garbage, readers still see all batch dirs;
+    (b) crash BETWEEN manifest commit and old-dir delete: readers trust
+        the manifest + newer batches, surviving covered dirs are inert;
+    (c) torn compact dir (no manifest): discarded by the next run."""
     import shutil
 
     from distributed_causal_stream_processing_spark.streaming import jobs
@@ -1214,37 +1218,54 @@ def test_compaction_crash_recovery_never_loses_index_rows(spark, tmp_path):
         (r.band_no, r.band_key)
         for r in sink._committed_index(spark).distinct().collect()
     }
-
-    # simulate the crash window: tmp written (_SUCCESS), FIRST dir deleted
     dirs = sorted(
         x for x in os.listdir(sink.index_dir) if x.startswith("batch_id=")
     )
     assert len(dirs) >= 2
-    spark.read.parquet(
-        *[os.path.join(sink.index_dir, x) for x in dirs]
-    ).distinct().coalesce(1).write.mode("overwrite").parquet(sink._compact_tmp)
-    shutil.rmtree(os.path.join(sink.index_dir, dirs[0]))
 
-    # readers in the crash window already see the full set via the tmp
+    # (a) compact dir fully written but crash before manifest commit
+    live = [os.path.join(sink.index_dir, x) for x in dirs]
+    spark.read.parquet(*live).distinct().coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(sink.index_dir, "compact-0"))
+    assert sink._read_manifest() is None
+    # readers ignore the unmanifested dir; index is the batch dirs
+    assert sink._live_dirs() == live
     assert {
         (r.band_no, r.band_key)
         for r in sink._committed_index(spark).distinct().collect()
     } == full_index
 
-    # re-running compaction must recover, then fold — losing nothing
-    sink.compact_index(spark)
+    # re-running compaction collects the garbage and completes
+    folded = sink.compact_index(spark)
+    assert folded == len(dirs)
+    m = sink._read_manifest()
+    assert m is not None
+
+    # (b) crash between manifest commit and old-dir delete: resurrect a
+    # covered batch dir next to the manifested compact dir
+    covered = os.path.join(sink.index_dir, dirs[0])
+    os.makedirs(covered)
+    spark.read.parquet(os.path.join(sink.index_dir, m["compacted_dir"])).limit(
+        5
+    ).write.mode("overwrite").parquet(covered)
+    # readers skip it (covered by the manifest) — no duplicates, no loss
+    assert covered not in sink._live_dirs()
     assert {
         (r.band_no, r.band_key)
         for r in sink._committed_index(spark).distinct().collect()
     } == full_index
-    assert not os.path.isdir(sink._compact_tmp)
+    # next compaction purges it; a single live dir folds nothing
+    assert sink.compact_index(spark) == 0
+    assert not os.path.isdir(covered)
 
-    # torn tmp (no _SUCCESS): discarded, index unchanged
-    os.makedirs(sink._compact_tmp)
-    with open(os.path.join(sink._compact_tmp, "part-00000.parquet"), "wb") as f:
+    # (c) torn compact dir without a manifest entry: discarded
+    torn = os.path.join(sink.index_dir, "compact-99")
+    os.makedirs(torn)
+    with open(os.path.join(torn, "part-00000.parquet"), "wb") as f:
         f.write(b"torn")
     sink.compact_index(spark)
-    assert not os.path.isdir(sink._compact_tmp)
+    assert not os.path.isdir(torn)
     assert {
         (r.band_no, r.band_key)
         for r in sink._committed_index(spark).distinct().collect()
