@@ -174,27 +174,30 @@ def main() -> None:
         )
 
         sdir = tempfile.mkdtemp(prefix="bench_stream_")
-        jobs.stage_events_as_stream_dir(spark, sf_dir, sdir, n_files=4)
-        src = jobs.events_stream(spark, sdir, watermark="35 days").select(
-            "event_id", "ts", "user_id"
-        )
-        n_rows = spark.read.parquet(sdir).count()
-        t0 = time.perf_counter()
-        q = None
+        # a probe failure at ANY point after mkdtemp — staging, source
+        # construction, the row count, or the query itself — must not
+        # leak the staged events copy + checkpoint under /tmp
         try:
-            q = (
-                causal_sequence_stream(src)
-                .writeStream.format("noop")
-                .outputMode("append")
-                .option("checkpointLocation", os.path.join(sdir, "_ck"))
-                .start()
+            jobs.stage_events_as_stream_dir(spark, sf_dir, sdir, n_files=4)
+            src = jobs.events_stream(spark, sdir, watermark="35 days").select(
+                "event_id", "ts", "user_id"
             )
-            q.processAllAvailable()
+            n_rows = spark.read.parquet(sdir).count()
+            t0 = time.perf_counter()
+            q = None
+            try:
+                q = (
+                    causal_sequence_stream(src)
+                    .writeStream.format("noop")
+                    .outputMode("append")
+                    .option("checkpointLocation", os.path.join(sdir, "_ck"))
+                    .start()
+                )
+                q.processAllAvailable()
+            finally:
+                if q is not None:
+                    q.stop()
         finally:
-            # a probe failure must not leak the running query or the
-            # staged events copy + checkpoint under /tmp
-            if q is not None:
-                q.stop()
             shutil.rmtree(sdir, ignore_errors=True)
         wall = time.perf_counter() - t0
         streaming = {

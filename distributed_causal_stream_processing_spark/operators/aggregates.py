@@ -903,7 +903,10 @@ def ewma_two_level(e: DataFrame, bucket_us: int = _EWMA_BUCKET_US) -> DataFrame:
     approximation; input expects columns (user_id, us, event_id,
     value)."""
     seg = (
-        e.withColumn("bucket", F.expr(f"us div {bucket_us}"))
+        # floor division, matching DuckDB's `//` in the oracle: `us div`
+        # truncates toward zero, which would diverge on negative us
+        # (pre-1970 timestamps) and change the bucket boundaries
+        e.withColumn("bucket", F.floor(F.col("us") / F.lit(bucket_us)).cast("long"))
         .groupBy("user_id", "bucket")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),

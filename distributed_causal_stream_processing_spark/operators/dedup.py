@@ -600,17 +600,28 @@ def band_rows_for(df: DataFrame) -> DataFrame:
     """(doc_id, band_no, band_key) MinHash LSH band rows for ANY
     documents-shaped frame (doc_id, text) — the one signature pipeline
     shared by the batch queries and the streaming content-dedup job
-    (streaming/jobs.py), so stream and batch probe IDENTICAL buckets."""
-    df.createOrReplaceTempView("_band_src")
-    return df.sparkSession.sql(
+    (streaming/jobs.py), so stream and batch probe IDENTICAL buckets.
+
+    The source view name is unique per call: a session-global name
+    would let two concurrent callers (e.g. two streaming dedup queries
+    in one SparkSession) clobber each other's view between registration
+    and SQL resolution."""
+    import uuid
+
+    view = f"_band_src_{uuid.uuid4().hex}"
+    df.createOrReplaceTempView(view)
+    out = df.sparkSession.sql(
         _minhash_cte(
             "SELECT doc_id, explode(array_distinct(split(text, ' '))) AS tok"
-            " FROM _band_src",
+            f" FROM {view}",
             "STRING",
         )
         + f", band_rows AS ({_UNPIVOT_SPARK})"
         " SELECT doc_id, band_no, band_key FROM band_rows"
     )
+    # the plan is resolved eagerly at sql(); the view entry itself can go
+    df.sparkSession.catalog.dropTempView(view)
+    return out
 
 
 @query("q_dedup_incremental", oracle=_INCR_LSH_DUCK)

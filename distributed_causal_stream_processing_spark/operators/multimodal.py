@@ -407,6 +407,13 @@ def decode_headers(media: DataFrame) -> DataFrame:
                 fmt_len, audio_fmt, ch, rate = pystruct.unpack(
                     "<IHHI", payload[16:28]
                 )
+                # the fixed offsets below assume the 16-byte PCM fmt
+                # chunk; real WAVs ship 18/40-byte extended fmt chunks,
+                # which must fail loudly, not be misparsed
+                if fmt_len != 16:
+                    raise ValueError(
+                        f"WAV: unsupported fmt chunk length {fmt_len} (PCM-16 only)"
+                    )
                 (bits,) = pystruct.unpack("<H", payload[34:36])
                 if payload[36:40] != b"data":
                     raise ValueError("WAV: data chunk not after fmt")
