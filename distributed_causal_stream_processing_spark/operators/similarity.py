@@ -484,28 +484,60 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic cross-engine hash-sample for the exact-baseline paths:
+# first hex digit of md5(vec_id) in 0-3 → an exact, engine-agnostic
+# 4/16 expected fraction (md5 of the decimal string renders identically
+# in Spark and DuckDB, unlike their incompatible builtin hash()).
+_EVAL_SAMPLE_HEX = ("0", "1", "2", "3")
+_EVAL_SAMPLE_SQL = (
+    "substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) IN ('"
+    + "', '".join(_EVAL_SAMPLE_HEX)
+    + "')"
+)
+
+
+def _eval_sample_pred() -> Column:
+    return F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1).isin(
+        *_EVAL_SAMPLE_HEX
+    )
+
+
 @query(
     "q_dedup_embedding",
-    oracle="""
+    oracle=f"""
+    WITH se AS (SELECT * FROM embeddings WHERE {_EVAL_SAMPLE_SQL})
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                         CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    FROM se a JOIN se b ON a.vec_id < b.vec_id
     WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                  CAST(b.embedding AS DOUBLE[])) >= 0.3
     """,
 )
 def q_dedup_embedding(
-    spark: SparkSession, sf_dir: str, pred: Column | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    pred: Column | None = None,
+    full_exact: bool = False,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs (cos ≥ 0.3) — semantic dedup,
-    EXACT baseline: blocked-GEMM all-pairs with the threshold applied
-    inside the kernel. Deliberately quadratic — it exists to measure the
-    recall of the scale path, ``q_dedup_embedding_pruned`` (LSH-bucketed
-    candidates, nothing quadratic), which is what runs at 100 TB.
-    ``pred`` optionally restricts the vector table first (the recall
-    eval's hash-sample path).
-    """
+    """Embedding-cosine near-dup pairs (cos ≥ 0.3) — the EXACT
+    baseline (blocked-GEMM all-pairs, threshold applied inside the
+    kernel) that the recall of the scale path,
+    ``q_dedup_embedding_pruned`` (LSH-bucketed candidates, nothing
+    quadratic), is measured against.
+
+    The registered form runs on the DETERMINISTIC 25% HASH-SAMPLE of
+    the vectors (md5 first hex digit — VERDICT r06 item 8), shrinking
+    the quadratic 16× while staying value-hash-checkable: the oracle
+    applies the identical predicate. Cosine similarity of a pair
+    depends only on that pair's vectors, so every sampled pair's score
+    is exactly its full-corpus score — the sample restricts WHICH pairs
+    are reported, never their values. Pass ``full_exact=True`` for the
+    unsampled all-pairs run (the recall yardstick at small sf; at scale
+    you'd raise the sampling instead), or ``pred`` to substitute a
+    caller's own restriction (the recall eval's path)."""
+    if pred is None and not full_exact:
+        pred = _eval_sample_pred()
     return _blocked_cosine_pairs(spark, sf_dir, thresh=0.3, pred=pred).select(
         "vec_a", "vec_b", F.round("sim", 4).alias("cos_sim")
     )
@@ -773,24 +805,6 @@ def _mt_candidates(
     )
 
 
-# Deterministic cross-engine hash-sample for the recall eval: first
-# hex digit of md5(vec_id) in 0-3 → an exact, engine-agnostic 4/16
-# expected fraction (md5 of the decimal string renders identically in
-# Spark and DuckDB, unlike their incompatible builtin hash()).
-_EVAL_SAMPLE_HEX = ("0", "1", "2", "3")
-_EVAL_SAMPLE_SQL = (
-    "substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) IN ('"
-    + "', '".join(_EVAL_SAMPLE_HEX)
-    + "')"
-)
-
-
-def _eval_sample_pred() -> Column:
-    return F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1).isin(
-        *_EVAL_SAMPLE_HEX
-    )
-
-
 @query(
     "q_dedup_embedding_recall",
     oracle=f"""
@@ -849,7 +863,7 @@ def q_dedup_embedding_recall(
     measured full-corpus: recall 0.6323 @ cand_frac 0.2641 at
     sf0.01)."""
     pred = None if full_exact else _eval_sample_pred()
-    exact = q_dedup_embedding(spark, sf_dir, pred=pred).agg(
+    exact = q_dedup_embedding(spark, sf_dir, pred=pred, full_exact=full_exact).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_exact")
     )
     # one pass over the candidate pipeline yields BOTH counters (a

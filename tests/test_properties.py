@@ -505,3 +505,33 @@ def test_ewma_two_level_matches_sequential(spark, rows):
     for u, (n, y) in want.items():
         assert got[u][0] == n
         assert abs(got[u][1] - round(y, 4)) <= 1e-4, (u, got[u], y)
+
+
+def test_sampled_embedding_dedup_is_exact_subset_of_full(spark):
+    """The default (hash-sampled) q_dedup_embedding reports exactly the
+    full-corpus pairs whose BOTH endpoints fall in the sample — same
+    cos_sim values, nothing invented, nothing rescored (VERDICT r06
+    item 8: sampling restricts which pairs are reported, never their
+    values)."""
+    from distributed_causal_stream_processing_spark.operators.similarity import (
+        _EVAL_SAMPLE_HEX,
+        q_dedup_embedding,
+    )
+    import hashlib
+
+    sf = "/root/testdata/sf0.001"
+    sampled = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in q_dedup_embedding(spark, sf).collect()
+    }
+    full = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in q_dedup_embedding(spark, sf, full_exact=True).collect()
+    }
+
+    def in_sample(vid: int) -> bool:
+        return hashlib.md5(str(vid).encode()).hexdigest()[0] in _EVAL_SAMPLE_HEX
+
+    want = {p: s for p, s in full.items() if in_sample(p[0]) and in_sample(p[1])}
+    assert sampled == want
+    assert 0 < len(sampled) < len(full)
