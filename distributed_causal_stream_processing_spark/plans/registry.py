@@ -128,6 +128,9 @@ CONTRACT_ORDER = (
     "q_topk",
     "q_join_broadcast",
     # -- rotated OUT: fresh green in r06, pytest-gated locally ----------
+    # (q_join_broadcast slides to position 50 this round — one slot of
+    # the window is lent to WINDOW_PROMOTED below; it is r06-green and
+    # BHJ-plan-asserted every session, so the parking is safe)
     "q_join_theta",
     "q_join_range",
     "q_join_asof",
@@ -141,6 +144,14 @@ CONTRACT_ORDER = (
     "q_set_intersect",
     "q_set_except",
 )
+
+# Extra (non-§2) ids promoted INTO the driver's ~50-slot graded window
+# for the current round, each lent a slot by a fresh-green contract id
+# sliding past position 49. Round 7: q_causal_merge (VERDICT r06 item 5
+# — the reference's poll→merge step needs a driver-graded value-hash
+# row, not just local parity).
+WINDOW_PROMOTED = ("q_causal_merge",)
+_PROMOTE_AT = 49  # insert position: last graded slot(s) of the window
 
 # Modules whose import populates REGISTRY. Order roughly follows SURVEY §2.
 _QUERY_MODULES = (
@@ -176,10 +187,15 @@ def _load_all() -> None:
     # Rebuild the registry dict so the 62 §2 contract ids occupy the head in
     # CONTRACT_ORDER, extras after in module insertion order (dicts preserve
     # insertion order; queries()/oracle_sql() expose exactly this ordering).
-    missing = [n for n in CONTRACT_ORDER if n not in REGISTRY]
+    head = (
+        list(CONTRACT_ORDER[:_PROMOTE_AT])
+        + list(WINDOW_PROMOTED)
+        + list(CONTRACT_ORDER[_PROMOTE_AT:])
+    )
+    missing = [n for n in head if n not in REGISTRY]
     if missing:
         raise RuntimeError(f"contract ids not registered: {missing}")
-    ordered = {n: REGISTRY[n] for n in CONTRACT_ORDER}
+    ordered = {n: REGISTRY[n] for n in head}
     ordered.update((n, s) for n, s in REGISTRY.items() if n not in ordered)
     REGISTRY.clear()
     REGISTRY.update(ordered)

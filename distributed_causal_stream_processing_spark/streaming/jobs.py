@@ -316,19 +316,42 @@ def run_stream_stream_join(
 
 
 def stage_events_split_sources(
-    spark: SparkSession, sf_dir: str, out_a: str, out_b: str, n_files: int = 2
+    spark: SparkSession,
+    sf_dir: str,
+    out_a: str,
+    out_b: str,
+    n_files: int = 2,
+    time_ordered: bool = False,
 ) -> None:
     """Split the events fixture into two disjoint staged logs (even /
-    odd event_id) — two 'topics' whose per-key events interleave."""
+    odd event_id) — two 'topics' whose per-key events interleave.
+
+    ``time_ordered=True`` slices BOTH sources on the same global
+    event-time quantile boundaries, each slice one file with strictly
+    increasing mtimes: with maxFilesPerTrigger=1 the union source then
+    consumes slice i of both topics in micro-batch i, so the replay is
+    causally ordered ACROSS batches and the streaming sequencer's
+    output is bit-equal to the batch merge (q_causal_merge) — the
+    equality the twin test asserts. The default arbitrary split
+    exercises the late-event paths instead."""
+    import time as _time
+
     from distributed_causal_stream_processing_spark.io import load
 
     e = load(spark, sf_dir, "events")
-    e.filter(F.col("event_id") % 2 == 0).repartition(n_files).write.mode(
-        "overwrite"
-    ).parquet(out_a)
-    e.filter(F.col("event_id") % 2 == 1).repartition(n_files).write.mode(
-        "overwrite"
-    ).parquet(out_b)
+    even = e.filter(F.col("event_id") % 2 == 0)
+    odd = e.filter(F.col("event_id") % 2 == 1)
+    if not time_ordered:
+        even.repartition(n_files).write.mode("overwrite").parquet(out_a)
+        odd.repartition(n_files).write.mode("overwrite").parquet(out_b)
+        return
+    qs = [i / n_files for i in range(1, n_files)]
+    bounds = e.withColumn("_us", F.unix_micros("ts")).approxQuantile("_us", qs, 0.0)
+    base = _time.time() - 2 * n_files
+    for src, out_dir in ((even, out_a), (odd, out_b)):
+        _write_time_slices(
+            src.withColumn("_us", F.unix_micros("ts")), out_dir, n_files, bounds, base
+        )
 
 
 def run_multi_source_causal_stream(
@@ -541,43 +564,17 @@ def stage_events_time_ordered(
     last-click − delay while the purchase side had advanced hours
     further). Consumers exclude sentinels by ``event_id >= 0``.
     """
-    import os
     import time
 
     from distributed_causal_stream_processing_spark.io import load
-
-    import shutil
 
     e = load(spark, sf_dir, "events").withColumn("_us", F.unix_micros("ts"))
     # percentile boundaries on event time -> n_files contiguous slices
     qs = [i / n_files for i in range(1, n_files)]
     bounds = e.approxQuantile("_us", qs, 0.0)
     max_ts = e.agg(F.max("ts")).collect()[0][0]
-    os.makedirs(out_dir, exist_ok=True)
-    lo = None
     base = time.time() - n_files - n_sentinels
-
-    def lift_single_file(df, idx: int) -> None:
-        tmp = os.path.join(out_dir, f"_tmp_{idx}")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        # the file source does not recurse: lift the single data file up
-        # into out_dir as a flat sibling with a strictly increasing mtime
-        data = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
-        assert len(data) == 1, data
-        dst = os.path.join(out_dir, f"slice_{idx}.parquet")
-        os.replace(os.path.join(tmp, data[0]), dst)
-        shutil.rmtree(tmp)
-        os.utime(dst, (base + idx, base + idx))
-
-    for i in range(n_files):
-        hi = bounds[i] if i < len(bounds) else None
-        part = e
-        if lo is not None:
-            part = part.filter(F.col("_us") >= lo)
-        if hi is not None:
-            part = part.filter(F.col("_us") < hi)
-        lift_single_file(part.drop("_us"), i)
-        lo = hi
+    _write_time_slices(e, out_dir, n_files, bounds, base)
     for s in range(n_sentinels):
         sent_ts = max_ts + datetime.timedelta(days=40 + s)
         sent = spark.createDataFrame(
@@ -587,7 +584,44 @@ def stage_events_time_ordered(
             ],
             schema=EVENT_SCHEMA,
         )
-        lift_single_file(sent, n_files + s)
+        _lift_single_file(sent, out_dir, n_files + s, base)
+
+
+def _lift_single_file(df: DataFrame, out_dir: str, idx: int, base: float) -> None:
+    """Write ``df`` as ONE flat parquet file slice_<idx>.parquet with
+    mtime base+idx. The file source does not recurse, so the single
+    data file is lifted out of its write dir up into out_dir; strictly
+    increasing mtimes make the source replay slices oldest-first."""
+    import os
+    import shutil
+
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = os.path.join(out_dir, f"_tmp_{idx}")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    data = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
+    assert len(data) == 1, data
+    dst = os.path.join(out_dir, f"slice_{idx}.parquet")
+    os.replace(os.path.join(tmp, data[0]), dst)
+    shutil.rmtree(tmp)
+    os.utime(dst, (base + idx, base + idx))
+
+
+def _write_time_slices(
+    e: DataFrame, out_dir: str, n_files: int, bounds: list[float], base: float
+) -> None:
+    """Write ``e`` (must carry a ``_us`` epoch-µs column, which is
+    dropped) as n_files contiguous event-time slices on the given
+    boundaries, one flat file each, mtimes increasing from ``base``."""
+    lo = None
+    for i in range(n_files):
+        hi = bounds[i] if i < len(bounds) else None
+        part = e
+        if lo is not None:
+            part = part.filter(F.col("_us") >= lo)
+        if hi is not None:
+            part = part.filter(F.col("_us") < hi)
+        _lift_single_file(part.drop("_us"), out_dir, i, base)
+        lo = hi
 
 
 def run_stream_stream_join_outer(

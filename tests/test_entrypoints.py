@@ -41,11 +41,20 @@ def test_registry_contract_ids_first():
     contract must sit at the head — VERDICT round 1, item 1), with the 25
     ids the round-1 driver never reached in the first 25 slots."""
     from distributed_causal_stream_processing_spark import all_queries
-    from distributed_causal_stream_processing_spark.plans.registry import CONTRACT_ORDER
+    from distributed_causal_stream_processing_spark.plans.registry import (
+        CONTRACT_ORDER,
+        WINDOW_PROMOTED,
+        _PROMOTE_AT,
+    )
 
     names = list(all_queries())
     assert len(CONTRACT_ORDER) == 62
-    assert names[:62] == list(CONTRACT_ORDER)
+    head = (
+        list(CONTRACT_ORDER[:_PROMOTE_AT])
+        + list(WINDOW_PROMOTED)
+        + list(CONTRACT_ORDER[_PROMOTE_AT:])
+    )
+    assert names[: len(head)] == head
     assert names[0] == "q_causal_seq" and names[1] == "q_stream_tumbling"
     round1_unchecked = {
         "q_causal_seq", "q_stream_tumbling", "q_stream_sliding",

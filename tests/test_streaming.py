@@ -257,6 +257,35 @@ def test_multi_source_causal_merge(spark, tmp_path):
             prev = k
 
 
+def test_multi_source_merge_stream_matches_batch_query(spark, tmp_path):
+    """VERDICT r06 item 5: the registered batch merge (q_causal_merge)
+    and the true-streaming twin (run_multi_source_causal_stream) agree
+    exactly on the same staged input when the replay is causally
+    ordered (time-ordered slices, aligned across both topics): same
+    per-key seq for every event, nothing late."""
+    from distributed_causal_stream_processing_spark import all_queries
+    from distributed_causal_stream_processing_spark.streaming import jobs
+
+    a, b = str(tmp_path / "src_a"), str(tmp_path / "src_b")
+    jobs.stage_events_split_sources(spark, SF_SMOKE, a, b, n_files=3, time_ordered=True)
+    rows = jobs.run_multi_source_causal_stream(spark, a, b)
+    got = {(r.user_id, r.event_id): r.seq for r in rows}
+    assert not any(r.late for r in rows)
+
+    batch = all_queries()["q_causal_merge"](spark, SF_SMOKE).collect()
+    want = {(r.user_id, r.event_id): r.seq for r in batch}
+    assert got == want
+
+    # and the merge's defining property: within each key, each source's
+    # src_offset subsequence ascends in merged-seq order
+    per = {}
+    for r in batch:
+        per.setdefault((r.user_id, r.source), []).append((r.seq, r.src_offset))
+    for (user, src), pairs in per.items():
+        offs = [o for _, o in sorted(pairs)]
+        assert offs == sorted(offs) == list(range(1, len(offs) + 1)), (user, src)
+
+
 def test_session_window_stream_matches_batch(spark, stream_dir):
     """Streaming session windows equal the batch session_window result."""
     from distributed_causal_stream_processing_spark.io import load
