@@ -173,39 +173,53 @@ def main() -> None:
             causal_sequence_stream,
         )
 
-        sdir = tempfile.mkdtemp(prefix="bench_stream_")
-        # a probe failure at ANY point after mkdtemp — staging, source
-        # construction, the row count, or the query itself — must not
-        # leak the staged events copy + checkpoint under /tmp
-        try:
-            jobs.stage_events_as_stream_dir(spark, sf_dir, sdir, n_files=4)
-            src = jobs.events_stream(spark, sdir, watermark="35 days").select(
-                "event_id", "ts", "user_id"
-            )
-            n_rows = spark.read.parquet(sdir).count()
-            t0 = time.perf_counter()
-            q = None
+        def probe(n_state_parts: int | None) -> tuple[int, float]:
+            """One sequencer run; returns (rows, wall). n_state_parts
+            overrides the stateful operator's partition count for the
+            run (the state-commit-per-partition overhead dominates this
+            probe's wall at local scale — see causal.py's scale note)."""
+            sdir = tempfile.mkdtemp(prefix="bench_stream_")
+            old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+            # a probe failure at ANY point after mkdtemp — staging,
+            # source construction, the row count, or the query itself —
+            # must not leak the staged events copy + checkpoint
             try:
-                q = (
-                    causal_sequence_stream(src)
-                    .writeStream.format("noop")
-                    .outputMode("append")
-                    .option("checkpointLocation", os.path.join(sdir, "_ck"))
-                    .start()
+                if n_state_parts is not None:
+                    spark.conf.set("spark.sql.shuffle.partitions", str(n_state_parts))
+                jobs.stage_events_as_stream_dir(spark, sf_dir, sdir, n_files=4)
+                src = jobs.events_stream(spark, sdir, watermark="35 days").select(
+                    "event_id", "ts", "user_id"
                 )
-                q.processAllAvailable()
+                n_rows = spark.read.parquet(sdir).count()
+                t0 = time.perf_counter()
+                q = None
+                try:
+                    q = (
+                        causal_sequence_stream(src)
+                        .writeStream.format("noop")
+                        .outputMode("append")
+                        .option("checkpointLocation", os.path.join(sdir, "_ck"))
+                        .start()
+                    )
+                    q.processAllAvailable()
+                finally:
+                    if q is not None:
+                        q.stop()
             finally:
-                if q is not None:
-                    q.stop()
-        finally:
-            shutil.rmtree(sdir, ignore_errors=True)
-        wall = time.perf_counter() - t0
+                spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+                shutil.rmtree(sdir, ignore_errors=True)
+            return n_rows, time.perf_counter() - t0
+
+        n_rows, wall = probe(None)  # session default (32) — comparable to r≤6
+        _, wall_tuned = probe(16)  # state partitions sized to the batch volume
         streaming = {
             "job": "causal_sequence_stream",
             "rows": n_rows,
             "micro_batches": 4,
             "wall_sec": round(wall, 3),
             "rows_per_sec": round(n_rows / wall),
+            "wall_sec_16_state_parts": round(wall_tuned, 3),
+            "rows_per_sec_16_state_parts": round(n_rows / wall_tuned),
         }
     except Exception as exc:  # noqa: BLE001 — probe is best-effort
         streaming = {"error": f"{type(exc).__name__}: {exc}"[:200]}
