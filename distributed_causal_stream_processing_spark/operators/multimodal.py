@@ -1,10 +1,20 @@
-"""Multimodal-column operators: opaque binary payloads + typed metadata
-(brief requirement; no image/audio libs in this container, so the
-PIXEL/SAMPLE decode kernels are STUBBED — the Spark-side plumbing is
-real, and container-HEADER decode is fully real: see
-``as_encoded_media_table``/``decode_headers`` at the bottom, which
-round-trip genuine PNG (CRC-validated IHDR) and RIFF/WAVE streams
-through stdlib ``struct`` with oracle-checked values).
+"""Multimodal-column operators: opaque binary payloads + typed metadata.
+
+Decode realism, by tier (this container ships no codec libs, so the
+line is drawn at what stdlib can honestly decode):
+- UNCOMPRESSED media decode is FULLY REAL — ``as_raw_media_table`` +
+  ``resize_bmp`` / ``sample_pcm_frames`` at the bottom pack genuine
+  24-bit BMPs and PCM-16 WAVs engine-side and decode the actual pixel
+  and sample arrays with ``struct`` + numpy, oracle-checked end to end
+  (VERDICT r06 item 6 — the stub caveat is retired for this tier);
+- container-HEADER decode is real for compressed formats too
+  (``as_encoded_media_table``/``decode_headers``: PNG with a
+  CRC-validated IHDR, RIFF/WAVE chunks);
+- COMPRESSED-payload decode (PNG IDAT, video codecs) would need
+  PIL/ffmpeg and stays behind the deterministic-fake kernels near the
+  top (``extract_features``/``resize_images``/``sample_frames``),
+  kept as the codec-gated plumbing demos; swap their stub decoders
+  when codecs exist.
 
 Pattern for 100 TB of media:
 - media lives in an opaque ``binary`` column next to typed metadata
@@ -12,10 +22,8 @@ Pattern for 100 TB of media:
   happens on cheap metadata columns without touching payload bytes;
 - decode / resize / frame-sample run as Arrow-batched ``mapInPandas``
   kernels — per-partition, streaming batches, no driver involvement;
-- the fixture has no binary media, so ``as_media_table`` derives a
-  deterministic payload from documents.text (utf-8 bytes). The decode
-  stub (`_decode_stub`) replaces a real codec (PIL/ffmpeg) with a
-  deterministic fake; swap `DECODERS` entries when codecs exist.
+- the fixture has no binary media, so payloads derive deterministically
+  from documents (utf-8 text bytes, or generated pixel/sample arrays).
 """
 
 from __future__ import annotations
@@ -470,3 +478,262 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents.text is pure ASCII, so strlen == octet_length and the
     oracle's n_samples formula sees the same byte counts.)"""
     return decode_headers(as_encoded_media_table(spark, sf_dir))
+
+
+# --- Real pixel/sample decode over uncompressed containers ---------------
+#
+# VERDICT r06 item 6: the resize/frame kernels above transform payload
+# BYTES without decoding pixels (no codec libs in the container). But
+# UNCOMPRESSED containers need no codec: a 24-bit BI_RGB BMP and a
+# PCM-16 WAV are parseable end-to-end with stdlib struct + numpy. The
+# fixtures below pack real pixel arrays / sample arrays engine-side
+# (hex-string assembly, one unhex per payload — building 100 TB of
+# media costs no Python), and the kernels decode the ACTUAL bytes,
+# resample, and re-encode. The oracles recompute the expected output
+# from the generative formulas alone — so a value-hash match proves
+# the byte-level decode, not just the plumbing.
+
+# generative formulas (shared by encoder SQL, oracle SQL, and tests):
+#   BMP (even doc_id): w = id%16+8, h = id%12+6,
+#       gray(x, y) = (id + 7x + 13y) % 256, pixel BGR = (g, g, g)
+#   WAV (odd doc_id):  n = id%200+50, rate = 8000+(id%8)*4000, mono,
+#       sample(i) = (5·id + 17i) % 32768  (always in int16 range)
+_BMP_W = "CAST(doc_id % 16 + 8 AS INT)"
+_BMP_H = "CAST(doc_id % 12 + 6 AS INT)"
+_PCM_N = "CAST(doc_id % 200 + 50 AS INT)"
+_PCM_RATE = "CAST(8000 + (doc_id % 8) * 4000 AS INT)"
+
+
+def as_raw_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (doc_id, container, payload) with FULLY DECODABLE
+    payloads: even doc_id → complete bottom-up 24-bit BI_RGB BMP
+    (54-byte header + padded pixel rows, grayscale from the generative
+    formula); odd doc_id → complete PCM-16 mono RIFF/WAVE (44-byte
+    header + real sample data). All byte assembly is engine-side hex
+    expression work ending in one unhex — no Python on the encode
+    path."""
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    w, h = _BMP_W, _BMP_H
+    stride = f"(3 * {w} + 3) - (3 * {w} + 3) % 4"
+    pad = f"{stride} - 3 * {w}"
+    # one pixel: the 2-hex-digit gray value repeated for B, G, R
+    row_hex = (
+        f"array_join(transform(sequence(0, {w} - 1), "
+        f"x -> repeat(lpad(hex((doc_id + 7*x + 13*y) % 256), 2, '0'), 3)), '')"
+        f" || repeat('00', {pad})"
+    )
+    # bottom-up: physical row r carries logical y = h-1-r
+    pix_hex = f"array_join(transform(sequence({h} - 1, 0, -1), y -> {row_hex}), '')"
+    bmp = (
+        f"concat(X'424D', {_le4(f'54 + {stride} * {h}')}, X'00000000', "
+        f"{_le4('54')}, {_le4('40')}, {_le4(w)}, {_le4(h)}, {_le2('1')}, "
+        f"{_le2('24')}, {_le4('0')}, {_le4(f'{stride} * {h}')}, "
+        f"{_le4('2835')}, {_le4('2835')}, {_le4('0')}, {_le4('0')}, "
+        f"unhex({pix_hex}))"
+    )
+    n, rate = _PCM_N, _PCM_RATE
+    sample = "(5 * doc_id + 17 * i) % 32768"
+    shex = f"lpad(hex({sample}), 4, '0')"
+    data_hex = (
+        f"array_join(transform(sequence(0, {n} - 1), "
+        f"i -> concat(substr({shex}, 3, 2), substr({shex}, 1, 2))), '')"
+    )
+    wav = (
+        f"concat(X'52494646', {_le4(f'36 + 2 * {n}')}, X'57415645', "
+        f"X'666D7420', {_le4('16')}, {_le2('1')}, {_le2('1')}, {_le4(rate)}, "
+        f"{_le4(f'{rate} * 2')}, {_le2('2')}, {_le2('16')}, "
+        f"X'64617461', {_le4(f'2 * {n}')}, unhex({data_hex}))"
+    )
+    return d.select(
+        "doc_id",
+        F.expr("CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END").alias(
+            "container"
+        ),
+        F.expr(f"CASE WHEN doc_id % 2 = 0 THEN {bmp} ELSE {wav} END").alias(
+            "payload"
+        ),
+    )
+
+
+RESIZE_REAL_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("out_width", T.IntegerType()),
+        T.StructField("out_height", T.IntegerType()),
+        T.StructField("checksum", T.LongType()),
+        T.StructField("resized", T.BinaryType()),
+    ]
+)
+
+
+def resize_bmp(media: DataFrame) -> DataFrame:
+    """REAL image resize: parse each payload as a 24-bit BI_RGB BMP
+    (magic, header size, bpp, compression all validated), decode the
+    pixel array with numpy, 2× nearest-neighbor decimate (logical
+    pixels (2x, 2y) — exactly reproducible by oracle arithmetic), and
+    re-encode a genuine BMP of the result. ``checksum`` sums the
+    sampled gray values, tying the value-hash check to the decoded
+    BYTES rather than to metadata."""
+
+    bmps = media.filter(F.col("container") == "bmp")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as pystruct
+
+        import numpy as np
+
+        def one(p: bytes) -> tuple[int, int, int, bytes]:
+            if p[:2] != b"BM":
+                raise ValueError("BMP: bad magic")
+            (off,) = pystruct.unpack("<I", p[10:14])
+            hdr, w, h = pystruct.unpack("<Iii", p[14:26])
+            planes, bpp = pystruct.unpack("<HH", p[26:30])
+            (comp,) = pystruct.unpack("<I", p[30:34])
+            if hdr != 40 or planes != 1 or bpp != 24 or comp != 0 or h <= 0:
+                raise ValueError("BMP: unsupported variant")
+            stride = (3 * w + 3) & ~3
+            pix = np.frombuffer(p, np.uint8, stride * h, off).reshape(h, stride)
+            # bottom-up rows -> logical top-down, strip padding, (h, w, 3)
+            rgb = pix[::-1, : 3 * w].reshape(h, w, 3)
+            s = rgb[::2, ::2, :]  # logical (2x, 2y)
+            oh, ow = s.shape[0], s.shape[1]
+            checksum = int(s[:, :, 0].astype(np.int64).sum())
+            ostride = (3 * ow + 3) & ~3
+            out = np.zeros((oh, ostride), np.uint8)
+            out[:, : 3 * ow] = s.reshape(oh, 3 * ow)
+            header = (
+                b"BM"
+                + pystruct.pack("<I", 54 + ostride * oh)
+                + b"\x00\x00\x00\x00"
+                + pystruct.pack("<I", 54)
+                + pystruct.pack("<Iii", 40, ow, oh)
+                + pystruct.pack("<HH", 1, 24)
+                + pystruct.pack("<IIIIII", 0, ostride * oh, 2835, 2835, 0, 0)
+            )
+            return ow, oh, checksum, header + out[::-1].tobytes()
+
+        for pdf in batches:
+            rows = [one(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "out_width": pd.array([r[0] for r in rows], dtype="int32"),
+                    "out_height": pd.array([r[1] for r in rows], dtype="int32"),
+                    "checksum": pd.array([r[2] for r in rows], dtype="int64"),
+                    "resized": [r[3] for r in rows],
+                }
+            )
+
+    return bmps.mapInPandas(kernel, RESIZE_REAL_SCHEMA)
+
+
+PCM_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_no", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sample_sum", T.LongType()),
+    ]
+)
+
+
+def sample_pcm_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """REAL frame sampling over PCM audio: parse the WAV container
+    (PCM-16 mono enforced), decode the int16 sample array with numpy,
+    split it into ``n_frames`` uniform windows, and emit each window's
+    length and sample sum — per-window aggregates of the DECODED
+    samples, reproducible by oracle arithmetic over the generative
+    formula. One input row fans out to n_frames output rows."""
+
+    wavs = media.filter(F.col("container") == "wav")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as pystruct
+
+        import numpy as np
+
+        for pdf in batches:
+            ids, nos, lens, sums = [], [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(p)
+                if p[:4] != b"RIFF" or p[8:12] != b"WAVE" or p[12:16] != b"fmt ":
+                    raise ValueError("WAV: bad container")
+                fmt_len, audio_fmt, ch, _rate = pystruct.unpack("<IHHI", p[16:28])
+                (bits,) = pystruct.unpack("<H", p[34:36])
+                if fmt_len != 16 or audio_fmt != 1 or ch != 1 or bits != 16:
+                    raise ValueError("WAV: PCM-16 mono only")
+                if p[36:40] != b"data":
+                    raise ValueError("WAV: data chunk not after fmt")
+                (data_len,) = pystruct.unpack("<I", p[40:44])
+                n = data_len // 2
+                samples = np.frombuffer(p, "<i2", n, 44).astype(np.int64)
+                for k in range(n_frames):
+                    lo, hi = k * n // n_frames, (k + 1) * n // n_frames
+                    ids.append(doc_id)
+                    nos.append(k)
+                    lens.append(hi - lo)
+                    sums.append(int(samples[lo:hi].sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_no": pd.array(nos, dtype="int32"),
+                    "n_samples": pd.array(lens, dtype="int64"),
+                    "sample_sum": pd.array(sums, dtype="int64"),
+                }
+            )
+
+    return wavs.mapInPandas(kernel, PCM_FRAME_SCHEMA)
+
+
+@query(
+    "q_multimodal_resize",
+    oracle="""
+    SELECT doc_id,
+           CAST((doc_id % 16 + 8 + 1) // 2 AS INTEGER) AS out_width,
+           CAST((doc_id % 12 + 6 + 1) // 2 AS INTEGER) AS out_height,
+           CAST(list_sum(flatten([[ (doc_id + 14*x + 26*y) % 256
+                 for x in range((doc_id % 16 + 8 + 1) // 2)]
+                 for y in range((doc_id % 12 + 6 + 1) // 2)])) AS BIGINT)
+               AS checksum
+    FROM documents WHERE doc_id % 2 = 0
+    """,
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END image resize on real pixels (VERDICT r06 item 6,
+    stub caveat retired for uncompressed media): SQL-packed BMPs →
+    Arrow → struct+numpy decode → 2× decimation → re-encode, with the
+    sampled-pixel checksum value-hash-checked against the oracle's
+    closed-form pixel arithmetic. The oracle never sees the bytes, so
+    agreement proves the decode chain. (The re-encoded binary is
+    itself re-parseable — asserted by the round-trip pytest.)"""
+    return resize_bmp(as_raw_media_table(spark, sf_dir)).select(
+        "doc_id", "out_width", "out_height", "checksum"
+    )
+
+
+@query(
+    "q_multimodal_pcm_frames",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id, doc_id % 200 + 50 AS n,
+               unnest(range(4)) AS frame_no
+        FROM documents WHERE doc_id % 2 = 1
+    )
+    SELECT doc_id, CAST(frame_no AS INTEGER) AS frame_no,
+           CAST((frame_no + 1) * n // 4 - frame_no * n // 4 AS BIGINT)
+               AS n_samples,
+           CAST(list_sum([(5 * doc_id + 17 * i) % 32768
+                 for i in range(CAST(frame_no * n // 4 AS BIGINT),
+                                CAST((frame_no + 1) * n // 4 AS BIGINT))])
+                AS BIGINT) AS sample_sum
+    FROM f
+    """,
+)
+def q_multimodal_pcm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END audio frame sampling on real samples: SQL-packed
+    PCM-16 WAVs decoded to int16 arrays, split into 4 uniform windows,
+    per-window sample sums value-hash-checked against the oracle's
+    arithmetic over the generative sample formula. Fan-out, per-batch
+    memory, and the binary transfer are the same plumbing the stub
+    version demonstrated — now with the decode real."""
+    return sample_pcm_frames(as_raw_media_table(spark, sf_dir), n_frames=4)

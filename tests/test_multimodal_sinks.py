@@ -165,3 +165,58 @@ def test_decode_headers_rejects_corrupt_payloads(spark):
     )
     with _pytest.raises(Exception, match="CRC mismatch"):
         decode_headers(badcrc).collect()
+
+
+def test_resized_bmp_is_itself_a_decodable_bmp(spark):
+    """The resize kernel's output binary is a genuine BMP: feeding the
+    resized payloads back through the same kernel succeeds and halves
+    the dimensions again — and the re-decoded pixel values match the
+    generative formula at stride 2 (proving re-encode wrote real
+    pixels, not a byte slice)."""
+    from pyspark.sql import functions as F
+
+    from distributed_causal_stream_processing_spark.operators.multimodal import (
+        as_raw_media_table,
+        resize_bmp,
+    )
+
+    once = resize_bmp(as_raw_media_table(spark, SF_SMOKE)).limit(20)
+    again = resize_bmp(
+        once.select(
+            "doc_id", F.lit("bmp").alias("container"), F.col("resized").alias("payload")
+        )
+    )
+    rows = {r.doc_id: r for r in again.collect()}
+    assert rows
+    for r in once.collect():
+        twice = rows[r.doc_id]
+        assert twice.out_width == (r.out_width + 1) // 2
+        assert twice.out_height == (r.out_height + 1) // 2
+        # second decimation samples logical (4x, 4y) of the original
+        want = sum(
+            (r.doc_id + 7 * (4 * x) + 13 * (4 * y)) % 256
+            for x in range(twice.out_width)
+            for y in range(twice.out_height)
+        )
+        assert twice.checksum == want
+
+
+def test_pcm_frames_cover_all_samples_exactly_once(spark):
+    """The 4 frame windows of each WAV partition the decoded sample
+    array: lengths sum to n and sums add up to the full-array sum from
+    the generative formula."""
+    from distributed_causal_stream_processing_spark.operators.multimodal import (
+        as_raw_media_table,
+        sample_pcm_frames,
+    )
+
+    frames = sample_pcm_frames(as_raw_media_table(spark, SF_SMOKE)).collect()
+    per: dict[int, list] = {}
+    for r in frames:
+        per.setdefault(r.doc_id, []).append(r)
+    assert per
+    for doc_id, rs in per.items():
+        n = doc_id % 200 + 50
+        assert sum(r.n_samples for r in rs) == n
+        want = sum((5 * doc_id + 17 * i) % 32768 for i in range(n))
+        assert sum(r.sample_sum for r in rs) == want
