@@ -235,6 +235,15 @@ def main() -> None:
     # keeps 2000 chars) must still see a complete, parseable final line,
     # so the LAST line is a compact summary well under 1 KB with only the
     # top-5 slowest queries inlined.
+    # latest committed second-scale smoke (tools/scale_bench.py): the
+    # per-query sf0.1 -> 3x ratios ride along so each round's BENCH
+    # record carries measured scaling, not just plan inspection
+    try:
+        with open(os.path.join(REPO_DIR, "BENCH_SCALING.json")) as f:
+            scaling = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        scaling = None
+
     detail = {
         "metric": "full_declared_suite_wall_seconds",
         "value": total,
@@ -245,6 +254,7 @@ def main() -> None:
         "failures": failures,
         "iterative": iterative,
         "streaming": streaming,
+        "scaling": scaling,
         "sf": sf,
     }
     with open(os.path.join(REPO_DIR, "BENCH_DETAIL.json"), "w") as f:
@@ -264,6 +274,11 @@ def main() -> None:
                 "failed": sorted(failures)[:10],
                 "queries": slowest,
                 "streaming": streaming,
+                "scaling_ratios_3x": (
+                    {n: r["ratio"] for n, r in scaling["queries"].items()}
+                    if scaling
+                    else None
+                ),
                 "iterative": {
                     "warm": warm,
                     "rdd_blocks": rdd_blocks,

@@ -1,0 +1,229 @@
+#!/usr/bin/env python
+"""Second-scale bench smoke (VERDICT r06 item 7): measure how the
+heaviest queries actually scale with data, instead of inferring it
+from plan inspection alone.
+
+Builds a deterministic 3×-rows fixture from sf0.1 (union of 3
+key-remapped replicas — see _scale3) for the four tables the heavy
+set touches, times each heavy query at both scales (min of 2 warm
+passes), and records the wall-time ratio plus the implied exponent
+log3(ratio). Writes BENCH_SCALING.json at the repo root; bench.py
+inlines that file into its detail output so the per-round BENCH_r{N}
+record carries the scaling row.
+
+Replica construction keeps the WORKLOAD SHAPE scale-invariant, so the
+ratio measures the engine, not a changed problem:
+- lineitem: all keys offset per replica → 3 disjoint copies of the
+  order/part/supplier graph (graph queries see 3× nodes and edges);
+- events: event_id/user_id offset → 3× keys, same per-key history;
+- documents: doc_id offset AND every token suffixed with the replica
+  tag → within-replica dup/shingle structure identical, zero
+  cross-replica shingle collisions (the dup RATE stays constant as
+  the corpus grows — tripling identical texts would instead explode
+  near-dup clusters superlinearly and measure the fixture, not the
+  engine);
+- embeddings: vec_id offset AND the vector rotated by replica index
+  (rotation preserves norms and the isotropic distribution; rotated
+  copies of one vector are near-orthogonal, so cross-replica cosine
+  structure matches the corpus's background rate).
+
+Alarm policy: a LINEAR-class query whose ratio exceeds LINEAR_ALARM
+(3× rows + scheduling slack) exits 1. The two fixed-signature LSH
+pruned paths are quadratic-in-candidates by fixture design (the
+registered queries pin PLANES_PER_TABLE; production grows bits with
+log n — similarity.planes_for_corpus) and alarm only above
+QUADRATIC_ALARM ≈ 9× + slack.
+
+Usage: python tools/scale_bench.py  (~4 min; needs /root/testdata/sf0.1)
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+BASE_SF = "/root/testdata/sf0.1"
+FACTOR = 3
+
+# the heavy tail of BENCH_r06 at sf0.1, and each query's scaling class
+HEAVY = {
+    "q_graph_pagerank": "linear",
+    "q_graph_components": "linear",
+    "q_udf_cogroup": "linear",
+    "q_causal_chains": "linear",
+    "q_sim_ivf_kmeans": "linear",
+    "q_dedup_lsh_groups": "linear",
+    "q_pipeline_dedup_best": "linear",
+    "q_agg_mad_outliers": "linear",
+    # fixed signature bits -> candidate pairs grow ~n^2 on an isotropic
+    # corpus (see q_dedup_embedding_pruned's asymptotics docstring)
+    "q_dedup_embedding_pruned": "quadratic_by_fixture",
+    "q_dedup_embedding_recall": "quadratic_by_fixture",
+}
+LINEAR_ALARM = 4.5  # 3x rows + 50% scheduling/shuffle slack
+QUADRATIC_ALARM = 13.5  # 9x candidates + 50% slack
+
+
+def _scale3(spark, out_dir: str) -> None:
+    from pyspark.sql import functions as F
+
+    from distributed_causal_stream_processing_spark.io import load
+
+    def write(df, name):
+        df.write.mode("overwrite").parquet(os.path.join(out_dir, f"{name}.parquet"))
+
+    li = load(spark, BASE_SF, "lineitem")
+    ev = load(spark, BASE_SF, "events")
+    dc = load(spark, BASE_SF, "documents")
+    em = load(spark, BASE_SF, "embeddings")
+    mx = {
+        "ok": li.agg(F.max("l_orderkey")).head()[0] + 1,
+        "pk": li.agg(F.max("l_partkey")).head()[0] + 1,
+        "sk": li.agg(F.max("l_suppkey")).head()[0] + 1,
+        "eid": ev.agg(F.max("event_id")).head()[0] + 1,
+        "uid": ev.agg(F.max("user_id")).head()[0] + 1,
+        "did": dc.agg(F.max("doc_id")).head()[0] + 1,
+        "vid": em.agg(F.max("vec_id")).head()[0] + 1,
+    }
+    dim = len(em.head().embedding)
+
+    def replicas(df, remap):
+        parts = [remap(df, k) for k in range(FACTOR)]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    write(
+        replicas(
+            li,
+            lambda d, k: d.withColumn(
+                "l_orderkey", F.col("l_orderkey") + F.lit(k * mx["ok"])
+            )
+            .withColumn("l_partkey", F.col("l_partkey") + F.lit(k * mx["pk"]))
+            .withColumn("l_suppkey", F.col("l_suppkey") + F.lit(k * mx["sk"])),
+        ),
+        "lineitem",
+    )
+    write(
+        replicas(
+            ev,
+            lambda d, k: d.withColumn(
+                "event_id", F.col("event_id") + F.lit(k * mx["eid"])
+            ).withColumn("user_id", F.col("user_id") + F.lit(k * mx["uid"])),
+        ),
+        "events",
+    )
+    write(
+        replicas(
+            dc,
+            lambda d, k: d.withColumn("doc_id", F.col("doc_id") + F.lit(k * mx["did"]))
+            .withColumn(
+                "text",
+                F.col("text")
+                if k == 0
+                else F.array_join(
+                    F.transform(
+                        F.split("text", " "), lambda t: F.concat(t, F.lit(f"_{k}"))
+                    ),
+                    " ",
+                ),
+            ),
+        ),
+        "documents",
+    )
+    write(
+        replicas(
+            em,
+            lambda d, k: d.withColumn("vec_id", F.col("vec_id") + F.lit(k * mx["vid"]))
+            .withColumn(
+                "embedding",
+                F.col("embedding")
+                if k == 0
+                else F.concat(
+                    F.slice("embedding", k + 1, dim - k), F.slice("embedding", 1, k)
+                ),
+            ),
+        ),
+        "embeddings",
+    )
+
+
+def _time_query(queries, name, spark, sf_dir, runs=2) -> float:
+    best = None
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 3)
+
+
+def main() -> int:
+    from distributed_causal_stream_processing_spark import all_queries
+    from distributed_causal_stream_processing_spark.session import get_spark
+
+    spark = get_spark(app_name="dcsp-scale-bench")
+    queries = all_queries()
+    out_dir = tempfile.mkdtemp(prefix="sfscale3_")
+    rc = 0
+    try:
+        t0 = time.perf_counter()
+        _scale3(spark, out_dir)
+        gen_sec = round(time.perf_counter() - t0, 1)
+        # warm both paths once (JVM, python workers, file cache)
+        queries["q_agg_mad_outliers"](spark, BASE_SF).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        rows = {}
+        alarms = []
+        for name, klass in HEAVY.items():
+            base = _time_query(queries, name, spark, BASE_SF)
+            big = _time_query(queries, name, spark, out_dir)
+            ratio = round(big / base, 2) if base > 0 else None
+            expo = round(math.log(ratio) / math.log(FACTOR), 2) if ratio else None
+            limit = QUADRATIC_ALARM if klass == "quadratic_by_fixture" else LINEAR_ALARM
+            ok = ratio is not None and ratio <= limit
+            if not ok:
+                alarms.append(name)
+                rc = 1
+            rows[name] = {
+                "class": klass,
+                "sf0.1_sec": base,
+                "sf0.3_sec": big,
+                "ratio": ratio,
+                "exponent": expo,
+                "ok": ok,
+            }
+            print(
+                f"{name:32s} {klass:22s} {base:7.2f}s -> {big:7.2f}s "
+                f"ratio {ratio} (exp {expo}) {'OK' if ok else 'ALARM'}"
+            )
+        result = {
+            "factor": FACTOR,
+            "base_sf": 0.1,
+            "gen_sec": gen_sec,
+            "linear_alarm": LINEAR_ALARM,
+            "quadratic_alarm": QUADRATIC_ALARM,
+            "queries": rows,
+            "alarms": alarms,
+        }
+        with open(os.path.join(ROOT, "BENCH_SCALING.json"), "w") as f:
+            json.dump(result, f, indent=1, sort_keys=True)
+        print(f"wrote BENCH_SCALING.json (alarms: {alarms or 'none'})")
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+        spark.stop()
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())
