@@ -179,3 +179,60 @@ def test_lsh_bit_growth_keeps_candidates_near_linear(spark):
     assert growth_fixed > 0.7 * ratio_n**2, (growth_fixed, ratio_n)
     assert growth_adaptive < 2.0 * ratio_n, (growth_adaptive, ratio_n)
     assert growth_adaptive < 0.55 * growth_fixed, (growth_adaptive, growth_fixed)
+
+
+def test_scale_bench_replicas_preserve_workload_shape(spark, tmp_path):
+    """tools/scale_bench.py's 3x fixture must keep the workload shape
+    scale-invariant or its ratios measure the fixture, not the engine:
+    (a) row counts triple exactly; (b) the exact-dup cluster structure
+    triples (token suffixing keeps replicas disjoint — no cross-replica
+    text collisions); (c) embedding near-dup pairs stay at the corpus
+    background rate (rotation does not manufacture cross-replica
+    near-dups)."""
+    import importlib.util
+    import os
+
+    from pyspark.sql import functions as F
+
+    spec = importlib.util.spec_from_file_location(
+        "scale_bench", "/root/repo/tools/scale_bench.py"
+    )
+    sb = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sb)
+    sb.BASE_SF = "/root/testdata/sf0.001"
+
+    out = str(tmp_path / "x3")
+    sb._scale3(spark, out)
+
+    from distributed_causal_stream_processing_spark.io import load
+
+    for t in ("lineitem", "events", "documents", "embeddings"):
+        base = load(spark, "/root/testdata/sf0.001", t).count()
+        big = spark.read.parquet(os.path.join(out, f"{t}.parquet")).count()
+        assert big == 3 * base, t
+
+    def dup_clusters(df):
+        return (
+            df.groupBy(F.md5("text"))
+            .count()
+            .filter(F.col("count") > 1)
+            .count()
+        )
+
+    d_base = dup_clusters(load(spark, "/root/testdata/sf0.001", "documents"))
+    d_big = dup_clusters(spark.read.parquet(os.path.join(out, "documents.parquet")))
+    assert d_big == 3 * d_base
+
+    # near-dup PAIR rate (cos >= 0.3 on the 25% hash-sample) should stay
+    # within ~2x of the base rate per n^2 — rotation keeps cross-replica
+    # cosine at background, so pairs/n^2 is roughly scale-free
+    from distributed_causal_stream_processing_spark.operators.similarity import (
+        q_dedup_embedding,
+    )
+
+    n_base = load(spark, "/root/testdata/sf0.001", "embeddings").count()
+    p_base = q_dedup_embedding(spark, "/root/testdata/sf0.001").count()
+    p_big = q_dedup_embedding(spark, out).count()
+    rate_base = p_base / (n_base * n_base)
+    rate_big = p_big / (3 * n_base * 3 * n_base)
+    assert rate_big <= 2.5 * rate_base + 1e-6
