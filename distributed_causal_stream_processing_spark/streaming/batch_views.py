@@ -410,22 +410,41 @@ def q_causal_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_streaming.py against the true-streaming twin
     ``run_multi_source_causal_stream`` on the same staged input).
 
-    Scale: both windows partition by (source-derived) key — no global
-    window anywhere; one shuffle on user_id covers both (Catalyst
-    reuses the exchange since (src, user_id) partitioning does not
-    subsume (user_id), the per-source window runs off its own narrower
-    exchange, both linear)."""
+    Scale — ONE shuffle, not one per source: a per-source row_number
+    would need a (source, user_id) partitioning alongside the merge's
+    (user_id) one (two exchanges, and at N sources the plan grows with
+    N). Instead src_offset is a FILTERED RUNNING COUNT of the row's
+    own source inside the single (user_id)-partitioned causal window —
+    identical values, because counting source-s rows up to a source-s
+    row in merged order IS that row's position within source s. The
+    oracle keeps the textbook two-window SQL, so the equivalence is
+    value-hash-checked; tests/test_plans.py pins the single exchange.
+    No global window anywhere; per-key state is two counters."""
     e = load(spark, sf_dir, "events").select("user_id", "event_id", "ts")
-    src = F.when(F.col("event_id") % 2 == 0, F.lit("a")).otherwise(F.lit("b"))
-    w_src = W.partitionBy(F.col("event_id") % 2, F.col("user_id")).orderBy(
-        "ts", "event_id"
+    src = (F.col("event_id") % 2 == 0).alias("is_a")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    w_key = W.partitionBy("user_id").orderBy("ts", "event_id")
-    return e.select(
-        "user_id",
-        "event_id",
-        "ts",
-        src.alias("source"),
-        F.row_number().over(w_src).cast("bigint").alias("src_offset"),
-        F.row_number().over(w_key).cast("bigint").alias("seq"),
+    return (
+        e.withColumn("is_a", src)
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.when(F.col("is_a"), F.lit("a")).otherwise(F.lit("b")).alias("source"),
+            F.when(
+                F.col("is_a"),
+                F.count(F.when(F.col("is_a"), 1)).over(w),
+            )
+            .otherwise(F.count(F.when(~F.col("is_a"), 1)).over(w))
+            .cast("bigint")
+            .alias("src_offset"),
+            F.row_number().over(
+                W.partitionBy("user_id").orderBy("ts", "event_id")
+            )
+            .cast("bigint")
+            .alias("seq"),
+        )
     )

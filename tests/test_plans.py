@@ -616,3 +616,15 @@ def test_multi_distinct_uses_expand(spark):
     df = _registry()["q_agg_multi_distinct"].fn(spark, SF_SMOKE)
     plan = _plan(df)
     assert "Expand" in plan
+
+
+def test_causal_merge_single_shuffle(spark):
+    """q_causal_merge computes the merged seq AND the per-source offset
+    under ONE (user_id) partitioning — a second (source, user_id)
+    exchange (the naive two-window formulation) must not reappear, and
+    the plan must scale to N sources without growing exchanges."""
+    df = _registry()["q_causal_merge"].fn(spark, SF_SMOKE)
+    df.collect()
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    assert plan.count("Exchange") == 1
+    assert "Window" in plan
