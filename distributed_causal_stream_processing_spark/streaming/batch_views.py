@@ -217,6 +217,79 @@ def q_causal_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return causal_sequence_batch(e).select("user_id", "event_id", "ts", "seq")
 
 
+_SEQ_BUCKET_US = 86_400_000_000  # 1 day
+
+
+@query(
+    "q_causal_seq_skewsafe",
+    oracle="""
+    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+           CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+           ) AS BIGINT) AS seq
+    FROM events
+    """,
+)
+def q_causal_seq_skewsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_causal_seq for HOT KEYS: the same per-key causal sequence,
+    computed without ever holding one key's full history in a single
+    task — the module docstring's "time-bucket the key" note made
+    real (and value-hash-proved identical: the oracle is q_causal_seq's
+    plain window, so a hash match IS the equivalence proof).
+
+    Two-level construction, the row_number analogue of the EWMA
+    affine fold (operators/aggregates.py::ewma_two_level): level 1
+    numbers each (key, day-bucket) segment independently — the task's
+    partition is one key-DAY, bounded by daily volume, not by key
+    lifetime; level 2 computes each bucket's starting offset as the
+    exclusive running sum of PER-BUCKET COUNTS over the tiny
+    (key × days) table, and a hash join adds offset + within-rank.
+    Order is preserved across the split because ts determines the
+    bucket monotonically: (bucket, within-bucket (ts, event_id)) is
+    the same total order as (ts, event_id).
+
+    Costs one extra shuffle + one small join vs the plain window —
+    the price of boundedness; the bucket width is the knob (hour/day)
+    and would be chosen per key-volume at 100 TB. Streaming form needs
+    no analogue: the keyed sequencer's state is already O(1) per key."""
+    e = load(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    return causal_sequence_skewsafe(e)
+
+
+def causal_sequence_skewsafe(
+    e: DataFrame, bucket_us: int = _SEQ_BUCKET_US
+) -> DataFrame:
+    """Two-level causal sequencing core over (user_id, event_id, ts) —
+    see q_causal_seq_skewsafe. ``bucket_us`` bounds any single task's
+    partition to one key's events within one bucket."""
+    e2 = e.withColumn(
+        "bucket",
+        F.floor(F.unix_micros("ts") / F.lit(bucket_us)).cast("long"),
+    )
+    w_in = W.partitionBy("user_id", "bucket").orderBy("ts", "event_id")
+    within = e2.withColumn("within", F.row_number().over(w_in))
+    w_off = (
+        W.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = (
+        e2.groupBy("user_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            "bucket",
+            F.coalesce(F.sum("n").over(w_off), F.lit(0)).alias("off"),
+        )
+    )
+    return within.join(offsets, ["user_id", "bucket"]).select(
+        "user_id",
+        "event_id",
+        "ts",
+        (F.col("within") + F.col("off")).cast("bigint").alias("seq"),
+    )
+
+
 @query(
     "q_stream_stateful_agg",
     oracle="""

@@ -535,3 +535,46 @@ def test_sampled_embedding_dedup_is_exact_subset_of_full(spark):
     want = {p: s for p, s in full.items() if in_sample(p[0]) and in_sample(p[1])}
     assert sampled == want
     assert 0 < len(sampled) < len(full)
+
+
+def test_skewsafe_sequence_matches_plain_on_hot_key(spark):
+    """One user holding 95% of a multi-day history: the two-level
+    (bucketed) sequencer equals the plain per-key window exactly, at a
+    1-hour bucket width that splits the hot key across many level-1
+    partitions."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from distributed_causal_stream_processing_spark.streaming.batch_views import (
+        causal_sequence_skewsafe,
+    )
+
+    base = datetime.datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    for i in range(1900):  # hot key: ~80 events/hour over 24 hours
+        rows.append((7, eid, base + datetime.timedelta(seconds=45 * i)))
+        eid += 1
+    for u in (1, 2, 3):  # cold keys
+        for i in range(30):
+            rows.append((u, eid, base + datetime.timedelta(minutes=13 * i)))
+            eid += 1
+    # concurrent events on the hot key (equal ts, tie-broken by id)
+    rows += [(7, eid, base), (7, eid + 1, base)]
+    e = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+
+    got = {
+        (r.user_id, r.event_id): r.seq
+        for r in causal_sequence_skewsafe(e, bucket_us=3_600_000_000).collect()
+    }
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    want = {
+        (r.user_id, r.event_id): r.seq
+        for r in e.select(
+            "user_id", "event_id", F.row_number().over(w).cast("long").alias("seq")
+        ).collect()
+    }
+    assert got == want
