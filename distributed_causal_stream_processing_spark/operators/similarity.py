@@ -1744,3 +1744,247 @@ def q_dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
             (F.count("hit") > 0).alias("is_near_dup"),
         )
     )
+
+
+# --- Product quantization (PQ) -------------------------------------------
+#
+# The third production ANN family beside hyperplane LSH and IVF: split
+# each vector into M subvectors, k-means each subspace to K codewords,
+# store each vector as M small codes (here 8 x 4 bits = 4 bytes per
+# 64-dim vector, a 64x compression), and search with asymmetric
+# distance (ADC): per query, ONE M x K lookup table of exact
+# query-subvector-to-codeword distances; each candidate's approximate
+# distance is then M table lookups — no float vector is ever touched at
+# search time. (Jegou, Douze, Schmid: "Product Quantization for
+# Nearest Neighbor Search", TPAMI 2011.)
+
+PQ_M = 8  # subspaces
+PQ_DSUB = DIM // PQ_M
+PQ_K = 16  # codewords per subspace (4-bit codes)
+PQ_ITERS = 2  # fixed Lloyd rounds per subspace (oracle-unrollable)
+PQ_NQ = 20  # ADC query vectors (vec_id < PQ_NQ)
+
+
+def _pq_subvecs(e: DataFrame) -> DataFrame:
+    """(vec_id, sub_no, sv): the M per-subspace slices of each vector."""
+    return e.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[F.slice("emb", m * PQ_DSUB + 1, PQ_DSUB) for m in range(PQ_M)]
+            )
+        ).alias("sub_no", "sv"),
+    )
+
+
+def _pq_d2(sv: str, c: str) -> Column:
+    """Squared L2 between two small arrays, left-fold order (bit-equal
+    to the oracle's list_sum over an index comprehension)."""
+    return F.aggregate(
+        F.zip_with(F.col(sv), F.col(c), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_assign(sub: DataFrame, cb_df: DataFrame) -> DataFrame:
+    """argmin codeword per (vec_id, sub_no): broadcast the M*K codebook,
+    min(struct(d2, code)) — hash agg with partial combine, no window."""
+    return (
+        sub.join(F.broadcast(cb_df), ["sub_no"])
+        .select(
+            "vec_id",
+            "sub_no",
+            "sv",
+            F.struct(_pq_d2("sv", "c").alias("d2"), F.col("code")).alias("dc"),
+        )
+        .groupBy("vec_id", "sub_no")
+        .agg(F.min("dc").alias("best"), F.first("sv").alias("sv"))
+        .select(
+            "vec_id",
+            "sub_no",
+            "sv",
+            F.col("best.code").alias("code"),
+            F.col("best.d2").alias("d2"),
+        )
+    )
+
+
+def _pq_codebook(spark: SparkSession, sub: DataFrame) -> DataFrame:
+    """Train the per-subspace codebooks: seeds = subvectors of
+    vec_id < PQ_K, then PQ_ITERS Lloyd rounds run for ALL M subspaces
+    in one DataFrame pass each (assignment keys on (vec_id, sub_no),
+    update aggregates per (sub_no, code, dim)). The codebook collected
+    per round is M*K*PQ_DSUB doubles — constant, never grows with the
+    corpus (the same MLlib trainer pattern as q_sim_ivf_kmeans).
+    Centroids round to 6 dp per round so both engines quantize
+    identically."""
+    cb = [
+        (int(r.sub_no), int(r.vec_id), list(r.sv))
+        for r in sub.filter(F.col("vec_id") < PQ_K).collect()
+    ]
+    for _ in range(PQ_ITERS):
+        cb_df = spark.createDataFrame(
+            cb, "sub_no int, code bigint, c array<double>"
+        )
+        upd = (
+            _pq_assign(sub, cb_df)
+            .select("sub_no", "code", F.posexplode("sv").alias("i", "v"))
+            .groupBy("sub_no", "code", "i")
+            .agg(F.round(F.avg("v"), 6).alias("v"))
+            .groupBy("sub_no", "code")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "v"))).alias("cv"))
+            .select("sub_no", "code", F.col("cv.v").alias("c"))
+            .collect()
+        )
+        cb = sorted((int(r.sub_no), int(r.code), list(r.c)) for r in upd)
+    return spark.createDataFrame(cb, "sub_no int, code bigint, c array<double>")
+
+
+def _pq_duck() -> str:
+    """The same training + encode unrolled as recursion-free DuckDB SQL
+    (the _kmeans_duck pattern, with a sub_no dimension)."""
+    d2 = (
+        f"list_sum([ (s.sv[j] - c.c[j]) ** 2 "
+        f"for j in range(1, {PQ_DSUB + 1}) ])"
+    )
+    ctes = [
+        f"""sub AS (
+        SELECT e.vec_id, t.m AS sub_no,
+               [CAST(e.embedding[t.m * {PQ_DSUB} + j] AS DOUBLE)
+                for j in range(1, {PQ_DSUB + 1})] AS sv
+        FROM embeddings e CROSS JOIN range(0, {PQ_M}) t(m))""",
+        f"""c0 AS (
+        SELECT sub_no, vec_id AS code, sv AS c FROM sub
+        WHERE vec_id < {PQ_K})""",
+    ]
+    prev = "c0"
+    for t in range(1, PQ_ITERS + 1):
+        ctes.append(f"""a{t} AS (
+        SELECT vec_id, sub_no, code, sv FROM (
+            SELECT s.vec_id, s.sub_no, s.sv, c.code,
+                   row_number() OVER (
+                       PARTITION BY s.vec_id, s.sub_no
+                       ORDER BY {d2}, c.code) AS rn
+            FROM sub s JOIN {prev} c USING (sub_no))
+        WHERE rn = 1)""")
+        ctes.append(f"""c{t} AS (
+        SELECT sub_no, code, list(v ORDER BY i) AS c FROM (
+            SELECT a.sub_no, a.code, t.i, round(avg(a.sv[t.i]), 6) AS v
+            FROM a{t} a CROSS JOIN range(1, {PQ_DSUB + 1}) t(i)
+            GROUP BY a.sub_no, a.code, t.i)
+        GROUP BY sub_no, code)""")
+        prev = f"c{t}"
+    ctes.append(f"""fin AS (
+        SELECT vec_id, sub_no, code, d2 FROM (
+            SELECT s.vec_id, s.sub_no, c.code, {d2} AS d2,
+                   row_number() OVER (
+                       PARTITION BY s.vec_id, s.sub_no
+                       ORDER BY {d2}, c.code) AS rn
+            FROM sub s JOIN {prev} c USING (sub_no))
+        WHERE rn = 1)""")
+    return "WITH " + ",\n    ".join(ctes)
+
+
+@query(
+    "q_sim_pq",
+    oracle=_pq_duck()
+    + """
+    SELECT vec_id, list(code ORDER BY sub_no) AS codes,
+           round(sum(d2), 4) AS recon_err
+    FROM fin GROUP BY vec_id
+    """,
+)
+def q_sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ TRAIN + ENCODE: every vector compressed to its M=8 4-bit
+    codes (64x smaller than the float32 array), plus the per-vector
+    reconstruction error the codes imply. Codes AND distortion are
+    value-hash-checked against the full training unrolled in DuckDB —
+    the codebooks themselves are thereby pinned too, since a single
+    diverged centroid would flip codes.
+
+    Scale shape: training cost is PQ_ITERS broadcast joins + hash aggs
+    over narrow (vec_id, sub_no) rows; the collected codebook is
+    M*K*dsub doubles — constant. Encoding is one broadcast join; the
+    output table (4 bytes of codes per vector) is what a 100 TB corpus
+    actually stores and scans at search time."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("emb")
+    )
+    sub = _pq_subvecs(e).localCheckpoint(eager=True)
+    cb_df = _pq_codebook(spark, sub)
+    return (
+        _pq_assign(sub, cb_df)
+        .groupBy("vec_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("sub_no", "code"))).alias("sc"),
+            F.round(F.sum("d2"), 4).alias("recon_err"),
+        )
+        .select("vec_id", F.col("sc.code").alias("codes"), "recon_err")
+    )
+
+
+@query(
+    "q_sim_pq_adc",
+    oracle=_pq_duck()
+    + f"""
+    , lut AS (
+        SELECT s.vec_id AS query_id, c.sub_no, c.code,
+               list_sum([ (s.sv[j] - c.c[j]) ** 2
+                          for j in range(1, {PQ_DSUB + 1}) ]) AS d2
+        FROM sub s JOIN c{PQ_ITERS} c USING (sub_no)
+        WHERE s.vec_id < {PQ_NQ}),
+    adc AS (
+        SELECT l.query_id, f.vec_id AS neighbor_id, sum(l.d2) AS adc
+        FROM fin f
+        JOIN lut l ON l.sub_no = f.sub_no AND l.code = f.code
+        WHERE f.vec_id != l.query_id
+        GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, adc_dist FROM (
+        SELECT query_id, neighbor_id, round(adc, 4) AS adc_dist,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY round(adc, 4), neighbor_id) AS rn
+        FROM adc)
+    WHERE rn = 1
+    """,
+)
+def q_sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ASYMMETRIC-DISTANCE search: nearest neighbor per query
+    (vec_id < 20) computed purely from CODES — per query one exact
+    M x K distance lookup table, each candidate scored by M lookups.
+    The search never reads a candidate's float vector, which is the
+    entire point of PQ at 100 TB: the scan side is the 4-byte code
+    table, the LUT is built from the only float vector touched (the
+    query's own).
+
+    Plan: the code table explodes to narrow (vec_id, sub_no, code)
+    rows, equi-joins the BROADCAST lut (NQ*M*K rows — constant), and
+    one hash agg sums the M partial distances per (query, candidate).
+    Ranking orders by the 4-dp-ROUNDED distance with neighbor_id
+    tie-break so both engines rank identically regardless of their
+    8-double summation order."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("emb")
+    )
+    sub = _pq_subvecs(e).localCheckpoint(eager=True)
+    cb_df = _pq_codebook(spark, sub)
+    codes = _pq_assign(sub, cb_df).select("vec_id", "sub_no", "code")
+    lut = (
+        sub.filter(F.col("vec_id") < PQ_NQ)
+        .withColumnRenamed("vec_id", "query_id")
+        .join(F.broadcast(cb_df), ["sub_no"])
+        .select("query_id", "sub_no", "code", _pq_d2("sv", "c").alias("d2"))
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["sub_no", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.round(F.sum("d2"), 4).alias("adc_dist"))
+    )
+    w = W.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "neighbor_id", "adc_dist")
+    )
