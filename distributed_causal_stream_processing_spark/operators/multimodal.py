@@ -737,3 +737,155 @@ def q_multimodal_pcm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     memory, and the binary transfer are the same plumbing the stub
     version demonstrated — now with the decode real."""
     return sample_pcm_frames(as_raw_media_table(spark, sf_dir), n_frames=4)
+
+
+# --- Real VIDEO decode: the Y4M (YUV4MPEG2) container --------------------
+#
+# Completes the image/audio/VIDEO triple with a real uncompressed
+# container on each: Y4M is the standard uncompressed video interchange
+# format (mplayer/ffmpeg `-f yuv4mpegpipe`): an ASCII parameter header
+# line, then per frame an ASCII `FRAME` marker line followed by the raw
+# planar YUV payload. With C444 every plane is full w*h resolution —
+# nothing subsampled, nothing compressed, honestly parseable with
+# stdlib alone. Generative formulas (shared by encoder SQL, oracle SQL):
+#   w = id%8+4, h = id%6+4, n_frames = id%4+2,
+#   Y(x,y,f) = (id + 3x + 5y + 11f) % 256, U = Y-formula + 77, V = +144
+_Y4M_W = "CAST(doc_id % 8 + 4 AS INT)"
+_Y4M_H = "CAST(doc_id % 6 + 4 AS INT)"
+_Y4M_NF = "CAST(doc_id % 4 + 2 AS INT)"
+
+
+def as_raw_video_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (doc_id, container, payload): a complete, decodable
+    YUV4MPEG2 stream per document — real ASCII header (`YUV4MPEG2 W.. 
+    H.. F25:1 Ip A1:1 C444`), real per-frame `FRAME` markers, real
+    planar pixel data from the generative formulas. Engine-side hex
+    assembly, one unhex — no Python on the encode path."""
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    w, h, nf = _Y4M_W, _Y4M_H, _Y4M_NF
+    header = (
+        f"encode(concat('YUV4MPEG2 W', CAST({w} AS STRING), "
+        f"' H', CAST({h} AS STRING), ' F25:1 Ip A1:1 C444', chr(10)), 'UTF-8')"
+    )
+
+    def plane_hex(off: int) -> str:
+        return (
+            f"array_join(transform(sequence(0, {h} - 1), y -> "
+            f"array_join(transform(sequence(0, {w} - 1), x -> "
+            f"lpad(hex((doc_id + 3*x + 5*y + 11*f + {off}) % 256), 2, '0')"
+            f"), '')), '')"
+        )
+
+    frames_hex = (
+        f"array_join(transform(sequence(0, {nf} - 1), f -> "
+        f"concat('4652414D450A', {plane_hex(0)}, {plane_hex(77)}, "
+        f"{plane_hex(144)})), '')"
+    )
+    return d.select(
+        "doc_id",
+        F.lit("y4m").alias("container"),
+        F.expr(f"concat({header}, unhex({frames_hex}))").alias("payload"),
+    )
+
+
+VIDEO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_no", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("y_sum", T.LongType()),
+        T.StructField("u_sum", T.LongType()),
+        T.StructField("v_sum", T.LongType()),
+    ]
+)
+
+
+def sample_video_frames(media: DataFrame, stride: int = 2) -> DataFrame:
+    """REAL video frame sampling: parse the Y4M header (dimensions +
+    colorspace, C444 enforced), walk the FRAME markers, decode every
+    ``stride``-th frame's three full-resolution planes with numpy, and
+    emit per-plane pixel sums — aggregates of the DECODED bytes,
+    reproducible by oracle arithmetic. Skipped frames are skipped
+    cheaply (pointer arithmetic, no decode) — the uniform-stride
+    sampling a training pipeline runs over 100 TB of video."""
+
+    vids = media.filter(F.col("container") == "y4m")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, nos, ws, hs, ys, us, vs = [], [], [], [], [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(p)
+                nl = p.index(b"\x0a")
+                head = p[:nl].decode("ascii").split(" ")
+                if head[0] != "YUV4MPEG2":
+                    raise ValueError("Y4M: bad magic")
+                params = {t[0]: t[1:] for t in head[1:] if t}
+                w, h = int(params["W"]), int(params["H"])
+                if params.get("C", "420") != "444":
+                    raise ValueError("Y4M: C444 only")
+                plane = w * h
+                pos, fno = nl + 1, 0
+                while pos < len(p):
+                    if p[pos : pos + 5] != b"FRAME":
+                        raise ValueError("Y4M: missing FRAME marker")
+                    pos = p.index(b"\x0a", pos) + 1
+                    if fno % stride == 0:
+                        yuv = np.frombuffer(p, np.uint8, 3 * plane, pos).astype(
+                            np.int64
+                        )
+                        ids.append(doc_id)
+                        nos.append(fno)
+                        ws.append(w)
+                        hs.append(h)
+                        ys.append(int(yuv[:plane].sum()))
+                        us.append(int(yuv[plane : 2 * plane].sum()))
+                        vs.append(int(yuv[2 * plane :].sum()))
+                    pos += 3 * plane
+                    fno += 1
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_no": pd.array(nos, dtype="int32"),
+                    "width": pd.array(ws, dtype="int32"),
+                    "height": pd.array(hs, dtype="int32"),
+                    "y_sum": pd.array(ys, dtype="int64"),
+                    "u_sum": pd.array(us, dtype="int64"),
+                    "v_sum": pd.array(vs, dtype="int64"),
+                }
+            )
+
+    return vids.mapInPandas(kernel, VIDEO_FRAME_SCHEMA)
+
+
+@query(
+    "q_multimodal_video_frames",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id, doc_id % 8 + 4 AS w, doc_id % 6 + 4 AS h,
+               unnest([f for f in range(doc_id % 4 + 2) if f % 2 = 0])
+                   AS frame_no
+        FROM documents
+    )
+    SELECT doc_id, CAST(frame_no AS INTEGER) AS frame_no,
+           CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           CAST(list_sum(flatten([[ (doc_id + 3*x + 5*y + 11*frame_no) % 256
+                 for x in range(w)] for y in range(h)])) AS BIGINT) AS y_sum,
+           CAST(list_sum(flatten([[ (doc_id + 3*x + 5*y + 11*frame_no + 77) % 256
+                 for x in range(w)] for y in range(h)])) AS BIGINT) AS u_sum,
+           CAST(list_sum(flatten([[ (doc_id + 3*x + 5*y + 11*frame_no + 144) % 256
+                 for x in range(w)] for y in range(h)])) AS BIGINT) AS v_sum
+    FROM p
+    """,
+)
+def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END video frame sampling on a real container: SQL-packed
+    YUV4MPEG2 streams → Arrow → header/marker parsing + numpy plane
+    decode → every-2nd-frame per-plane pixel sums, value-hash-checked
+    against the oracle's closed-form pixel arithmetic. With this the
+    image/audio/video triple all decode REAL uncompressed containers
+    (BMP / PCM-WAV / Y4M); only compressed codecs remain env-gated."""
+    return sample_video_frames(as_raw_video_table(spark, sf_dir), stride=2)
