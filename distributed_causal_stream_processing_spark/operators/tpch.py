@@ -780,3 +780,158 @@ def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+@query(
+    "q_tpch_q12",
+    oracle="""
+    SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                THEN 'LATE' ELSE 'ONTIME' END AS ship_class,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 analogue (shipping modes and order priority): one
+    year's lines bucketed into LATE/ONTIME ship classes (shipdate more
+    than 60 days after the order date — the fixture lacks shipmode and
+    commit/receipt dates, so the delay class carries Q12's
+    mode-dimension role), counting high- vs low-priority orders per
+    class — the "does rushed shipping actually serve urgent orders"
+    question.
+
+    Composite shape: fact-fact equi join with the year filter pushed
+    to the lineitem scan, conditional aggregation (two CASE sums over
+    ONE pass — no self-join per priority class), tiny output. Scale:
+    orderkey-equi join is bucket-alignable; the aggregate is two
+    counters per class with map-side partial combine."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_shipdate")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.when(
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+                F.lit("LATE"),
+            )
+            .otherwise(F.lit("ONTIME"))
+            .alias("ship_class"),
+            hi.alias("hi"),
+        )
+        .groupBy("ship_class")
+        .agg(
+            F.sum(F.when(F.col("hi"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("high_line_count"),
+            F.sum(F.when(~F.col("hi"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("low_line_count"),
+        )
+        .orderBy("ship_class")
+    )
+
+
+@query(
+    "q_tpch_q21",
+    oracle="""
+    SELECT n_name, s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier, lineitem l1, orders, nation
+    WHERE s_suppkey = l1.l_suppkey
+      AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      AND s_nationkey = n_nationkey
+    GROUP BY n_name, s_name
+    ORDER BY numwait DESC, n_name, s_name
+    """,
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 analogue (suppliers who kept orders waiting): count,
+    per nation and supplier, the finished multi-supplier orders where THIS
+    supplier's line shipped late (>60 days after the order date — the
+    lateness stand-in shared with Q4/Q12) and NO other supplier's line
+    did — the sole-blame attribution query, and the hardest composite
+    in the suite: a 4-table join carrying BOTH an EXISTS and a
+    NOT EXISTS against the same fact table.
+
+    Composite shape: the correlated subqueries become a LEFT SEMI and
+    a LEFT ANTI self-join of lineitem on orderkey (with the
+    other-supplier inequality and the per-order lateness bound as join
+    conditions — the anti side needs o_orderdate, so lateness is
+    precomputed on the probe before the anti join), the nation dim
+    broadcasts onto suppliers (the original's single-nation filter is
+    dropped so the query is non-vacuous at every fixture scale; the
+    nation column keeps Q21's geography dimension), and orders arrives pre-filtered to
+    status 'F'. Scale: every join is orderkey- or suppkey-equi (the
+    inequalities ride as conditions); the semi/anti builds project
+    (orderkey, suppkey[, late]) only."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    s = load(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name", "n_name")
+    # l1 = this supplier's LATE lines on finished orders (lateness needs
+    # o_orderdate, so join orders first)
+    l1 = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey", "o_orderdate")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("sk2")
+    )
+    some_other = l1.join(
+        l2,
+        (F.col("k2") == F.col("l_orderkey")) & (F.col("sk2") != F.col("l_suppkey")),
+        "left_semi",
+    )
+    l3 = li.select(
+        F.col("l_orderkey").alias("k3"),
+        F.col("l_suppkey").alias("sk3"),
+        F.col("l_shipdate").alias("sd3"),
+    )
+    sole_blame = some_other.join(
+        l3,
+        (F.col("k3") == F.col("l_orderkey"))
+        & (F.col("sk3") != F.col("l_suppkey"))
+        & (F.col("sd3") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_anti",
+    )
+    return (
+        sole_blame.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("n_name", "s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .orderBy(F.desc("numwait"), "n_name", "s_name")
+    )
