@@ -145,6 +145,7 @@ CARTESIAN_OK = {
     "q_mix_weights",  # 1-row totals broadcast crossed into domain counts
     "q_text_heavy_hitters",  # 1-row token-total broadcast crossed in
     "q_tpch_q22",  # 1-row avg-balance threshold broadcast crossed in
+    "q_sim_pq_recall",  # bounded NQ-query exact-NN eval side crossed in
 }
 
 
