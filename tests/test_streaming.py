@@ -1299,3 +1299,56 @@ def test_compaction_crash_recovery_never_loses_index_rows(spark, tmp_path):
         (r.band_no, r.band_key)
         for r in sink._committed_index(spark).distinct().collect()
     } == full_index
+
+
+def test_union_watermark_gated_by_slowest_source(spark, tmp_path):
+    """The causal contract of the multi-source merge: the union's
+    global watermark is the MIN over the per-source watermarks, so a
+    lagging source gates every downstream eviction — results are never
+    finalized past what the slowest log has delivered. Source A spans
+    the full fixture time range; source B stops at the 20th
+    percentile; the query's event-time watermark must sit at B's
+    frontier, far behind A's."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from distributed_causal_stream_processing_spark.io import load
+    from distributed_causal_stream_processing_spark.streaming import jobs
+
+    e = load(spark, SF_SMOKE, "events")
+    cut = e.selectExpr(
+        "percentile_approx(ts, 0.2) AS c"
+    ).head()[0]
+    max_a = e.agg(F.max("ts")).head()[0]
+    max_b = e.filter(F.col("ts") <= cut).agg(F.max("ts")).head()[0]
+    assert max_b < max_a - datetime.timedelta(days=5)
+
+    a, b = str(tmp_path / "full"), str(tmp_path / "lagging")
+    e.coalesce(2).write.parquet(a)
+    e.filter(F.col("ts") <= cut).coalesce(2).write.parquet(b)
+
+    merged = jobs.events_stream(spark, a, watermark="1 minute").unionByName(
+        jobs.events_stream(spark, b, watermark="1 minute")
+    )
+    agg = merged.groupBy(F.window("ts", "1 hour")).count()
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wm_gate_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # one more empty-ish trigger so the watermark from the last
+        # batch's max event time is committed into progress
+        q.processAllAvailable()
+        wm = datetime.datetime.fromisoformat(
+            q.lastProgress["eventTime"]["watermark"].replace("Z", "+00:00")
+        ).replace(tzinfo=None)
+    finally:
+        q.stop()
+    # gated by B's frontier (minus the 1-minute delay), not A's
+    assert wm <= max_b
+    assert wm >= max_b - datetime.timedelta(hours=1)
+    assert wm < max_a - datetime.timedelta(days=5)
