@@ -629,3 +629,58 @@ def test_causal_merge_single_shuffle(spark):
     plan = _plan(df).split("== Initial Plan ==")[0]
     assert plan.count("Exchange") == 1
     assert "Window" in plan
+
+
+def test_causal_merge_shape_generalizes_to_n_sources(spark):
+    """The filtered-running-count formulation scales to N sources with
+    the SAME single exchange: a 4-source variant (event_id % 4) built
+    the same way plans one shuffle and matches the plain two-window
+    semantics value-for-value."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from distributed_causal_stream_processing_spark.io import load
+
+    N = 4
+    e = load(spark, SF_SMOKE, "events").select("user_id", "event_id", "ts")
+    src = (F.col("event_id") % N).alias("src")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    off = None
+    for s in range(N):
+        cnt = F.count(F.when(F.col("src") == s, 1)).over(w)
+        off = cnt if off is None else F.when(F.col("src") == s, cnt).otherwise(off)
+    df = e.withColumn("src", src).select(
+        "user_id",
+        "event_id",
+        F.col("src"),
+        off.cast("bigint").alias("src_offset"),
+        F.row_number()
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .cast("bigint")
+        .alias("seq"),
+    )
+    df.collect()
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    assert plan.count("Exchange") == 1
+
+    w_src = W.partitionBy("src", "user_id").orderBy("ts", "event_id")
+    naive = (
+        e.withColumn("src", (F.col("event_id") % N))
+        .select(
+            "user_id",
+            "event_id",
+            "src",
+            F.row_number().over(w_src).cast("bigint").alias("src_offset"),
+            F.row_number()
+            .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+            .cast("bigint")
+            .alias("seq"),
+        )
+    )
+    got = {tuple(r) for r in df.collect()}
+    want = {tuple(r) for r in naive.collect()}
+    assert got == want
