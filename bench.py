@@ -31,6 +31,7 @@ if REPO_DIR not in sys.path:
 
 def main() -> None:
     from distributed_causal_stream_processing_spark import all_queries
+    from distributed_causal_stream_processing_spark.benchlib import warm_session
     from distributed_causal_stream_processing_spark.session import get_spark
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -40,22 +41,9 @@ def main() -> None:
     queries = all_queries()
     timings: dict[str, float] = {}
 
-    # Warm the JVM / file cache with the flagship once (not timed), and
-    # the Python-worker pool with a tiny mapInPandas pass so the first
-    # pandas-backed query doesn't absorb worker spawn cost.
-    try:
-        queries["q_agg_group"](spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
-    except Exception:  # noqa: BLE001 — warmup is best-effort
-        pass
-    spark.range(64).mapInPandas(lambda it: it, "id long").write.format("noop").mode(
-        "overwrite"
-    ).save()
-    # Case-mapping functions load ICU collation data on first use in
-    # Spark 4 (~1.4 s once per JVM) — warm it so the first string query
-    # isn't charged for JVM init.
-    spark.sql("SELECT upper('x'), lower('X')").collect()
+    # JVM/file cache, Python-worker pool, ICU collation — the shared
+    # warm-up every timing harness in this repo uses (benchlib).
+    warm_session(spark, queries, sf_dir)
 
     # One broken query must never zero the whole suite's signal (a
     # round-3 AnalysisException aborted the bench and the round recorded
@@ -173,24 +161,22 @@ def main() -> None:
             causal_sequence_stream,
         )
 
-        def probe(n_state_parts: int | None) -> tuple[int, float]:
+        # stage the events copy ONCE; both probes replay it (each run
+        # keeps its own checkpoint, so offsets never cross-contaminate)
+        sdir = tempfile.mkdtemp(prefix="bench_stream_")
+
+        def probe(n_state_parts: int | None, ck: str) -> tuple[int, float]:
             """One sequencer run; returns (rows, wall). n_state_parts
             overrides the stateful operator's partition count for the
             run (the state-commit-per-partition overhead dominates this
             probe's wall at local scale — see causal.py's scale note)."""
-            sdir = tempfile.mkdtemp(prefix="bench_stream_")
             old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-            # a probe failure at ANY point after mkdtemp — staging,
-            # source construction, the row count, or the query itself —
-            # must not leak the staged events copy + checkpoint
             try:
                 if n_state_parts is not None:
                     spark.conf.set("spark.sql.shuffle.partitions", str(n_state_parts))
-                jobs.stage_events_as_stream_dir(spark, sf_dir, sdir, n_files=4)
                 src = jobs.events_stream(spark, sdir, watermark="35 days").select(
                     "event_id", "ts", "user_id"
                 )
-                n_rows = spark.read.parquet(sdir).count()
                 t0 = time.perf_counter()
                 q = None
                 try:
@@ -198,7 +184,7 @@ def main() -> None:
                         causal_sequence_stream(src)
                         .writeStream.format("noop")
                         .outputMode("append")
-                        .option("checkpointLocation", os.path.join(sdir, "_ck"))
+                        .option("checkpointLocation", os.path.join(sdir, ck))
                         .start()
                     )
                     q.processAllAvailable()
@@ -207,11 +193,18 @@ def main() -> None:
                         q.stop()
             finally:
                 spark.conf.set("spark.sql.shuffle.partitions", old_parts)
-                shutil.rmtree(sdir, ignore_errors=True)
             return n_rows, time.perf_counter() - t0
 
-        n_rows, wall = probe(None)  # session default (32) — comparable to r≤6
-        _, wall_tuned = probe(16)  # state partitions sized to the batch volume
+        # a probe failure at ANY point after mkdtemp — staging, source
+        # construction, the row count, or the query itself — must not
+        # leak the staged events copy + checkpoints under /tmp
+        try:
+            jobs.stage_events_as_stream_dir(spark, sf_dir, sdir, n_files=4)
+            n_rows = spark.read.parquet(sdir).count()
+            _, wall = probe(None, "_ck_default")  # session default (32)
+            _, wall_tuned = probe(16, "_ck_16")  # sized to batch volume
+        finally:
+            shutil.rmtree(sdir, ignore_errors=True)
         streaming = {
             "job": "causal_sequence_stream",
             "rows": n_rows,

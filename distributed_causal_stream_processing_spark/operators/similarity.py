@@ -2015,13 +2015,17 @@ def q_sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM adc)
         WHERE rn = 1),
     exact1 AS (
+        -- d2 as the same left-fold sum of squared diffs Spark computes
+        -- (sqrt-then-square via list_distance can differ by an ULP and
+        -- flip the 4-dp rounding that orders the candidates)
         SELECT query_id, neighbor_id FROM (
             SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
                    row_number() OVER (
                        PARTITION BY q.vec_id
-                       ORDER BY round(list_distance(
-                           CAST(q.embedding AS DOUBLE[]),
-                           CAST(e.embedding AS DOUBLE[])) ** 2, 4),
+                       ORDER BY round(list_sum([
+                           (CAST(q.embedding[j] AS DOUBLE)
+                            - CAST(e.embedding[j] AS DOUBLE)) ** 2
+                           for j in range(1, {DIM + 1})]), 4),
                            e.vec_id) AS rn
             FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
             WHERE q.vec_id < {PQ_NQ})

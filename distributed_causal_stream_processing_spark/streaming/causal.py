@@ -169,14 +169,19 @@ def make_causal_processor():
                 max_seq, last_ts_us, last_eid = 0, -(2**62), -1
             import numpy as np
 
-            out = []
-            for pdf in rows:
-                # same vectorization as causal_sequence_stream: sorted
-                # batch ⇒ late only vs the carry-in watermark
-                pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+            # concat-then-sort, exactly like causal_sequence_stream: a
+            # key spanning several Arrow chunks arrives in shuffle
+            # order, and the sorted-batch vectorization below is only
+            # valid over the WHOLE micro-batch (per-chunk sorting would
+            # mis-flag chunk-2 rows older than chunk-1's max as late —
+            # code-review find, round 7)
+            chunks = [c for c in rows if len(c)]
+            if chunks:
+                pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                    ["ts", "event_id"], kind="mergesort"
+                )
+                # sorted batch ⇒ late only vs the carry-in watermark
                 n = len(pdf)
-                if not n:
-                    continue
                 ts_us = (pdf["ts"].astype("int64") // 1000).to_numpy()
                 eid = pdf["event_id"].to_numpy()
                 lates = (ts_us < last_ts_us) | (
@@ -186,19 +191,18 @@ def make_causal_processor():
                 max_seq += n
                 if not lates[-1]:
                     last_ts_us, last_eid = int(ts_us[-1]), int(eid[-1])
-                out.append(
-                    pd.DataFrame(
-                        {
-                            "user_id": user_id,
-                            "event_id": eid,
-                            "ts": pdf["ts"].to_numpy(),
-                            "seq": seqs,
-                            "late": lates,
-                        }
-                    )
+                self._state.update((max_seq, last_ts_us, last_eid))
+                yield pd.DataFrame(
+                    {
+                        "user_id": user_id,
+                        "event_id": eid,
+                        "ts": pdf["ts"].to_numpy(),
+                        "seq": seqs,
+                        "late": lates,
+                    }
                 )
-            self._state.update((max_seq, last_ts_us, last_eid))
-            yield from out
+            else:
+                self._state.update((max_seq, last_ts_us, last_eid))
 
         def close(self) -> None:
             pass

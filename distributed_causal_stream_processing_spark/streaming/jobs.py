@@ -858,8 +858,16 @@ class _StreamingIndexDedup:
         dirs = []
         if m:
             cd = os.path.join(self.index_dir, m["compacted_dir"])
-            if os.path.isdir(cd):
-                dirs.append(cd)
+            if not os.path.isdir(cd):
+                # the commit ordering guarantees the manifested dir was
+                # fully written BEFORE the manifest named it, so its
+                # absence is index corruption (external cleanup, partial
+                # restore). Probing without it would silently mark every
+                # known duplicate as novel — fail loudly instead.
+                raise RuntimeError(
+                    f"dedup index corrupt: manifest names missing dir {cd}"
+                )
+            dirs.append(cd)
         dirs += [
             os.path.join(self.index_dir, f"batch_id={b}")
             for b in sorted(os.listdir(self.commits_dir), key=int)

@@ -1352,3 +1352,22 @@ def test_union_watermark_gated_by_slowest_source(spark, tmp_path):
     assert wm <= max_b
     assert wm >= max_b - datetime.timedelta(hours=1)
     assert wm < max_a - datetime.timedelta(days=5)
+
+
+def test_missing_manifested_dir_fails_loudly(spark, tmp_path):
+    """If the manifest names a compacted dir that is gone (external
+    cleanup / partial restore), readers must raise — probing without
+    the compacted history would silently mark every known duplicate as
+    novel (code-review find, round 7)."""
+    import shutil
+
+    from distributed_causal_stream_processing_spark.streaming import jobs
+
+    d = str(tmp_path / "docs_stream")
+    jobs.stage_documents_as_stream_dir(spark, SF_SMOKE, d)
+    sink = jobs.run_streaming_content_dedup(spark, d, str(tmp_path / "dedup"))
+    assert sink.compact_index(spark) >= 2
+    m = sink._read_manifest()
+    shutil.rmtree(os.path.join(sink.index_dir, m["compacted_dir"]))
+    with pytest.raises(RuntimeError, match="corrupt"):
+        sink._committed_index(spark)

@@ -64,16 +64,18 @@ def candidates(
 
 
 def retime(names: list[str], sf: float, runs: int = 2) -> dict[str, float]:
-    """Re-measure the flagged queries in one warm Spark session.
-
-    Mirrors bench.py's materialization (noop sink) and warmup; returns
-    the per-query MIN over `runs` executions. Session scoped to this
-    call so a healthy check leaves nothing running.
-    """
-    import time
-
+    """Re-measure the flagged queries in one warm Spark session, using
+    the SAME warm-up and noop-sink timing bench.py uses (benchlib —
+    one definition, so the tripwire's re-measurement can't drift from
+    what the bench measured). Per-query MIN over `runs`; a query that
+    raises stays flagged (omitted from the result). Session scoped to
+    this call so a healthy check leaves nothing running."""
     sys.path.insert(0, ROOT)
     from distributed_causal_stream_processing_spark import all_queries
+    from distributed_causal_stream_processing_spark.benchlib import (
+        time_query_noop,
+        warm_session,
+    )
     from distributed_causal_stream_processing_spark.session import get_spark
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", f"/root/testdata/sf{sf:g}")
@@ -81,32 +83,9 @@ def retime(names: list[str], sf: float, runs: int = 2) -> dict[str, float]:
     queries = all_queries()
     out: dict[str, float] = {}
     try:
-        # same warmups as bench.py: JVM+file cache, pandas worker pool,
-        # ICU collation load
-        try:
-            queries["q_agg_group"](spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-        except Exception:  # noqa: BLE001 — warmup is best-effort
-            pass
-        spark.range(64).mapInPandas(lambda it: it, "id long").write.format(
-            "noop"
-        ).mode("overwrite").save()
-        spark.sql("SELECT upper('x'), lower('X')").collect()
+        warm_session(spark, queries, sf_dir)
         for name in names:
-            if name not in queries:
-                continue
-            best = None
-            for _ in range(runs):
-                t0 = time.perf_counter()
-                try:
-                    queries[name](spark, sf_dir).write.format("noop").mode(
-                        "overwrite"
-                    ).save()
-                except Exception:  # noqa: BLE001 — a broken query stays flagged
-                    break
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
+            best = time_query_noop(queries, name, spark, sf_dir, runs=runs)
             if best is not None:
                 out[name] = round(best, 3)
     finally:

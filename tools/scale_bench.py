@@ -5,8 +5,9 @@ from plan inspection alone.
 
 Builds a deterministic 3×-rows fixture from sf0.1 (union of 3
 key-remapped replicas — see _scale3) for the four tables the heavy
-set touches, times each heavy query at both scales (min of 2 warm
-passes), and records the wall-time ratio plus the implied exponent
+set touches, times each heavy query at both scales (minimum over RUNS
+interleaved warm passes — see the host-variance note above main()),
+and records the wall-time ratio plus the implied exponent
 log3(ratio). Writes BENCH_SCALING.json at the repo root; bench.py
 inlines that file into its detail output so the per-round BENCH_r{N}
 record carries the scaling row.
@@ -157,18 +158,23 @@ def _scale3(spark, out_dir: str) -> None:
     )
 
 
-def _time_query(queries, name, spark, sf_dir, runs=2) -> float:
-    best = None
-    for _ in range(runs):
-        t0 = time.perf_counter()
-        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        dt = time.perf_counter() - t0
-        best = dt if best is None else min(best, dt)
-    return round(best, 3)
+# Host-variance policy: the VM shows roving multi-minute interference
+# windows (BASELINE.md). Each query's two scales are timed in
+# INTERLEAVED passes (base, big, base, big, ...) and each scale keeps
+# its minimum — a window spanning one pass taxes both scales alike and
+# the other passes recover the clean number. No cross-invocation
+# merging: pairing minima recorded under different code versions would
+# let a committed fast prior mask a genuine future regression
+# (code-review find, round 7).
+RUNS = 3
 
 
 def main() -> int:
     from distributed_causal_stream_processing_spark import all_queries
+    from distributed_causal_stream_processing_spark.benchlib import (
+        time_query_noop,
+        warm_session,
+    )
     from distributed_causal_stream_processing_spark.session import get_spark
 
     spark = get_spark(app_name="dcsp-scale-bench")
@@ -179,29 +185,25 @@ def main() -> int:
         t0 = time.perf_counter()
         _scale3(spark, out_dir)
         gen_sec = round(time.perf_counter() - t0, 1)
-        # warm both paths once (JVM, python workers, file cache)
-        queries["q_agg_mad_outliers"](spark, BASE_SF).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        # Host-variance policy, same as bench.py: the per-scale time is
-        # the MIN over this run's passes AND any previously recorded
-        # run (the VM shows multi-minute interference windows — a
-        # single window inflating one scale's measurement would
-        # otherwise fabricate a scaling exponent).
-        try:
-            prior = json.load(open(os.path.join(ROOT, "BENCH_SCALING.json")))[
-                "queries"
-            ]
-        except (OSError, json.JSONDecodeError, KeyError):
-            prior = {}
+        warm_session(spark, queries, BASE_SF)
         rows = {}
         alarms = []
         for name, klass in HEAVY.items():
-            base = _time_query(queries, name, spark, BASE_SF)
-            big = _time_query(queries, name, spark, out_dir)
-            if name in prior:
-                base = min(base, prior[name]["sf0.1_sec"])
-                big = min(big, prior[name]["sf0.3_sec"])
+            base = big = None
+            for _ in range(RUNS):
+                b1 = time_query_noop(queries, name, spark, BASE_SF)
+                b2 = time_query_noop(queries, name, spark, out_dir)
+                if b1 is not None:
+                    base = b1 if base is None else min(base, b1)
+                if b2 is not None:
+                    big = b2 if big is None else min(big, b2)
+            if base is None or big is None:
+                alarms.append(name)
+                rc = 1
+                rows[name] = {"class": klass, "error": "query failed"}
+                print(f"{name:32s} {klass:22s} FAILED")
+                continue
+            base, big = round(base, 3), round(big, 3)
             ratio = round(big / base, 2) if base > 0 else None
             expo = round(math.log(ratio) / math.log(FACTOR), 2) if ratio else None
             limit = QUADRATIC_ALARM if klass == "quadratic_by_fixture" else LINEAR_ALARM
