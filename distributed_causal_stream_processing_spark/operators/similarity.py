@@ -1425,39 +1425,64 @@ def q_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffled raw: partial aggregation collapses each task to ≤4096
     (i,j) cells before the exchange). Everything after — ``iters``
     matvec+normalize rounds and the Rayleigh quotient — touches only
-    64×64 data, broadcast-joined, independent of corpus size. Both
-    engines round the covariance and every matvec to 6 dp, so the
-    iteration is bit-stable across summation orders. v₀ is all-ones —
-    deliberately: the first matvec is then a sum of 6 dp-exact cells,
-    itself exactly on the rounding grid, so no round-half tie can
-    split the engines (Spark HALF_UPs the shortest-decimal expansion,
-    DuckDB scales-and-rints — they disagree precisely on ties, which
-    a fractional v₀ like 1/8 would manufacture en masse; same reason
-    the final loading ships at the iteration's native 6 dp instead of
-    being re-rounded). The iteration count is fixed (power
-    iteration converges geometrically in the spectral-gap ratio — the
-    eval column to watch is `eigenvalue` stabilizing across rounds)."""
-    cen, cm, v = _pca_parts(spark, sf_dir)
-    cv = (
-        cm.join(F.broadcast(v), "j")
-        .groupBy("i")
-        .agg(F.sum(F.col("cij") * F.col("v")).alias("wv"))
+    64×64 doubles and runs on the DRIVER (see _pca_parts; the
+    k-means-trainer pattern), independent of corpus size. Both
+    engines round the covariance and every matvec to 6 dp HALF_UP,
+    so the iteration is bit-stable across summation orders. v₀ is
+    all-ones — deliberately: the first matvec is then a sum of
+    6 dp-exact cells, itself exactly on the rounding grid, so no
+    round-half tie can split the engines (HALF_UP on the
+    shortest-decimal expansion vs DuckDB's scale-and-rint disagree
+    precisely on ties, which a fractional v₀ like 1/8 would
+    manufacture en masse; same reason the final loading ships at the
+    iteration's native 6 dp instead of being re-rounded). The
+    iteration count is fixed (power iteration converges geometrically
+    in the spectral-gap ratio — the eval column to watch is
+    `eigenvalue` stabilizing across rounds)."""
+    _, cov, v = _pca_parts(spark, sf_dir)
+    lam = _round_half_up(float(v @ (cov @ v)), 4)
+    return spark.createDataFrame(
+        [(j + 1, float(v[j]), lam) for j in range(DIM)],
+        "dim_idx bigint, loading double, eigenvalue double",
     )
-    lam = (
-        cv.join(F.broadcast(v), cv["i"] == v["j"])
-        .agg(F.round(F.sum(F.col("wv") * F.col("v")), 4).alias("eigenvalue"))
-    )
-    return v.crossJoin(F.broadcast(lam)).select(
-        F.col("j").cast("bigint").alias("dim_idx"),
-        F.col("v").alias("loading"),
-        "eigenvalue",
+
+
+def _round_half_up(x: float, nd: int) -> float:
+    """Replicate Spark's ``F.round`` on doubles — Java
+    ``BigDecimal.valueOf(d)`` takes the SHORTEST decimal expansion
+    (``Double.toString`` == Python ``repr``), then ``setScale(nd,
+    HALF_UP)`` (ties away from zero) — so the driver-side iteration
+    below lands on exactly the grid the previous in-engine
+    ``F.round`` produced, and the DuckDB oracle hash is unchanged."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(x)).quantize(Decimal(1).scaleb(-nd), rounding=ROUND_HALF_UP)
     )
 
 
 def _pca_parts(spark: SparkSession, sf_dir: str):
-    """Shared power-iteration pipeline: returns (cen, cm, v) — the
-    centered per-dimension components, the checkpointed covariance,
-    and the final 6 dp unit component (columns j, v)."""
+    """Shared power-iteration pipeline: returns (cen, cov, v) — the
+    distributed centered per-dimension components, the collected 64×64
+    covariance (numpy, 6 dp grid), and the final 6 dp unit component
+    (numpy, index j-1).
+
+    The ONLY pass over the corpus builds the covariance; the power
+    iteration itself touches 64×64 = 4096 doubles, so it runs on the
+    driver (the k-means-trainer / MLlib pattern — collecting O(dim²)
+    model state is legitimate at any corpus size). Before round 7 the
+    iteration ran as 3 rounds of broadcast-join + 64-row groupBy —
+    ~70 micro-exchanges in the executed plan, i.e. ~70 scheduler
+    barriers whose cost on a real cluster is a driver round-trip each,
+    spent on data that fits in a cache line (locally the wall time is
+    covariance-bound either way: ~2.1 s at sf0.1 before and after).
+    Driver math with the same 6 dp HALF_UP rounding is value-identical
+    — the matvec sums land off the rounding grid's boundaries by
+    design (all-ones v₀, 6 dp inputs), the same argument that made
+    Spark-vs-DuckDB summation orders agree; pinned by the sf0.001
+    tie gate in tests/test_parity.py."""
+    import numpy as np
+
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.posexplode(as_double("embedding")).alias("p", "x")
     )
@@ -1469,30 +1494,22 @@ def _pca_parts(spark: SparkSession, sf_dir: str):
     a = cen.select("vec_id", "i", F.col("xc").alias("xi"))
     b = cen.select("vec_id", F.col("i").alias("j"), F.col("xc").alias("xj"))
     cm = (
+        # 64² rows per vector exist only inside each task: partial
+        # aggregation collapses every task to ≤4096 (i, j) cells
+        # before the single exchange.
         a.join(b, "vec_id")
         .groupBy("i", "j")
-        # localCheckpoint truncates lineage: every matvec/normalize
-        # branch below references cm, and without the cut Spark
-        # re-derives the corpus-wide covariance once per branch
-        # (~8x by iteration 3 — the graph-module lesson). The
-        # checkpointed relation is 64x64 rows, executor-local.
         .agg(F.round(F.avg(F.col("xi") * F.col("xj")), 6).alias("cij"))
-        .localCheckpoint(eager=True)
     )
-    v = spark.range(1, DIM + 1).select(
-        F.col("id").alias("j"), F.lit(1.0).alias("v")
-    )
+    cov = np.zeros((DIM, DIM))
+    for r in cm.collect():
+        cov[r["i"] - 1, r["j"] - 1] = r["cij"]
+    v = np.ones(DIM)
     for _ in range(N_PCA_ITERS):
-        w = (
-            cm.join(F.broadcast(v), "j")
-            .groupBy("i")
-            .agg(F.round(F.sum(F.col("cij") * F.col("v")), 6).alias("w"))
-        )
-        s = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("s"))
-        v = w.crossJoin(F.broadcast(s)).select(
-            F.col("i").alias("j"), F.round(F.col("w") / F.col("s"), 6).alias("v")
-        )
-    return cen, cm, v
+        w = np.array([_round_half_up(float(cov[i] @ v), 6) for i in range(DIM)])
+        s = float(np.sqrt(w @ w))
+        v = np.array([_round_half_up(float(wi) / s, 6) for wi in w])
+    return cen, cov, v
 
 
 @query("q_embed_abtt", oracle=_abtt_duck(DIM, N_PCA_ITERS))
@@ -1509,7 +1526,10 @@ def q_embed_abtt(spark: SparkSession, sf_dir: str) -> DataFrame:
     both passes; each pass is one groupBy(vec_id) over the exploded
     components (map-side combined), and the proj⋈components join keys
     on vec_id — corpus-linear, nothing quadratic, no Python."""
-    cen, _, v = _pca_parts(spark, sf_dir)
+    cen, _, vec = _pca_parts(spark, sf_dir)
+    v = spark.createDataFrame(
+        [(j + 1, float(vec[j])) for j in range(DIM)], "j bigint, v double"
+    )
     proj = (
         cen.join(F.broadcast(v), cen["i"] == v["j"])
         .groupBy("vec_id")

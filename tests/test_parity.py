@@ -263,6 +263,11 @@ def test_causal_audit_detects_inversions_and_concurrency(spark, tmp_path):
         "q_pipeline_dedup_best",
         "q_pipeline_training_data",
         "q_agg_mad_outliers",
+        # round 7: the power iteration moved driver-side (numpy sum
+        # order != JVM agg order before the 6 dp rounding) — pinned at
+        # the second scale for the same tie-sensitivity reason.
+        "q_embed_pca_power",
+        "q_embed_abtt",
     ],
 )
 def test_tie_prone_queries_parity_at_sf0001(tie_query, spark, duck_sf0001):

@@ -138,8 +138,6 @@ CARTESIAN_OK = {
     "q_text_logprob",  # 1-row token-total broadcast crossed in
     "q_dedup_embedding",
     "q_dedup_embedding_recall",  # 1-row exact/pruned counts crossed
-    "q_embed_pca_power",  # 1-row norm / eigenvalue scalars crossed per matvec
-    "q_embed_abtt",  # same power-iteration lineage (1-row norm scalars)
     "q_sim_knn_label",
     "q_pivot",
     "q_mix_weights",  # 1-row totals broadcast crossed into domain counts
