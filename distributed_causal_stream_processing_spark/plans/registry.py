@@ -54,24 +54,28 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # sit at the front, ahead of every extra query.
 #
 # Ordering policy (VERDICT.md round 3 item 6, round 4 item 1 — rotation):
-# the driver grades only the first ~50 entries, and 62 §2 ids exist, so 12
-# sit outside the window each round. Rotate so the window covers the ids
-# with the LEAST driver signal:
+# the driver grades exactly the first 50 entries, and 62 §2 ids exist, so
+# 12-13 sit outside the window each round. Rotate so the window covers the
+# ids with the LEAST driver signal:
 # - positions 0-24: unchanged — the streaming/scalar/LLM/UDF block
 #   (fresh green every round since r04; keep for continuity);
 # - positions 25-30: the six P0 relational ids — never leave the window;
-# - positions 31-42: the 12 ids parked during r06 (q_filter_like ...
-#   q_join_cross) rotated back IN — green in r05 but the r06 window
-#   missed them; VERDICT r06 item 1 requires fresh r07 rows;
-# - positions 43-49: P1 ids kept to fill the window;
-# - positions 50-61: the 12 ids rotated IN for r06 (q_join_theta ...
-#   q_set_except) rotated OUT — each now has a green r06 driver row and
-#   stays pytest-parity-gated every session;
-# - positions 62+: extras (TPC-H composites, graph, ANN variants, ...)
+# - positions 31-35: P1 fill kept in (q_sort_multi stays per VERDICT r07
+#   item 3 — its rank rewrite needs a fresh driver row this round);
+# - positions 36-48: the 13 ids parked during r07 (q_join_broadcast +
+#   q_join_theta ... q_set_except) rotated back IN — green in r06 but the
+#   r07 window missed them; VERDICT r07 item 2 requires fresh r08 rows;
+# - position 49: lent to WINDOW_PROMOTED (q_causal_seq_skewsafe, VERDICT
+#   r07 item 8 — q_causal_merge banked its green r07 row and returns to
+#   the extras);
+# - positions 49-61 of this tuple (→ 50-62 of queries()): 13 ids with
+#   fresh green r07 driver rows rotated OUT, pytest-parity-gated every
+#   session;
+# - after that: extras (TPC-H composites, graph, ANN variants, ...)
 #   in module insertion order.
 #
-# Driver-green history per id lives in COVERAGE.md ("last driver-green
-# round" column) — update it whenever this tuple changes.
+# Driver-green history per id lives in COVERAGE.md — update it whenever
+# this tuple changes.
 CONTRACT_ORDER = (
     # -- streaming / scalar families / LLM-pipeline / UDFs ---------------
     "q_causal_seq",          # P0 — the reference's core concept
@@ -106,31 +110,14 @@ CONTRACT_ORDER = (
     "q_join_inner",          # P0
     "q_agg_global",          # P0
     "q_agg_group",           # P0 flagship
-    # -- rotated IN: parked during r06, need fresh driver rows ----------
-    "q_filter_like",
-    "q_join_left",
-    "q_join_full",
-    "q_join_semi",
-    "q_join_anti",
-    "q_join_multiway",
-    "q_agg_having",
-    "q_agg_distinct",
-    "q_win_frame_rows",
-    "q_set_union_all",
-    "q_set_union_distinct",
-    "q_join_cross",
     # -- window fill: P1 ids kept in ------------------------------------
     "q_filter_compound",
     "q_win_rank",
-    "q_win_analytic",
     "q_agg_stats",
-    "q_sort_multi",
+    "q_sort_multi",          # r08 rank rewrite — needs a fresh driver row
     "q_topk",
+    # -- rotated IN: parked during r07, need fresh r08 driver rows ------
     "q_join_broadcast",
-    # -- rotated OUT: fresh green in r06, pytest-gated locally ----------
-    # (q_join_broadcast slides to position 50 this round — one slot of
-    # the window is lent to WINDOW_PROMOTED below; it is r06-green and
-    # BHJ-plan-asserted every session, so the parking is safe)
     "q_join_theta",
     "q_join_range",
     "q_join_asof",
@@ -140,17 +127,33 @@ CONTRACT_ORDER = (
     "q_agg_collect",
     "q_agg_approx_distinct",
     "q_win_frame_range",
-    "q_win_dist",
+    "q_win_dist",            # r08 skew-safe rewrite — fresh row covers it
     "q_set_intersect",
     "q_set_except",
+    # -- rotated OUT: fresh green in r07, pytest-gated locally ----------
+    "q_filter_like",
+    "q_join_left",
+    "q_join_full",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_multiway",
+    "q_agg_having",
+    "q_agg_distinct",
+    "q_win_frame_rows",
+    "q_win_analytic",
+    "q_set_union_all",
+    "q_set_union_distinct",
+    "q_join_cross",
 )
 
 # Extra (non-§2) ids promoted INTO the driver's ~50-slot graded window
 # for the current round, each lent a slot by a fresh-green contract id
-# sliding past position 49. Round 7: q_causal_merge (VERDICT r06 item 5
-# — the reference's poll→merge step needs a driver-graded value-hash
-# row, not just local parity).
-WINDOW_PROMOTED = ("q_causal_merge",)
+# sliding past position 49. Round 8: q_causal_seq_skewsafe (VERDICT r07
+# item 8 — the scale story for the reference's core concept deserves a
+# driver-graded value-hash row; its oracle already proves equivalence to
+# the plain-window q_causal_seq). q_causal_merge banked its green r07
+# row and returns to the extras.
+WINDOW_PROMOTED = ("q_causal_seq_skewsafe",)
 _PROMOTE_AT = 49  # insert position: last graded slot(s) of the window
 
 # Modules whose import populates REGISTRY. Order roughly follows SURVEY §2.
