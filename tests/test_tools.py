@@ -36,30 +36,54 @@ def test_subsecond_jitter_below_floor_not_flagged():
     assert flagged == []
 
 
-def test_warm_rerun_clears_host_jitter(monkeypatch, capsys):
+def _write_pair(tmp_path, ref: dict, det: dict) -> None:
+    (tmp_path / "BENCH_REFERENCE.json").write_text(json.dumps(ref))
+    (tmp_path / "BENCH_DETAIL.json").write_text(json.dumps(det))
+
+
+def test_warm_rerun_clears_host_jitter(tmp_path, monkeypatch, capsys):
     """0.25s ref, 0.88s recorded (the literal r06 case): the warm re-run
-    measures 0.36s -> cleared, rc 0, no REGRESSION line."""
-    ref = _ref({"q_text_stats": 0.25})
-    det = _detail({"q_text_stats": 0.88})
-    monkeypatch.setattr(cbr.json, "load", lambda f: ref if "REFERENCE" in f.name else det)
+    measures 0.36s -> cleared, rc 0, no REGRESSION line — and the
+    re-measurement is persisted so a later static read stays clear."""
+    _write_pair(tmp_path, _ref({"q_text_stats": 0.25}), _detail({"q_text_stats": 0.88}))
+    monkeypatch.setattr(cbr, "ROOT", str(tmp_path))
     monkeypatch.setattr(cbr, "retime", lambda names, sf, runs=2: {"q_text_stats": 0.36})
     rc = cbr.main([])
     out = capsys.readouterr().out
     assert rc == 0
     assert "cleared by warm re-run" in out
     assert "REGRESSION" not in out
+    # VERDICT r07 item 1: adjudication persisted; static re-read is clean
+    healed = json.load(open(tmp_path / "BENCH_DETAIL.json"))
+    assert healed["adjudicated"] == {"q_text_stats": 0.36}
+    flagged, _, _ = cbr.candidates(_ref({"q_text_stats": 0.25}), healed, 2.0)
+    assert flagged == []
 
 
-def test_genuine_regression_survives_warm_rerun(monkeypatch, capsys):
-    """A real 2x+ slowdown reproduces warm and still exits 1."""
-    ref = _ref({"q_join_inner": 1.2})
-    det = _detail({"q_join_inner": 3.9})
-    monkeypatch.setattr(cbr.json, "load", lambda f: ref if "REFERENCE" in f.name else det)
+def test_genuine_regression_survives_warm_rerun(tmp_path, monkeypatch, capsys):
+    """A real 2x+ slowdown reproduces warm, still exits 1, and the
+    persisted adjudication does NOT heal the static view either."""
+    _write_pair(tmp_path, _ref({"q_join_inner": 1.2}), _detail({"q_join_inner": 3.9}))
+    monkeypatch.setattr(cbr, "ROOT", str(tmp_path))
     monkeypatch.setattr(cbr, "retime", lambda names, sf, runs=2: {"q_join_inner": 3.7})
     rc = cbr.main([])
     out = capsys.readouterr().out
     assert rc == 1
     assert "REGRESSION q_join_inner" in out and "warm-confirmed" in out
+    healed = json.load(open(tmp_path / "BENCH_DETAIL.json"))
+    flagged, _, _ = cbr.candidates(_ref({"q_join_inner": 1.2}), healed, 2.0)
+    assert [f[0] for f in flagged] == ["q_join_inner"]
+
+
+def test_adjudicated_map_honored_statically():
+    """candidates() takes the min over final, warm, and adjudicated
+    timings — a persisted warm re-measurement inside the band clears the
+    raw noisy-window number without any Spark session."""
+    ref = _ref({"q_a": 0.3})
+    det = _detail({"q_a": 1.1})
+    det["adjudicated"] = {"q_a": 0.35}
+    flagged, _, _ = cbr.candidates(ref, det, 2.0)
+    assert flagged == []
 
 
 def test_healthy_run_never_spins_up_spark(monkeypatch):
@@ -85,13 +109,17 @@ def test_sf_mismatch_skips(monkeypatch, capsys):
 
 def test_committed_detail_is_healthy_against_reference():
     """The repo's own BENCH_DETAIL vs BENCH_REFERENCE produces no
-    candidates (zero manual overrides) — the r06 'Done' criterion."""
+    flags once warm adjudications are honored (VERDICT r07 item 1).
+    bench.py now re-runs per-reference outliers itself and the tripwire
+    persists warm re-measurements, so any surviving flag here is a
+    warm-confirmed regression — a genuine failure, not host jitter.
+    If a noisy-window detail does land unadjudicated, run
+    ``python tools/check_bench_regression.py`` once: rc 0 heals the
+    artifact, rc 1 means the engine really regressed."""
     ref = json.load(open("/root/repo/BENCH_REFERENCE.json"))
     det = json.load(open("/root/repo/BENCH_DETAIL.json"))
     if det.get("sf") != ref.get("sf"):
         return  # comparison skipped by design
     flagged, _, n = cbr.candidates(ref, det, 2.0)
-    # candidates may exist only if a warm re-run would clear them; the
-    # committed pair must at minimum not be dominated by flags
     assert n > 100
-    assert len(flagged) <= 1  # at most the adjudicated host-jitter case
+    assert flagged == []

@@ -17,10 +17,19 @@ runs each candidate twice, and keeps the minimum of recorded and
 re-measured time. Host jitter melts away under the warm re-run; a
 genuine plan regression reproduces and still trips.
 
-Retry-aware: a query's effective time is the MIN of its final timing and
-its warm-pass timing (when the iterative block re-ran it), mirroring
-bench.py's own host-variance policy. Queries new since the reference are
-listed informationally, never failed on.
+Retry-aware: a query's effective time is the MIN of its final timing,
+its warm-pass timing (when the iterative block re-ran it), and any
+previously persisted adjudication, mirroring bench.py's own
+host-variance policy. Queries new since the reference are listed
+informationally, never failed on.
+
+Adjudication persistence (VERDICT r07 item 1): warm re-measurements are
+written back into BENCH_DETAIL.json under an ``adjudicated`` map, so a
+STATIC consumer of the detail (tests/test_tools.py's bench-health gate)
+sees the same cleared timings this tool saw, instead of re-flagging the
+raw noisy-window numbers forever. A genuine regression is NOT healed:
+its warm re-measurement is still past the band, so both this tool and
+the static gate keep failing on it.
 
 Usage: python tools/check_bench_regression.py [threshold]
 Exit 1 iff any regression survives the warm re-run (default 2.0×).
@@ -33,6 +42,8 @@ import os
 import sys
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+DEFAULT_THRESHOLD = 2.0  # same per-query band the driver applies suite-wide
 
 # Absolute floor alongside the ratio: a regression must ALSO cost at
 # least MIN_DELTA_S of real wall time (first deployment flagged
@@ -49,8 +60,9 @@ def candidates(
     already the min over bench.py's own retry/warm passes.
     """
     warm = det.get("iterative", {}).get("warm", {}) or {}
+    adjudicated = det.get("adjudicated", {}) or {}
     cur = {
-        name: min(t, warm.get(name, t))
+        name: min(t, warm.get(name, t), adjudicated.get(name, t))
         for name, t in det.get("queries", {}).items()
     }
     flagged, new = [], []
@@ -93,9 +105,21 @@ def retime(names: list[str], sf: float, runs: int = 2) -> dict[str, float]:
     return out
 
 
+def persist_adjudication(det: dict, fresh: dict[str, float], path: str) -> None:
+    """Merge warm re-measurements into the detail's ``adjudicated`` map
+    (keeping per-query minima across repeated adjudications) and rewrite
+    the detail file, so static consumers see the cleared timings."""
+    adj = det.setdefault("adjudicated", {})
+    for name, t in fresh.items():
+        prev = adj.get(name)
+        adj[name] = round(min(t, prev), 3) if prev is not None else t
+    with open(path, "w") as f:
+        json.dump(det, f, indent=1, sort_keys=True)
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
-    threshold = float(argv[0]) if argv else 2.0
+    threshold = float(argv[0]) if argv else DEFAULT_THRESHOLD
     ref = json.load(open(os.path.join(ROOT, "BENCH_REFERENCE.json")))
     det = json.load(open(os.path.join(ROOT, "BENCH_DETAIL.json")))
     if det.get("sf") != ref.get("sf"):
@@ -111,6 +135,8 @@ def main(argv: list[str] | None = None) -> int:
         names = [name for name, *_ in flagged]
         print(f"candidates (pre re-run): {', '.join(names)} — re-timing warm...")
         fresh = retime(names, float(det.get("sf", 0.1)))
+        if fresh:
+            persist_adjudication(det, fresh, os.path.join(ROOT, "BENCH_DETAIL.json"))
         for name, base, t, _ in flagged:
             eff = min(t, fresh.get(name, t))
             if eff > threshold * base and (eff - base) > MIN_DELTA_S:
