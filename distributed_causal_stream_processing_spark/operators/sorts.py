@@ -28,20 +28,58 @@ from distributed_causal_stream_processing_spark.plans.registry import query
     """,
 )
 def q_sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-key ORDER BY; rank column makes the order itself hash-checkable."""
-    from pyspark.sql import Window as W
+    """Multi-key ORDER BY; rank column makes the order itself
+    hash-checkable — computed WITHOUT a global single-partition window
+    (VERDICT r07 item 3; the `row_number().over(W.orderBy(...))` form
+    moved the whole filtered result to one task).
 
+    Same two-level construction as q_win_dist, generalized to a
+    composite sort order: the band key is (o_orderstatus,
+    -floor(o_totalprice/10k)) — monotone in (status ASC, totalprice
+    DESC), so (band, within-band order) is the same total order as the
+    ORDER BY. Within-band row numbers are bounded per task by band
+    volume; band offsets come from a broadcast theta self-join over the
+    tiny per-band count table (lexicographic "strictly earlier band"
+    predicate). The final ORDER BY itself stays Spark's range-partitioned
+    sort — already scale-safe. Oracle unchanged: the value-hash match
+    proves equivalence to the plain global window.
+    """
     o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
     order = [
         F.col("o_orderstatus").asc(),
         F.col("o_totalprice").desc_nulls_last(),
         F.col("o_orderkey").asc(),
     ]
-    return o.orderBy(*order).select(
-        "o_orderkey",
-        "o_orderstatus",
-        F.round("o_totalprice", 2).alias("o_totalprice"),
-        F.row_number().over(W.orderBy(*order)).cast("bigint").alias("sort_rank"),
+    # -floor(price/10k) ascends as price descends → band order == sort order
+    nb = -F.floor(F.col("o_totalprice") / F.lit(10_000.0)).cast("long")
+    b = o.withColumn("nb", nb)
+    w_in = W.partitionBy("o_orderstatus", "nb").orderBy(
+        F.col("o_totalprice").desc_nulls_last(), F.col("o_orderkey").asc()
+    )
+    within = b.withColumn("within", F.row_number().over(w_in))
+    counts = b.groupBy("o_orderstatus", "nb").agg(F.count(F.lit(1)).alias("n"))
+    earlier = (F.col("p.o_orderstatus") < F.col("a.o_orderstatus")) | (
+        (F.col("p.o_orderstatus") == F.col("a.o_orderstatus"))
+        & (F.col("p.nb") < F.col("a.nb"))
+    )
+    offsets = (
+        counts.alias("a")
+        .join(F.broadcast(counts.alias("p")), earlier, "left")
+        .groupBy(
+            F.col("a.o_orderstatus").alias("o_orderstatus"),
+            F.col("a.nb").alias("nb"),
+        )
+        .agg(F.coalesce(F.sum("p.n"), F.lit(0)).alias("off"))
+    )
+    return (
+        within.join(F.broadcast(offsets), ["o_orderstatus", "nb"])
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            (F.col("within") + F.col("off")).cast("bigint").alias("sort_rank"),
+        )
+        .orderBy("sort_rank")
     )
 
 

@@ -135,14 +135,71 @@ def q_win_frame_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_win_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distribution functions: ntile / percent_rank / cume_dist."""
-    o = load(spark, sf_dir, "orders")
-    w = W.orderBy("o_totalprice", "o_orderkey")
-    return o.select(
+    """Distribution functions: ntile / percent_rank / cume_dist —
+    WITHOUT a global single-partition window (VERDICT r07 item 3).
+
+    The naive `W.orderBy(...)` with no partitionBy moves every row to
+    ONE task ("No Partition Defined for Window" warning) — correct at
+    sf0.1, a scale-killer at 100 TB. This is the global analogue of
+    causal_sequence_skewsafe's two-level construction:
+
+    1. value-bucket the leading sort key into fixed-width bands (at
+       100 TB the band boundaries would come from approxQuantile
+       sampling, exactly like Spark's own RangePartitioner — the band
+       column only affects task sizing, never results);
+    2. per-band counts (one row per band) → exclusive prefix sums via
+       a broadcast theta self-join over that tiny table, so NO
+       unpartitioned window exists anywhere in the plan;
+    3. global row number = band offset + within-band row_number; the
+       order keys end in the unique o_orderkey, so rank == row_number
+       (tie-free) and the distribution functions are closed forms:
+       percent_rank = (rn-1)/(N-1), cume_dist = rn/N, and ntile(k)
+       gives the first (N mod k) tiles ceil(N/k) rows (the SQL-standard
+       split Spark and DuckDB both implement).
+
+    The oracle is still the plain global-window SQL — the value-hash
+    match proves the construction equivalent.
+    """
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    band = F.floor(F.col("o_totalprice") / F.lit(25_000.0)).cast("long")
+    b = o.withColumn("band", band)
+    w_in = W.partitionBy("band").orderBy("o_totalprice", "o_orderkey")
+    within = b.withColumn("within", F.row_number().over(w_in))
+    counts = b.groupBy("band").agg(F.count(F.lit(1)).alias("n"))
+    offsets = (
+        counts.alias("a")
+        .join(
+            F.broadcast(counts.alias("p")),
+            F.col("p.band") < F.col("a.band"),
+            "left",
+        )
+        .groupBy(F.col("a.band").alias("band"))
+        .agg(F.coalesce(F.sum("p.n"), F.lit(0)).alias("off"))
+    )
+    total = counts.agg(F.sum("n").cast("bigint").alias("n_total"))
+    ranked = (
+        within.join(F.broadcast(offsets), "band")
+        .withColumn("rn", (F.col("within") + F.col("off")).cast("bigint"))
+        .crossJoin(F.broadcast(total))
+    )
+    k = 4
+    q = F.floor(F.col("n_total") / k)
+    r = F.col("n_total") % k
+    big = r * (q + 1)  # rows living in the (N mod k) larger tiles
+    tile = F.when(
+        F.col("rn") <= big, F.floor((F.col("rn") - 1) / (q + 1)) + 1
+    ).otherwise(r + F.floor((F.col("rn") - big - 1) / q) + 1)
+    return ranked.select(
         "o_orderkey",
-        F.ntile(4).over(w).cast("bigint").alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        tile.cast("bigint").alias("quartile"),
+        F.round(
+            F.when(
+                F.col("n_total") > 1,
+                (F.col("rn") - 1) / (F.col("n_total") - 1),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("pct_rank"),
+        F.round(F.col("rn") / F.col("n_total"), 6).alias("cume"),
     )
 
 
