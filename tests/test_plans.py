@@ -144,6 +144,9 @@ CARTESIAN_OK = {
     "q_text_heavy_hitters",  # 1-row token-total broadcast crossed in
     "q_tpch_q22",  # 1-row avg-balance threshold broadcast crossed in
     "q_sim_pq_recall",  # bounded NQ-query exact-NN eval side crossed in
+    "q_sim_ivfadc",  # broadcast 16-centroid coarse-assignment fan-out
+    "q_sim_ivfadc_recall",  # same fan-out + bounded exact-NN eval side
+    "q_win_dist",  # 1-row N-total scalar broadcast crossed in
 }
 
 
@@ -536,6 +539,18 @@ def test_topk_with_ties_uses_window_group_limit(spark):
     df = _registry()["q_topk_with_ties"].fn(spark, SF_SMOKE)
     df.collect()
     assert "WindowGroupLimit" in _plan(df).split("== Initial Plan ==")[0]
+
+
+def test_ivfadc_search_is_code_only_broadcast_joins(spark):
+    """IVFADC's serving claims made physical: the LUT and codebook
+    reach the candidate side as BROADCAST hash joins (constant-size
+    model state), and no Python UDF appears anywhere — train, encode,
+    and ADC are all JVM-side expressions."""
+    df = _registry()["q_sim_ivfadc"].fn(spark, SF_SMOKE)
+    df.collect()
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
 def test_join_lateral_decorrelates(spark):

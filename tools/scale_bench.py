@@ -68,6 +68,10 @@ HEAVY = {
     # corpus (see q_dedup_embedding_pruned's asymptotics docstring)
     "q_dedup_embedding_pruned": "quadratic_by_fixture",
     "q_dedup_embedding_recall": "quadratic_by_fixture",
+    # scale-aware sampled exact yardstick (constant ~125k-pair budget,
+    # VERDICT r07 item 5): enumerated pairs are O(1) in corpus size, so
+    # wall should stay near-flat as rows triple — linear alarm applies
+    "q_dedup_embedding": "linear",
 }
 LINEAR_ALARM = 4.5  # 3x rows + 50% scheduling/shuffle slack
 QUADRATIC_ALARM = 13.5  # 9x candidates + 50% slack
