@@ -868,12 +868,21 @@ class _StreamingIndexDedup:
                     f"dedup index corrupt: manifest names missing dir {cd}"
                 )
             dirs.append(cd)
-        dirs += [
-            os.path.join(self.index_dir, f"batch_id={b}")
-            for b in sorted(os.listdir(self.commits_dir), key=int)
-            if int(b) > covers
-            and os.path.isdir(os.path.join(self.index_dir, f"batch_id={b}"))
-        ]
+        for b in sorted(os.listdir(self.commits_dir), key=int):
+            if int(b) <= covers:
+                continue
+            bd = os.path.join(self.index_dir, f"batch_id={b}")
+            if not os.path.isdir(bd):
+                # same corruption class as a missing manifested dir
+                # (ADVICE r07): the commit marker is written only AFTER
+                # the batch dir, and a batch newer than the manifest's
+                # coverage has no other copy — skipping it would
+                # silently mark its known duplicates as novel.
+                raise RuntimeError(
+                    f"dedup index corrupt: commit marker for batch {b} "
+                    f"exists but dir {bd} is missing"
+                )
+            dirs.append(bd)
         return dirs
 
     def _committed_index(self, spark: SparkSession) -> DataFrame | None:

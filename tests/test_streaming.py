@@ -1371,3 +1371,23 @@ def test_missing_manifested_dir_fails_loudly(spark, tmp_path):
     shutil.rmtree(os.path.join(sink.index_dir, m["compacted_dir"]))
     with pytest.raises(RuntimeError, match="corrupt"):
         sink._committed_index(spark)
+
+
+def test_missing_committed_batch_dir_fails_loudly(spark, tmp_path):
+    """Same corruption class, other branch (ADVICE r07): a commit
+    marker NEWER than the manifest's coverage whose batch dir is gone
+    must raise too — that batch has no other copy, so skipping it
+    would silently mark its known duplicates as novel."""
+    import shutil
+
+    from distributed_causal_stream_processing_spark.streaming import jobs
+
+    d = str(tmp_path / "docs_stream")
+    jobs.stage_documents_as_stream_dir(spark, SF_SMOKE, d)
+    sink = jobs.run_streaming_content_dedup(spark, d, str(tmp_path / "dedup"))
+    committed = sorted(os.listdir(sink.commits_dir), key=int)
+    assert committed, "expected at least one committed batch"
+    # no compaction ran, so every committed batch is newer than coverage
+    shutil.rmtree(os.path.join(sink.index_dir, f"batch_id={committed[-1]}"))
+    with pytest.raises(RuntimeError, match="corrupt"):
+        sink._committed_index(spark)
