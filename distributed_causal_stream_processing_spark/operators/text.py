@@ -55,11 +55,15 @@ def q_text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    # top-20 FIRST via TakeOrderedAndProject (k rows per partition at
+    # any scale), THEN rank the 20 survivors — the rank window's input
+    # is bounded at k rows, never the vocabulary (the naive
+    # rank-then-limit form windows the full vocab in one task)
     w = W.orderBy(F.desc("n"), F.asc("word"))
     return (
-        counts.select("word", "n", F.row_number().over(w).cast("bigint").alias("rnk"))
-        .orderBy(F.desc("n"), F.asc("word"))
+        counts.orderBy(F.desc("n"), F.asc("word"))
         .limit(20)
+        .select("word", "n", F.row_number().over(w).cast("bigint").alias("rnk"))
     )
 
 

@@ -118,23 +118,52 @@ def write_zordered(
     OPTIMIZE ZORDER in lakehouse table formats, reproduced with plain
     expressions + repartitionByRange — no table format required.
 
-    Rank normalization uses percent_rank * (2^bits - 1): distribution-
-    robust (skew cannot collapse the curve) at the cost of one window
-    per z-column at WRITE time — a once-per-layout cost, not a query
-    cost; production would swap in approx-quantile bucketing to avoid
-    the global sort windows on TB-scale writes.
+    Rank normalization is equi-depth APPROX-QUANTILE bucketING:
+    one aggregation pass computes 2^bits - 1 percentile_approx
+    boundaries for every numeric z-column at once (constant-size
+    driver result), and each row's code is the count of boundaries
+    below its value — distribution-robust (skew cannot collapse the
+    curve, matching percent_rank's behavior) with NO global sort
+    window anywhere, so the write path scales to TB inputs. The
+    boundary comparison is a literal-array filter — codegen'd JVM
+    expressions, O(2^bits) comparisons per row, a write-time-only
+    cost. Non-numeric z-columns (no percentile_approx support) fall
+    back to the percent_rank window — acceptable for small dimension
+    keys, documented single-task for large ones.
     """
     from pyspark.sql import Window as W
+    from pyspark.sql.types import NumericType
 
+    nb = (1 << bits) - 1  # boundary count; codes land in [0, nb]
+    numeric = [
+        c
+        for c in zorder_by
+        if isinstance(df.schema[c].dataType, NumericType)
+    ]
+    bounds: dict[str, list] = {}
+    if numeric:
+        probs = F.array(*[F.lit((i + 1) / (nb + 1)) for i in range(nb)])
+        row = df.agg(
+            *[
+                F.percentile_approx(F.col(c).cast("double"), probs).alias(c)
+                for c in numeric
+            ]
+        ).head()
+        bounds = {c: list(row[c]) for c in numeric}
     norm = df
     zcols = []
     for c in zorder_by:
         nc = f"__z_{c}"
-        norm = norm.withColumn(
-            nc,
-            (F.percent_rank().over(W.orderBy(F.col(c))) * ((1 << bits) - 1))
-            .cast("long"),
-        )
+        if c in bounds:
+            barr = F.array(*[F.lit(float(b)) for b in bounds[c]])
+            code = F.size(
+                F.filter(barr, lambda b: b < F.col(c).cast("double"))
+            )
+        else:
+            code = (
+                F.percent_rank().over(W.orderBy(F.col(c))) * ((1 << bits) - 1)
+            )
+        norm = norm.withColumn(nc, code.cast("long"))
         zcols.append(nc)
     keyed = norm.withColumn("__zkey", zorder_key(zcols, bits))
     out = (
