@@ -113,13 +113,31 @@ def q_win_frame_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_win_frame_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Value-based RANGE frame: parts within ±2 of each size."""
+    """Value-based RANGE frame: parts within ±2 of each size —
+    WITHOUT the naive unpartitioned RANGE window (which moves the whole
+    table to one task, the q_win_dist trap with a frame attached).
+
+    A RANGE count frame depends only on the ORDER value, so it
+    aggregates: per-size counts (one row per distinct size), a
+    broadcast band self-join sums each size's ±2 neighborhood over
+    that tiny table, and a broadcast join fans the result back onto
+    the rows. Frame semantics survive because every row with the same
+    p_size has the same frame. Oracle unchanged — hash match proves
+    the rewrite."""
     p = load(spark, sf_dir, "part")
-    w = W.orderBy("p_size").rangeBetween(-2, 2)
-    return p.select(
-        "p_partkey",
-        "p_size",
-        F.count(F.lit(1)).over(w).cast("bigint").alias("n_similar_size"),
+    sizes = p.groupBy("p_size").agg(F.count(F.lit(1)).alias("n"))
+    near = (
+        sizes.alias("a")
+        .join(
+            F.broadcast(sizes.alias("b")),
+            (F.col("b.p_size") >= F.col("a.p_size") - 2)
+            & (F.col("b.p_size") <= F.col("a.p_size") + 2),
+        )
+        .groupBy(F.col("a.p_size").alias("p_size"))
+        .agg(F.sum("b.n").cast("bigint").alias("n_similar_size"))
+    )
+    return p.select("p_partkey", "p_size").join(F.broadcast(near), ["p_size"]).select(
+        "p_partkey", "p_size", "n_similar_size"
     )
 
 

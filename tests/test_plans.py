@@ -520,6 +520,16 @@ def test_win_dist_no_global_single_partition_window(spark):
     assert all(_is_partitioned_window(n) for n in nodes), nodes
 
 
+def test_win_frame_range_aggregates_not_windows(spark):
+    """q_win_frame_range's ±2-size RANGE count depends only on the
+    order value, so it must compile to per-size aggregation + broadcast
+    band join — NO Window node at all (the naive unpartitioned RANGE
+    frame would single-task the whole table)."""
+    df = _registry()["q_win_frame_range"].fn(spark, SF_SMOKE)
+    df.collect()
+    assert not _window_nodes(_plan(df).split("== Initial Plan ==")[0])
+
+
 def test_sort_multi_rank_no_global_single_partition_window(spark):
     """q_sort_multi's sort_rank column must come from the banded
     two-level construction, not row_number over an unpartitioned
