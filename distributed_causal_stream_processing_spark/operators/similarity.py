@@ -2477,3 +2477,85 @@ def q_sim_ivfadc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cand_frac"),
         )
     )
+
+
+PQ_RERANK = 10  # ADC shortlist size handed to the exact re-rank stage
+
+
+@query(
+    "q_sim_ivfadc_rerank",
+    oracle=_pq_duck(pre_ctes=_IVFADC_PRE, sub_cte=_IVFADC_SUB)
+    + _IVFADC_SEARCH
+    + f"""
+    , short AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY adc_dist, neighbor_id) AS rn
+            FROM adc)
+        WHERE rn <= {PQ_RERANK}),
+    rer AS (
+        SELECT s.query_id, s.neighbor_id,
+               round(list_sum([
+                   (CAST(q.embedding[j] AS DOUBLE)
+                    - CAST(n.embedding[j] AS DOUBLE)) ** 2
+                   for j in range(1, {DIM + 1})]), 4) AS l2_dist
+        FROM short s
+        JOIN embeddings q ON q.vec_id = s.query_id
+        JOIN embeddings n ON n.vec_id = s.neighbor_id)
+    SELECT query_id, neighbor_id, l2_dist FROM (
+        SELECT query_id, neighbor_id, l2_dist,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY l2_dist, neighbor_id) AS rn
+        FROM rer)
+    WHERE rn = 1
+    """,
+)
+def q_sim_ivfadc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC + exact RE-RANK — the full two-stage production serving
+    pattern: the code-only ADC pass shortlists PQ_RERANK candidates
+    per query, and only those NQ*PQ_RERANK float vectors are fetched
+    for an exact L2 re-rank (Jegou et al. §V's "re-ranking with source
+    coding" simplified to exact distances, as FAISS's IVFADC+refine
+    does). Quantization error then only matters if it pushes the true
+    neighbor out of the top-R entirely, so recall approaches the cell
+    hit-rate ceiling while the scan stays codes-only.
+
+    Scale: the re-rank join touches R rows per query — the shortlist
+    is broadcast against the corpus (equi join on vec_id, pruned by
+    the parquet reader at 100 TB via the runtime bloom/DPP machinery),
+    never a second pass over the code table."""
+    e, adc = _ivfadc_parts(spark, sf_dir)
+    ws = W.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    short = (
+        adc.withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") <= PQ_RERANK)
+        .select("query_id", "neighbor_id")
+    )
+    l2 = F.round(
+        F.aggregate(
+            F.zip_with(F.col("qe"), F.col("ne"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        4,
+    )
+    rer = (
+        short.join(
+            e.select(F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")),
+            ["query_id"],
+        )
+        .join(
+            e.select(F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("ne")),
+            ["neighbor_id"],
+        )
+        .select("query_id", "neighbor_id", l2.alias("l2_dist"))
+    )
+    wr = W.partitionBy("query_id").orderBy("l2_dist", "neighbor_id")
+    return (
+        rer.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "neighbor_id", "l2_dist")
+    )

