@@ -2252,26 +2252,33 @@ _IVFADC_SEARCH = f"""
         GROUP BY 1, 2)"""
 
 
-def _ivfadc_parts(spark: SparkSession, sf_dir: str):
-    """Shared IVFADC pipeline: returns (e, n_corpus_df, adc) where adc
-    is the per-(query, candidate) code-only distance table. Coarse
-    distances use the same left-fold d2 as the oracle's list_sum, so
-    cell assignment (argmin with cell_id tie-break) is bit-identical
-    across engines; PQ then trains on residuals with the unchanged
-    _pq_codebook machinery."""
+def _coarse_d2() -> Column:
+    """Left-fold squared L2 between emb and cemb — bit-equal to the
+    oracle's list_sum comprehension, so coarse cell assignment (argmin
+    with cell_id tie-break) is identical across engines."""
+    return F.aggregate(
+        F.zip_with(F.col("emb"), F.col("cemb"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def ivfadc_index(spark: SparkSession, sf_dir: str):
+    """Build the IVFADC index over the embeddings corpus: returns
+    (cent, cb_df, codes) — the broadcastable centroid table, the
+    trained residual-PQ codebook (M*K*dsub constants), and the
+    cell-tagged 4-byte code table, the only corpus-sized artifact.
+    This is the offline half of the serving stack; ivfadc_score probes
+    it with any query-vector DataFrame (the registered batch queries
+    and the streaming probe share it)."""
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("emb")
     )
     cent = e.filter(F.col("vec_id") < N_CELLS).select(
         F.col("vec_id").alias("cell_id"), F.col("emb").alias("cemb")
     )
-    cd2 = F.aggregate(
-        F.zip_with(F.col("emb"), F.col("cemb"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
     cd = e.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "cell_id", cd2.alias("cd2")
+        "vec_id", "cell_id", _coarse_d2().alias("cd2")
     )
     # argmin cell per vector: min(struct) — partial-aggregating, no window
     best = (
@@ -2295,18 +2302,24 @@ def _ivfadc_parts(spark: SparkSession, sf_dir: str):
         .select("vec_id", "sub_no", "code")
         .join(best, ["vec_id"])
     )
-    wq = W.partitionBy("vec_id").orderBy("cd2", "cell_id")
-    probes = (
-        cd.filter(F.col("vec_id") < PQ_NQ)
-        .withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= N_PROBE)
-        .select(F.col("vec_id").alias("query_id"), "cell_id")
-    )
+    return cent, cb_df, codes
+
+
+def ivfadc_score(queries_df: DataFrame, cent: DataFrame, cb_df: DataFrame,
+                 codes: DataFrame) -> DataFrame:
+    """Score (query_id, emb) rows against an ivfadc_index: probe each
+    query's N_PROBE nearest cells, build the per-(query, cell) residual
+    LUT, and ADC-score the probed cells' codes. Returns the
+    per-(query_id, neighbor_id) adc_dist table. Pure DataFrame ops —
+    safe inside foreachBatch (the streaming probe calls it per
+    micro-batch with the index DataFrames built once)."""
+    qcd = queries_df.select(F.col("query_id"), F.col("emb")).crossJoin(
+        F.broadcast(cent)
+    ).select("query_id", "cell_id", "emb", "cemb", _coarse_d2().alias("cd2"))
+    wq = W.partitionBy("query_id").orderBy("cd2", "cell_id")
     qres = (
-        probes.join(
-            e.select(F.col("vec_id").alias("query_id"), "emb"), ["query_id"]
-        )
-        .join(F.broadcast(cent), ["cell_id"])
+        qcd.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= N_PROBE)
         .select(
             "query_id",
             "cell_id",
@@ -2325,13 +2338,25 @@ def _ivfadc_parts(spark: SparkSession, sf_dir: str):
     lut = qsub.join(F.broadcast(cb_df), ["sub_no"]).select(
         "query_id", "cell_id", "sub_no", "code", _pq_d2("sv", "c").alias("d2")
     )
-    adc = (
+    return (
         codes.join(F.broadcast(lut), ["cell_id", "sub_no", "code"])
         .filter(F.col("vec_id") != F.col("query_id"))
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
         .agg(F.round(_fold_by_sub("d2"), 4).alias("adc_dist"))
     )
-    return e, adc
+
+
+def _ivfadc_parts(spark: SparkSession, sf_dir: str):
+    """Registered-query wiring: index over the corpus, queries =
+    vectors vec_id < PQ_NQ, per-(query, candidate) adc table."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("emb")
+    )
+    cent, cb_df, codes = ivfadc_index(spark, sf_dir)
+    queries_df = e.filter(F.col("vec_id") < PQ_NQ).select(
+        F.col("vec_id").alias("query_id"), "emb"
+    )
+    return e, ivfadc_score(queries_df, cent, cb_df, codes)
 
 
 @query(

@@ -1101,3 +1101,75 @@ def run_streaming_embedding_dedup(
     return _run_index_dedup(
         StreamingEmbeddingDedup(root), spark, emb_stream_dir, EMBEDDING_SCHEMA
     )
+
+
+def run_streaming_ivfadc(
+    spark: SparkSession,
+    query_stream_dir: str,
+    sf_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    k: int = 1,
+) -> None:
+    """ANN SERVING as a streaming job: top-k IVFADC neighbors for an
+    unbounded stream of query vectors, against an index built ONCE at
+    job start — the online half of the ivfadc_index/ivfadc_score split
+    (operators/similarity.py). Each micro-batch probes the same
+    localCheckpointed code table and broadcast centroid/codebook
+    constants the registered batch queries use, so streaming results
+    are BIT-IDENTICAL to q_sim_ivfadc on the same query set
+    (pytest-pinned in tests/test_streaming.py).
+
+    At 100 TB: the per-batch work is the query-side only — coarse
+    assignment against broadcast centroids, one LUT per (query, probed
+    cell), and an equi join into the cell-partitioned code table; the
+    corpus is never rescanned or re-encoded. Results append to a
+    parquet dir per batch; a production deployment would wrap the
+    write in IdempotentForeachBatchSink's write-then-commit protocol
+    for effectively-once replay (the simple append here is the
+    demo-sink shortcut, same as the noop probes in bench.py)."""
+    from pyspark.sql import Window as W
+
+    from distributed_causal_stream_processing_spark.operators.similarity import (
+        as_double,
+        ivfadc_index,
+        ivfadc_score,
+    )
+
+    cent, cb_df, codes = ivfadc_index(spark, sf_dir)
+    # materialize the encode ONCE; micro-batches only probe
+    cent = cent.localCheckpoint(eager=True)
+    codes = codes.localCheckpoint(eager=True)
+
+    def probe(batch_df: DataFrame, batch_id: int) -> None:
+        q = batch_df.select(
+            F.col("vec_id").alias("query_id"),
+            as_double("embedding").alias("emb"),
+        )
+        adc = ivfadc_score(q, cent, cb_df, codes)
+        w = W.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+        (
+            adc.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select(
+                "query_id",
+                "neighbor_id",
+                "adc_dist",
+                F.col("rn").cast("bigint").alias("rnk"),
+            )
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    src = (
+        spark.readStream.schema(EMBEDDING_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(query_stream_dir)
+    )
+    q = (
+        src.writeStream.foreachBatch(probe)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1373,6 +1373,51 @@ def test_missing_manifested_dir_fails_loudly(spark, tmp_path):
         sink._committed_index(spark)
 
 
+def test_streaming_ivfadc_matches_batch(spark, tmp_path):
+    """ANN serving as a stream: IVFADC top-1 results for query vectors
+    arriving across TWO micro-batches must be bit-identical to the
+    registered batch q_sim_ivfadc over the same query set — the index
+    is built once, micro-batches only probe it."""
+    import glob
+    import time as _time
+
+    from distributed_causal_stream_processing_spark.io import load
+    from distributed_causal_stream_processing_spark.operators.similarity import PQ_NQ
+    from distributed_causal_stream_processing_spark.plans.registry import (
+        all_queries,
+    )
+    from distributed_causal_stream_processing_spark.streaming import jobs
+
+    qdir = str(tmp_path / "queries")
+    # stage the PQ_NQ query vectors as two mtime-ordered files so the
+    # file source replays them as two micro-batches
+    e = load(spark, SF_SMOKE, "embeddings").filter(F.col("vec_id") < PQ_NQ)
+    seen: set[str] = set()
+    for i, part in enumerate(
+        (e.filter(F.col("vec_id") < PQ_NQ // 2), e.filter(F.col("vec_id") >= PQ_NQ // 2))
+    ):
+        part.coalesce(1).write.mode("overwrite" if i == 0 else "append").parquet(qdir)
+        new = set(glob.glob(os.path.join(qdir, "part-*.parquet"))) - seen
+        seen |= new
+        t = _time.time() + 1000 * i
+        for f in new:
+            os.utime(f, (t, t))
+
+    out = str(tmp_path / "results")
+    jobs.run_streaming_ivfadc(
+        spark, qdir, SF_SMOKE, out, str(tmp_path / "ck"), k=1
+    )
+    got = {
+        (r.query_id, r.neighbor_id, r.adc_dist)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r.query_id, r.neighbor_id, r.adc_dist)
+        for r in all_queries()["q_sim_ivfadc"](spark, SF_SMOKE).collect()
+    }
+    assert got == want and len(got) == PQ_NQ
+
+
 def test_missing_committed_batch_dir_fails_loudly(spark, tmp_path):
     """Same corruption class, other branch (ADVICE r07): a commit
     marker NEWER than the manifest's coverage whose batch dir is gone
