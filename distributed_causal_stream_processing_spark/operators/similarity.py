@@ -177,16 +177,20 @@ def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~B²·k survivors, not n² pairs.
     """
     pairs = _blocked_cosine_pairs(spark, sf_dir, local_topk=20)
+    # global top-20 via TakeOrderedAndProject FIRST (k rows per
+    # partition over the block-survivor set, which grows with corpus
+    # size), THEN rank the bounded 20 — never an unpartitioned window
+    # over all survivors
     w = W.orderBy(F.desc("sim"), F.asc("vec_a"), F.asc("vec_b"))
     return (
-        pairs.select(
+        pairs.orderBy(F.desc("sim"), F.asc("vec_a"), F.asc("vec_b"))
+        .limit(20)
+        .select(
             "vec_a",
             "vec_b",
             F.round("sim", 4).alias("cos_sim"),
             F.row_number().over(w).cast("bigint").alias("rnk"),
         )
-        .orderBy(F.asc("rnk"))
-        .limit(20)
     )
 
 
