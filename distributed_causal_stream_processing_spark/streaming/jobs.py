@@ -1107,27 +1107,25 @@ def run_streaming_ivfadc(
     spark: SparkSession,
     query_stream_dir: str,
     sf_dir: str,
-    out_dir: str,
+    out_root: str,
     checkpoint_dir: str,
     k: int = 1,
-) -> None:
+) -> IdempotentForeachBatchSink:
     """ANN SERVING as a streaming job: top-k IVFADC neighbors for an
     unbounded stream of query vectors, against an index built ONCE at
     job start — the online half of the ivfadc_index/ivfadc_score split
     (operators/similarity.py). Each micro-batch probes the same
     localCheckpointed code table and broadcast centroid/codebook
     constants the registered batch queries use, so streaming results
-    are BIT-IDENTICAL to q_sim_ivfadc on the same query set
-    (pytest-pinned in tests/test_streaming.py).
+    are BIT-IDENTICAL to q_sim_ivfadc on the same query set, and the
+    results land through IdempotentForeachBatchSink's write-then-commit
+    protocol — a replayed batch after a crash cannot duplicate answers
+    (both pytest-pinned in tests/test_streaming.py).
 
     At 100 TB: the per-batch work is the query-side only — coarse
     assignment against broadcast centroids, one LUT per (query, probed
     cell), and an equi join into the cell-partitioned code table; the
-    corpus is never rescanned or re-encoded. Results append to a
-    parquet dir per batch; a production deployment would wrap the
-    write in IdempotentForeachBatchSink's write-then-commit protocol
-    for effectively-once replay (the simple append here is the
-    demo-sink shortcut, same as the noop probes in bench.py)."""
+    corpus is never rescanned or re-encoded."""
     from pyspark.sql import Window as W
 
     from distributed_causal_stream_processing_spark.operators.similarity import (
@@ -1140,6 +1138,7 @@ def run_streaming_ivfadc(
     # materialize the encode ONCE; micro-batches only probe
     cent = cent.localCheckpoint(eager=True)
     codes = codes.localCheckpoint(eager=True)
+    sink = IdempotentForeachBatchSink(out_root)
 
     def probe(batch_df: DataFrame, batch_id: int) -> None:
         q = batch_df.select(
@@ -1148,7 +1147,7 @@ def run_streaming_ivfadc(
         )
         adc = ivfadc_score(q, cent, cb_df, codes)
         w = W.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
-        (
+        top = (
             adc.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= k)
             .select(
@@ -1157,9 +1156,8 @@ def run_streaming_ivfadc(
                 "adc_dist",
                 F.col("rn").cast("bigint").alias("rnk"),
             )
-            .write.mode("append")
-            .parquet(out_dir)
         )
+        sink.process(top, batch_id)
 
     src = (
         spark.readStream.schema(EMBEDDING_SCHEMA)
@@ -1173,3 +1171,4 @@ def run_streaming_ivfadc(
         .start()
     )
     q.awaitTermination()
+    return sink

@@ -1404,18 +1404,23 @@ def test_streaming_ivfadc_matches_batch(spark, tmp_path):
             os.utime(f, (t, t))
 
     out = str(tmp_path / "results")
-    jobs.run_streaming_ivfadc(
+    sink = jobs.run_streaming_ivfadc(
         spark, qdir, SF_SMOKE, out, str(tmp_path / "ck"), k=1
     )
     got = {
         (r.query_id, r.neighbor_id, r.adc_dist)
-        for r in spark.read.parquet(out).collect()
+        for r in sink.read_all(spark).collect()
     }
     want = {
         (r.query_id, r.neighbor_id, r.adc_dist)
         for r in all_queries()["q_sim_ivfadc"](spark, SF_SMOKE).collect()
     }
     assert got == want and len(got) == PQ_NQ
+    # effectively-once: redelivering an already-committed batch through
+    # the sink must be a no-op (write-then-commit marker protocol)
+    replay = sink.read_all(spark).filter(F.col("rnk") == 1).drop("rnk")
+    sink.process(replay, 0)
+    assert sink.read_all(spark).count() == PQ_NQ
 
 
 def test_missing_committed_batch_dir_fails_loudly(spark, tmp_path):
