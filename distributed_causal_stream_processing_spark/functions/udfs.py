@@ -22,13 +22,19 @@ from distributed_causal_stream_processing_spark.plans.registry import query
     "q_udf_scalar",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS charged
+           floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) / 100
+               AS charged
     FROM lineitem
     WHERE l_orderkey < 300
     """,
 )
 def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Row-scalar Python UDF (arrow-optimized) computing the charge expr."""
+    """Row-scalar Python UDF (arrow-optimized) computing the charge
+    expr, truncated to cents by FLOOR-SCALING rather than round(x, 2):
+    the raw double product lands exactly on a half-cent boundary for
+    some sf0.1 rows, where Spark's HALF_UP and DuckDB's rint disagree
+    systematically (the SURVEY §7.4 tie class) — floor of the identical
+    product has no tie."""
 
     @F.udf(returnType=DoubleType(), useArrow=True)
     def charge(price: float, disc: float, tax: float) -> float:
@@ -38,7 +44,9 @@ def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(charge("l_extendedprice", "l_discount", "l_tax"), 2).alias("charged"),
+        (
+            F.floor(charge("l_extendedprice", "l_discount", "l_tax") * 100) / 100
+        ).alias("charged"),
     )
 
 

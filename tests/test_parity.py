@@ -32,6 +32,16 @@ def duck_sf0001():
     con.close()
 
 
+@pytest.fixture(scope="session")
+def duck_sf01():
+    import duckdb
+
+    con = duckdb.connect()
+    register_duck_views(con, "/root/testdata/sf0.1")
+    yield con
+    con.close()
+
+
 def pytest_generate_tests(metafunc):
     if "query_name" in metafunc.fixturenames:
         metafunc.parametrize("query_name", sorted(_registry()))
@@ -279,3 +289,22 @@ def test_tie_prone_queries_parity_at_sf0001(tie_query, spark, duck_sf0001):
     keeps any future round() from reintroducing the tie."""
     spec = _registry()[tie_query]
     compare(spec.fn(spark, "/root/testdata/sf0.001"), duck_sf0001, spec.oracle)
+
+
+@pytest.mark.parametrize(
+    "tie_query",
+    [
+        # round 8: the raw charge product lands exactly on a half-cent
+        # boundary for some sf0.1 rows (and only there) — now
+        # floor-scaled; this pin keeps round(x, 2) from coming back.
+        "q_udf_scalar",
+    ],
+)
+def test_tie_prone_queries_parity_at_sf01(tie_query, spark, duck_sf01):
+    """Ties are SCALE-DEPENDENT (SURVEY §7.4): a query green at
+    sf0.001 and sf0.01 can still sit on the half-grid at sf0.1, so
+    the tie gate needs a row at the bench scale too. Queries listed
+    here stay cheap at sf0.1 (tight key filters) so the gate adds
+    seconds, not minutes."""
+    spec = _registry()[tie_query]
+    compare(spec.fn(spark, "/root/testdata/sf0.1"), duck_sf01, spec.oracle)
