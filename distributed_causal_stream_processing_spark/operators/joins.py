@@ -520,7 +520,7 @@ def q_join_salted_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_merge_upsert",
     oracle="""
     WITH upd AS (
-        SELECT o_orderkey, round(o_totalprice * 1.1, 2) AS new_price
+        SELECT o_orderkey, floor(o_totalprice * 110) / 100 AS new_price
         FROM orders WHERE o_orderkey % 97 = 0
     ),
     del AS (
@@ -542,7 +542,7 @@ def q_join_salted_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT o_orderstatus,
            CAST(count(*) AS BIGINT) AS n_orders,
-           round(sum(o_totalprice), 2) AS total
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM merged
     GROUP BY o_orderstatus
     """,
@@ -564,7 +564,7 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     t = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
     upd = t.filter(F.col("o_orderkey") % 97 == 0).select(
-        "o_orderkey", F.round(F.col("o_totalprice") * 1.1, 2).alias("new_price")
+        "o_orderkey", (F.floor(F.col("o_totalprice") * 110) / 100).alias("new_price")
     )
     dele = t.filter(F.col("o_orderkey") % 101 == 0).select("o_orderkey")
     ins = t.filter(F.col("o_orderkey") % 103 == 0).select(
@@ -584,7 +584,7 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return merged.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
     )
 
 
@@ -598,7 +598,7 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM customer
     ),
     chg AS (
-        SELECT c_custkey, round(c_acctbal * 1.1, 2) AS new_acctbal,
+        SELECT c_custkey, floor(c_acctbal * 110) / 100 AS new_acctbal,
                TIMESTAMP '1997-06-01' AS eff_ts
         FROM customer WHERE c_custkey % 10 = 3
     ),
@@ -645,7 +645,7 @@ def q_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_custkey") % 10 == 3)
         .select(
             "c_custkey",
-            F.round(F.col("c_acctbal") * 1.1, 2).alias("new_acctbal"),
+            (F.floor(F.col("c_acctbal") * 110) / 100).alias("new_acctbal"),
             eff.alias("eff_ts"),
         )
     )
@@ -848,7 +848,7 @@ def q_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM customer
     ),
     chg AS (
-        SELECT c_custkey, round(c_acctbal * 1.1, 2) AS new_acctbal,
+        SELECT c_custkey, floor(c_acctbal * 110) / 100 AS new_acctbal,
                TIMESTAMP '1997-06-01' AS eff_ts
         FROM customer WHERE c_custkey % 10 = 3
     ),
