@@ -597,3 +597,92 @@ def test_skewsafe_sequence_matches_plain_on_hot_key(spark):
         ).collect()
     }
     assert got == want
+
+
+def _stage_orders(spark, tmp_path, rows):
+    """Write a minimal orders table (o_orderkey, o_totalprice) that
+    q_win_dist / q_sort_multi can load from a tmp sf_dir."""
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderstatus string, o_totalprice double"
+    )
+    d = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{d}/orders.parquet")
+    return d
+
+
+def test_banded_win_dist_matches_brute_force_on_ties(spark, tmp_path):
+    """The two-level band construction behind q_win_dist must agree
+    with the textbook ntile/percent_rank/cume_dist formulas on a
+    distribution the fixture never shows: heavy ties (many rows share
+    a price, so whole bands collapse to one value), negative prices
+    (negative band ids — floor must stay monotone), and n % k != 0
+    (uneven ntile split)."""
+    import math
+
+    from distributed_causal_stream_processing_spark.plans.registry import (
+        REGISTRY,
+        _load_all,
+    )
+
+    _load_all()
+    prices = [100.0, 100.0, 100.0, -50.25, -50.25, 0.0, 26_000.0, 26_000.0,
+              51_234.5, 100.0, -50.25, 77_777.77, 100.0]  # n=13, k=4 -> 13%4=1
+    rows = [(i, "O", p) for i, p in enumerate(prices)]
+    d = _stage_orders(spark, tmp_path, rows)
+
+    got = {
+        r.o_orderkey: (r.quartile, r.pct_rank, r.cume)
+        for r in REGISTRY["q_win_dist"].fn(spark, d).collect()
+    }
+
+    order = sorted(range(len(prices)), key=lambda i: (prices[i], i))
+    n, k = len(prices), 4
+    q, rem = divmod(n, k)
+    want = {}
+    for rank0, key in enumerate(order):
+        rn = rank0 + 1
+        big = rem * (q + 1)
+        tile = (
+            (rn - 1) // (q + 1) + 1
+            if rn <= big
+            else rem + (rn - big - 1) // q + 1
+        )
+        want[key] = (
+            tile,
+            round((rn - 1) / (n - 1), 6),
+            round(rn / n, 6),
+        )
+    assert len(got) == n
+    for key in want:
+        assert got[key][0] == want[key][0], (key, got[key], want[key])
+        assert math.isclose(got[key][1], want[key][1], abs_tol=1e-9)
+        assert math.isclose(got[key][2], want[key][2], abs_tol=1e-9)
+
+
+def test_banded_sort_rank_matches_brute_force_on_ties(spark, tmp_path):
+    """q_sort_multi's banded global rank must equal the brute-force
+    (status ASC, price DESC, key ASC) ordering under ties across band
+    boundaries and a status with a single row."""
+    from distributed_causal_stream_processing_spark.plans.registry import (
+        REGISTRY,
+        _load_all,
+    )
+
+    _load_all()
+    rows = [
+        (1, "F", 500_000.0), (2, "F", 500_000.0), (3, "F", 410_000.0),
+        (4, "O", 999_999.99), (5, "O", 410_000.0), (6, "O", 410_000.0),
+        (7, "P", 650_000.0),
+        (8, "F", 404_040.4), (9, "O", 500_000.0), (10, "F", 999_999.99),
+        # below the query's o_totalprice > 400000 filter — must not rank
+        (11, "F", 123.45), (12, "O", 399_999.99),
+    ]
+    d = _stage_orders(spark, tmp_path, rows)
+    got = {
+        r.o_orderkey: r.sort_rank
+        for r in REGISTRY["q_sort_multi"].fn(spark, d).collect()
+    }
+    kept = [(k, s, p) for k, s, p in rows if p > 400_000]
+    order = sorted(kept, key=lambda t: (t[1], -t[2], t[0]))
+    want = {t[0]: i + 1 for i, t in enumerate(order)}
+    assert got == want
