@@ -615,10 +615,15 @@ def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
+    # top-20 via TakeOrderedAndProject FIRST, then rank the bounded
+    # survivors — the rank-filter form relied on the WindowGroupLimit
+    # rewrite, which (measured) does not fire for this plan shape, so
+    # the naive form windowed the full scored-bigram table in one task
     w = W.orderBy(F.desc("pmi"), F.asc("bg"))
     return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rnk") <= 20)
+        scored.orderBy(F.desc("pmi"), F.asc("bg"))
+        .limit(20)
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .orderBy("rnk")
     )
 

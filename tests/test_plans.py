@@ -503,9 +503,47 @@ def _window_nodes(plan: str) -> list[str]:
 
 def _is_partitioned_window(line: str) -> bool:
     """A partitioned Window node prints `Window [exprs], [part], [order]`
-    (two `], [` separators); an unpartitioned one — the single-task
-    global sort — prints only `Window [exprs], [order]` (one)."""
-    return line.count("], [") == 2
+    or (unordered agg windows) `Window [exprs], [part]`; an
+    UNPARTITIONED ordered one — the single-task global sort — prints
+    `Window [exprs], [order]`, recognizable by ASC/DESC in the sole
+    trailing bracket group."""
+    import re
+
+    groups = re.findall(r"\], \[([^\]]*)\]", line)
+    if len(groups) >= 2:
+        return True
+    return not (len(groups) == 1 and ("ASC" in groups[0] or "DESC" in groups[0]))
+
+
+# Queries whose plan contains an unpartitioned ORDERED window over a
+# provably BOUNDED input: a rank pass over rows that already went
+# through TakeOrderedAndProject/limit-k (≤ tens of rows), or a plan
+# where WindowGroupLimit caps per-partition input before the final
+# window. Anything NOT listed here must keep every ordered window
+# partitioned — the single-task global sort is the classic 100 TB
+# scale-killer (VERDICT r07 item 3's class, now closed registry-wide).
+BOUNDED_GLOBAL_WINDOW_OK = {
+    "q_sample_weighted",  # TakeOrdered 100-survivor window (Efraimidis-Spirakis)
+    "q_sim_cosine_topk",  # rank over the 20 rows limit() kept
+    "q_text_collocations",  # rank over the 20 rows limit() kept
+    "q_text_wordcount",  # rank over the 20 rows limit() kept
+    "q_topk_with_ties",  # WindowGroupLimit bounds per-partition input
+}
+
+
+def test_no_unbounded_global_window_registry_wide(spark):
+    """Registry-wide audit: no query may plan an unpartitioned ordered
+    Window except the bounded-input allowlist above. Guards every
+    future query against the single-partition-window trap without a
+    per-query test."""
+    bad = []
+    for name, spec in sorted(_registry().items()):
+        df = spec.fn(spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        unpart = [n for n in _window_nodes(plan) if not _is_partitioned_window(n)]
+        if unpart and name not in BOUNDED_GLOBAL_WINDOW_OK:
+            bad.append(name)
+    assert not bad, f"unbounded global window in: {bad}"
 
 
 def test_win_dist_no_global_single_partition_window(spark):
