@@ -531,6 +531,60 @@ BOUNDED_GLOBAL_WINDOW_OK = {
 }
 
 
+# Queries whose plan legitimately crosses into Python, every one an
+# Arrow-batched surface: the §2.11 UDF/UDAF/UDTF contract queries, the
+# multimodal decode kernels (struct+numpy over packed binaries), the
+# blocked-GEMM cosine kernel (pack + matmul), the sequence-packing
+# stateful fold, and the Misra-Gries partial sketch. Row-at-a-time
+# BatchEvalPython appears ONLY in the UDTF query (Spark's UDTF
+# execution path); everything else is pandas/Arrow.
+PYTHON_EVAL_OK = {
+    "q_udf_scalar",
+    "q_udf_pandas",
+    "q_udaf_pandas",
+    "q_udtf",
+    "q_udf_cogroup",
+    "q_multimodal_decode",
+    "q_multimodal_features",
+    "q_multimodal_frames",
+    "q_multimodal_meta",
+    "q_multimodal_pcm_frames",
+    "q_multimodal_resize",
+    "q_multimodal_video_frames",
+    "q_multimodal_dedup",
+    "q_dedup_embedding",
+    "q_dedup_embedding_recall",
+    "q_sim_cosine_topk",
+    "q_pack_sequences",
+    "q_text_heavy_hitters",
+}
+
+_PY_MARKERS = (
+    "BatchEvalPython",
+    "ArrowEvalPython",
+    "FlatMapGroupsInPandas",
+    "FlatMapCoGroupsInPandas",
+    "MapInPandas",
+    "PythonMapInArrow",
+    "AggregateInPandas",
+)
+
+
+def test_no_python_outside_declared_surfaces_registry_wide(spark):
+    """Registry-wide audit: Python may appear in a query's physical
+    plan only on the declared Arrow-batched surfaces above — a Python
+    eval node sneaking into a relational query is the classic 10-100×
+    hot-path slowdown. (The manual audit VERDICT performs each round,
+    made permanent.)"""
+    bad = []
+    for name, spec in sorted(_registry().items()):
+        df = spec.fn(spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if any(m in plan for m in _PY_MARKERS) and name not in PYTHON_EVAL_OK:
+            bad.append(name)
+    assert not bad, f"undeclared Python eval in: {bad}"
+
+
 def test_no_unbounded_global_window_registry_wide(spark):
     """Registry-wide audit: no query may plan an unpartitioned ordered
     Window except the bounded-input allowlist above. Guards every
