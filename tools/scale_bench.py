@@ -72,6 +72,10 @@ HEAVY = {
     # VERDICT r07 item 5): enumerated pairs are O(1) in corpus size, so
     # wall should stay near-flat as rows triple — linear alarm applies
     "q_dedup_embedding": "linear",
+    # round 8: IVFADC train+encode is linear in corpus (broadcast
+    # assignment + per-Lloyd-round hash aggs); the ADC search side is
+    # bounded by PQ_NQ queries x probed-cell candidates
+    "q_sim_ivfadc": "linear",
 }
 LINEAR_ALARM = 4.5  # 3x rows + 50% scheduling/shuffle slack
 QUADRATIC_ALARM = 13.5  # 9x candidates + 50% slack
