@@ -54,6 +54,11 @@ def __getattr__(name):  # pragma: no cover - thin lazy-import shims
         "write_partitioned_sorted": "sinks",
         "read_partitioned": "sinks",
         "compact_files": "sinks",
+        "write_zordered": "sinks",
+        "causal_sequence_skewsafe": "streaming.batch_views",
+        "ivfadc_index": "operators.similarity",
+        "ivfadc_score": "operators.similarity",
+        "run_streaming_ivfadc": "streaming.jobs",
     }
     if name in lazy:
         import importlib
@@ -82,5 +87,10 @@ __all__ = [
     "write_partitioned_sorted",
     "read_partitioned",
     "compact_files",
+    "write_zordered",
+    "causal_sequence_skewsafe",
+    "ivfadc_index",
+    "ivfadc_score",
+    "run_streaming_ivfadc",
 ]
 __version__ = "0.1.0"

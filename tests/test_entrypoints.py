@@ -68,6 +68,17 @@ def test_registry_contract_ids_first():
     assert set(names[:25]) == round1_unchecked
 
 
+def test_package_root_exports_resolve():
+    """Every name in the package's __all__ must resolve to a callable
+    (or the registry objects) — the lazy-import shim silently breaks if
+    a building block moves modules without this pin."""
+    import distributed_causal_stream_processing_spark as m
+
+    for name in m.__all__:
+        obj = getattr(m, name)
+        assert obj is not None, name
+
+
 def test_csv_json_sources_roundtrip(spark, tmp_path):
     """Orders written as CSV and JSON read back (explicit schema, no
     inference) identical to the parquet source — source-format breadth
