@@ -32,6 +32,8 @@ if REPO_DIR not in sys.path:
 def main() -> None:
     from distributed_causal_stream_processing_spark import all_queries
     from distributed_causal_stream_processing_spark.benchlib import (
+        adjudicate_against_reference,
+        past_band,
         time_query_noop,
         warm_session,
     )
@@ -93,10 +95,10 @@ def main() -> None:
     # inside a host window can record 2-5x its committed healthy
     # reference without ever being retried (round 7: five sub-1.4s
     # queries poisoned the static bench-health gate this way). Apply the
-    # tripwire's own per-query band — >2x the BENCH_REFERENCE entry AND
-    # >0.5s over it — as a second retry trigger, so the detail this run
-    # writes is already adjudicated against per-query noise. A genuine
-    # regression reproduces on the warm retry and stays visible.
+    # tripwire's shared per-query band (benchlib.past_band) as a second
+    # retry trigger, so the detail this run writes is already adjudicated
+    # against per-query noise. A genuine regression reproduces on the
+    # warm retry and stays visible.
     try:
         with open(os.path.join(REPO_DIR, "BENCH_REFERENCE.json")) as f:
             ref = json.load(f)
@@ -107,10 +109,18 @@ def main() -> None:
             base = ref.get("queries", {}).get(name)
             if base is None or name in retried:
                 continue
-            if timings[name] > 2.0 * base and timings[name] - base > 0.5:
+            if past_band(timings[name], base):
                 t = time_query_noop(queries, name, spark, sf_dir)
                 if t is None:
-                    continue  # first pass succeeded; keep its timing
+                    # the warm retry itself raised — keep the first-pass
+                    # timing but say so, or an intermittently-failing
+                    # query hides behind a kept noisy number
+                    print(
+                        f"warning: warm retry for {name} failed; "
+                        "keeping first-pass timing",
+                        file=sys.stderr,
+                    )
+                    continue
                 retried[name] = round(t, 3)
                 timings[name] = min(timings[name], retried[name])
     total = round(sum(timings.values()), 3)
@@ -257,6 +267,27 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001 — probe is best-effort
         streaming = {"error": f"{type(exc).__name__}: {exc}"[:200]}
 
+    # End-of-suite self-adjudication (VERDICT r08 item 1): the mid-run
+    # retry above can fire INSIDE the same host-interference window that
+    # inflated the first pass (round 8: q_agg_ewma committed 1.306 s,
+    # 0.83 s warm minutes later), leaving a statically-red detail that
+    # needed a manual tools/check_bench_regression.py run to heal. This
+    # last pass runs minutes after the suite body, warm-retimes anything
+    # still past the shared band, and persists the ``adjudicated`` map —
+    # so the detail the driver grades is never statically red on a
+    # healthy engine, while a genuine regression re-measures slow and
+    # still fails both the tripwire and the static gate.
+    adjudicated = adjudicate_against_reference(
+        queries,
+        spark,
+        sf_dir,
+        timings,
+        warm,
+        ref,
+        sf,
+        log=lambda m: print(m, file=sys.stderr),
+    )
+
     # Stop the JVM BEFORE printing: Spark's log4j console appender also
     # writes to stdout, and a straggling WARN line printed after (or
     # interleaved with) the JSON would corrupt "the last stdout line is
@@ -284,6 +315,7 @@ def main() -> None:
         "queries": timings,
         "first_pass": first_pass,
         "retried": retried,
+        "adjudicated": adjudicated,
         "failures": failures,
         "iterative": iterative,
         "streaming": streaming,
@@ -303,6 +335,7 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(timings),
                 "n_retried": len(retried),
+                "n_adjudicated": len(adjudicated),
                 "n_failed": len(failures),
                 "failed": sorted(failures)[:10],
                 "queries": slowest,

@@ -10,6 +10,19 @@ from __future__ import annotations
 
 import time
 
+# Per-query regression band, shared by bench.py's in-run retry +
+# end-of-suite self-adjudication AND tools/check_bench_regression.py's
+# tripwire. One definition (ADVICE round 8): the two adjudication layers
+# previously hardcoded 2.0/0.5 separately and could silently drift.
+REGRESSION_THRESHOLD = 2.0  # same per-query band the driver applies suite-wide
+MIN_DELTA_S = 0.5  # a regression must also cost real wall time, not jitter
+
+
+def past_band(t: float, base: float, threshold: float = REGRESSION_THRESHOLD) -> bool:
+    """True iff ``t`` is a regression candidate vs reference ``base``:
+    past the ratio threshold AND past the absolute floor."""
+    return base > 0 and t > threshold * base and (t - base) > MIN_DELTA_S
+
 
 def warm_session(spark, queries, sf_dir: str) -> None:
     """The bench warm-up sequence: JVM + file cache via the flagship,
@@ -45,3 +58,42 @@ def time_query_noop(queries, name: str, spark, sf_dir: str, runs: int = 1):
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
     return best
+
+
+def adjudicate_against_reference(
+    queries, spark, sf_dir: str, timings: dict, warm: dict, ref, sf: float, log=print
+) -> dict:
+    """End-of-suite self-adjudication (VERDICT r08 item 1): warm-retime
+    every query whose effective time (min over final + warm passes) is
+    still past the regression band vs BENCH_REFERENCE, and return the
+    re-measurements as the ``adjudicated`` map bench.py persists into
+    BENCH_DETAIL.json.
+
+    Why at suite end: bench.py's in-run retry can fire INSIDE the same
+    multi-minute host-interference window that inflated the first pass
+    (round 8: q_agg_ewma 1.306 s committed, 0.83 s one warm re-run
+    later), leaving a statically-red detail that needed a manual
+    tools/check_bench_regression.py run to heal. Retiming at the END of
+    the suite puts minutes between the noisy window and the
+    re-measurement, so the detail the driver grades is already
+    adjudicated. A GENUINE regression reproduces warm and stays past the
+    band — the static gate and the tripwire still fail on it (the map
+    records the re-measurement; it never fakes a pass).
+    """
+    out: dict = {}
+    if not ref or ref.get("sf") != sf:
+        return out
+    base_by_name = ref.get("queries", {})
+    for name in sorted(timings):
+        base = base_by_name.get(name)
+        if base is None:
+            continue
+        eff = min(timings[name], warm.get(name, timings[name]))
+        if not past_band(eff, base):
+            continue
+        t = time_query_noop(queries, name, spark, sf_dir, runs=2)
+        if t is None:
+            log(f"warning: end-of-suite warm retime for {name} failed; keeping {eff:.3f}s")
+            continue
+        out[name] = round(t, 3)
+    return out

@@ -42,13 +42,18 @@ import os
 import sys
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if ROOT not in sys.path:
+    sys.path.insert(0, ROOT)
 
-DEFAULT_THRESHOLD = 2.0  # same per-query band the driver applies suite-wide
-
-# Absolute floor alongside the ratio: a regression must ALSO cost at
-# least MIN_DELTA_S of real wall time (first deployment flagged
-# 0.08s -> 0.19s; sub-second noise is not a signal).
-MIN_DELTA_S = 0.5
+# Band constants live in benchlib so bench.py's in-run adjudication and
+# this tripwire can never drift apart (ADVICE round 8). MIN_DELTA_S is
+# the absolute floor alongside the ratio: a regression must ALSO cost
+# real wall time (first deployment flagged 0.08s -> 0.19s; sub-second
+# noise is not a signal).
+from distributed_causal_stream_processing_spark.benchlib import (  # noqa: E402
+    MIN_DELTA_S,
+    REGRESSION_THRESHOLD as DEFAULT_THRESHOLD,
+)
 
 
 def candidates(
@@ -82,7 +87,6 @@ def retime(names: list[str], sf: float, runs: int = 2) -> dict[str, float]:
     what the bench measured). Per-query MIN over `runs`; a query that
     raises stays flagged (omitted from the result). Session scoped to
     this call so a healthy check leaves nothing running."""
-    sys.path.insert(0, ROOT)
     from distributed_causal_stream_processing_spark import all_queries
     from distributed_causal_stream_processing_spark.benchlib import (
         time_query_noop,
