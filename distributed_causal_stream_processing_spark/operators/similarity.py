@@ -511,30 +511,39 @@ def _eval_sample_pred() -> Column:
 # explodes at 100× corpus. Instead, target a constant PAIR BUDGET:
 # sample m ≈ _YARDSTICK_M vectors regardless of corpus size, so the
 # enumerated pairs stay ~m²/2 (125k at m=500) in every input regime.
-# The cutoff is pure integer arithmetic — k = clamp((65536·m)//n) 16-bit
+# The cutoff is pure integer arithmetic — k = clamp((2³²·m)//n) 32-bit
 # slots of the md5(vec_id) prefix — computed from a metadata-cheap
 # count(*) on BOTH engines, so the Spark predicate and the oracle's
-# WHERE select the identical deterministic subset at any n. The 5-char
-# zero-padded hex compare ('0'||4-hex-prefix < %05x-of-k) makes k=65536
+# WHERE select the identical deterministic subset at any n. The 9-char
+# zero-padded hex compare ('0'||8-hex-prefix < %09x-of-k) makes k=2³²
 # (full sample, n ≤ m) order correctly as lowercase-hex strings.
+# 32-bit, not 16-bit (ADVICE r08): with 16-bit slots the fraction
+# floors at 2⁻¹⁶, so beyond n ≈ 65536·m the sample grows LINEARLY with
+# n again; 2³² slots keep the fraction ≈ m/n (and the budget constant)
+# out to n ≈ 2³²·m ≈ 2×10¹² vectors.
 _YARDSTICK_M = 500  # sampled vectors ≈ m → pair budget ≈ m²/2
+_YARDSTICK_SLOTS = 1 << 32
 
 
 def _yardstick_cutoff(n: int) -> str:
-    return format(max(1, min(65536, (65536 * _YARDSTICK_M) // max(n, 1))), "05x")
+    return format(
+        max(1, min(_YARDSTICK_SLOTS, (_YARDSTICK_SLOTS * _YARDSTICK_M) // max(n, 1))),
+        "09x",
+    )
 
 
 @query(
     "q_dedup_embedding",
     oracle=f"""
     WITH k AS (
-        SELECT printf('%05x',
-               greatest(1, least(65536, (65536 * {_YARDSTICK_M}) // count(*)))
+        SELECT printf('%09x',
+               greatest(1, least(4294967296,
+                        (4294967296 * {_YARDSTICK_M}) // count(*)))
         ) AS cutoff FROM embeddings
     ),
     se AS (
         SELECT e.* FROM embeddings e, k
-        WHERE '0' || substr(md5(CAST(e.vec_id AS VARCHAR)), 1, 4) < k.cutoff
+        WHERE '0' || substr(md5(CAST(e.vec_id AS VARCHAR)), 1, 8) < k.cutoff
     )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -573,7 +582,7 @@ def q_dedup_embedding(
         n = load(spark, sf_dir, "embeddings").count()
         pred = F.concat(
             F.lit("0"),
-            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 4),
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8),
         ) < F.lit(_yardstick_cutoff(n))
     return _blocked_cosine_pairs(spark, sf_dir, thresh=0.3, pred=pred).select(
         "vec_a", "vec_b", F.round("sim", 4).alias("cos_sim")

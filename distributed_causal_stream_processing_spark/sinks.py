@@ -149,12 +149,19 @@ def write_zordered(
                 for c in numeric
             ]
         ).head()
-        bounds = {c: list(row[c]) for c in numeric}
+        # percentile_approx returns NULL for an empty input or an
+        # all-null column (ADVICE r08: list(None) raised TypeError and
+        # failed the whole write); such a column has no distribution to
+        # bucket, so skip it — its z-code degrades to the constant 0
+        # below and the write proceeds
+        bounds = {c: list(row[c]) for c in numeric if row[c] is not None}
     norm = df
     zcols = []
     for c in zorder_by:
         nc = f"__z_{c}"
-        if c in bounds:
+        if c in numeric and c not in bounds:
+            code = F.lit(0)  # empty/all-null column: constant code
+        elif c in bounds:
             barr = F.array(*[F.lit(float(b)) for b in bounds[c]])
             code = F.size(
                 F.filter(barr, lambda b: b < F.col(c).cast("double"))

@@ -506,13 +506,33 @@ def _is_partitioned_window(line: str) -> bool:
     or (unordered agg windows) `Window [exprs], [part]`; an
     UNPARTITIONED ordered one — the single-task global sort — prints
     `Window [exprs], [order]`, recognizable by ASC/DESC in the sole
-    trailing bracket group."""
+    trailing bracket group. ZERO trailing groups (ADVICE r08) is an
+    unpartitioned UNORDERED window — agg over `()`, the same
+    single-task trap — and must count as unpartitioned too."""
     import re
 
     groups = re.findall(r"\], \[([^\]]*)\]", line)
     if len(groups) >= 2:
         return True
-    return not (len(groups) == 1 and ("ASC" in groups[0] or "DESC" in groups[0]))
+    if not groups:
+        return False
+    return not ("ASC" in groups[0] or "DESC" in groups[0])
+
+
+def test_window_detector_classifies_all_three_shapes():
+    """String-level pin of _is_partitioned_window on the three shapes a
+    Window node prints: partitioned (1-2 groups, no order / with
+    order), unpartitioned-ordered (sole ASC/DESC group), and the
+    ADVICE-r08 escape — unpartitioned UNORDERED (zero trailing
+    groups, agg over ())."""
+    part_ord = "Window [rank() ...], [l_suppkey#5L], [l_quantity#7 DESC NULLS LAST]"
+    part_only = "Window [sum(x#1) ...], [l_suppkey#5L]"
+    unpart_ord = "Window [row_number() ...], [l_quantity#7 ASC NULLS FIRST]"
+    unpart_unord = "Window [sum(x#1) windowspecdefinition(...) AS total#9]"
+    assert _is_partitioned_window(part_ord)
+    assert _is_partitioned_window(part_only)
+    assert not _is_partitioned_window(unpart_ord)
+    assert not _is_partitioned_window(unpart_unord)
 
 
 # Queries whose plan contains an unpartitioned ORDERED window over a

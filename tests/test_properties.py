@@ -533,7 +533,7 @@ def test_sampled_embedding_dedup_is_exact_subset_of_full(spark):
     cutoff = _yardstick_cutoff(2000)
 
     def in_sample(vid: int) -> bool:
-        return "0" + hashlib.md5(str(vid).encode()).hexdigest()[:4] < cutoff
+        return "0" + hashlib.md5(str(vid).encode()).hexdigest()[:8] < cutoff
 
     want = {p: s for p, s in full.items() if in_sample(p[0]) and in_sample(p[1])}
     assert sampled == want
@@ -549,11 +549,27 @@ def test_yardstick_sample_is_full_corpus_below_budget(spark):
         q_dedup_embedding,
     )
 
-    assert _yardstick_cutoff(500) == "10000"  # every '0'+4-hex < this
+    assert _yardstick_cutoff(500) == "100000000"  # every '0'+8-hex < this
     sf = "/root/testdata/sf0.001"
     sampled = q_dedup_embedding(spark, sf).count()
     full = q_dedup_embedding(spark, sf, full_exact=True).count()
     assert sampled == full
+
+
+def test_yardstick_fraction_stays_m_over_n_at_huge_n():
+    """ADVICE r08: the 16-bit cutoff floored the fraction at 2^-16, so
+    the sample (and the pair budget) grew linearly again past n ≈ 33M.
+    With 32-bit slots the expected sample size k·n/2³² stays ≈ m out to
+    n ≈ 2×10¹² — the budget really is O(1) in n."""
+    from distributed_causal_stream_processing_spark.operators.similarity import (
+        _YARDSTICK_M,
+        _yardstick_cutoff,
+    )
+
+    for n in (10**6, 10**8, 10**10, 10**11):
+        k = int(_yardstick_cutoff(n), 16)
+        expected_sample = k * n / (1 << 32)
+        assert _YARDSTICK_M * 0.9 <= expected_sample <= _YARDSTICK_M, (n, expected_sample)
 
 
 def test_skewsafe_sequence_matches_plain_on_hot_key(spark):

@@ -138,6 +138,33 @@ def test_zorder_layout_prunes_second_dimension(spark, tmp_path):
     assert scanned_z * 2 < scanned_linear, (scanned_z, scanned_linear)
 
 
+def test_zorder_write_degrades_gracefully_on_empty_and_all_null(spark, tmp_path):
+    """ADVICE r08: percentile_approx returns NULL on an empty input or
+    an all-null z-column, which used to crash write_zordered with a
+    TypeError before any file was written. Both shapes must now write
+    successfully (the degenerate column gets a constant z-code — there
+    is no distribution to bucket)."""
+    from pyspark.sql import functions as F
+
+    from distributed_causal_stream_processing_spark.sinks import write_zordered
+
+    base = spark.range(100).select(
+        F.col("id").alias("a"), (F.col("id") * 2).alias("b")
+    )
+
+    empty_path = str(tmp_path / "empty")
+    write_zordered(base.filter(F.lit(False)), empty_path, ["a", "b"])
+    assert spark.read.parquet(empty_path).count() == 0
+
+    allnull = base.withColumn("b", F.lit(None).cast("long"))
+    null_path = str(tmp_path / "allnull")
+    write_zordered(allnull, null_path, ["a", "b"])
+    back = spark.read.parquet(null_path)
+    assert back.count() == 100
+    # the healthy column still drives the layout; values survive intact
+    assert sorted(r.a for r in back.collect()) == list(range(100))
+
+
 def _rows_set(df):
     return {tuple(str(v) for v in r) for r in df.collect()}
 
