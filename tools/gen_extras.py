@@ -31,6 +31,16 @@ def main() -> None:
         "docstring sentence). All are pytest-parity-gated each session",
         "(tests/test_parity.py) regardless of driver-window position.",
         "",
+        "ANN serving guidance (VERDICT r08 item 5): deploy code-only IVFADC",
+        "(`q_sim_ivfadc`) only when `q_sim_ivfadc_recall` measured on the",
+        "target corpus shows recall@1 within ~0.8x of `q_sim_pq_recall`'s",
+        "full-scan number; otherwise raise N_PROBE, fall back to PQ full-scan",
+        "(`q_sim_pq_adc`), or add the exact re-rank (`q_sim_ivfadc_rerank`).",
+        "On this repo's isotropic fixture the measured numbers are 0.05 @",
+        "cand_frac 0.12 vs PQ's 0.20 full-scan — the fixture FAILS the rule,",
+        "so the recommendation HERE is PQ full-scan or a larger probe budget;",
+        "IVFADC's pruning pays off on clustered corpora.",
+        "",
         "| query id | oracle | implementation | what it proves |",
         "| --- | --- | --- | --- |",
     ]
@@ -47,6 +57,7 @@ def main() -> None:
         first = first.replace("|", "/")
         oracle = "value-hash" if spec.oracle else "rows-only"
         lines.append(f"| `{name}` | {oracle} | `{mod}` | {first} |")
+    n_rows = sum(1 for ln in lines if ln.startswith("| `"))
     new_section = "\n".join(lines) + "\n\n"
 
     path = os.path.join(REPO, "COVERAGE.md")
@@ -54,7 +65,7 @@ def main() -> None:
     start = src.index("## Extensions beyond the §2 contract")
     end = src.index("## Driver-green history")
     open(path, "w").write(src[:start] + new_section + src[end:])
-    print(f"wrote {len(lines) - 9} extras rows")
+    print(f"wrote {n_rows} extras rows")
 
 
 if __name__ == "__main__":
