@@ -20,10 +20,17 @@ def register_duck_views(con, sf_dir: str) -> None:
 
     for name in TABLES:
         path = table_path(sf_dir, name)
-        if os.path.exists(path):
-            con.execute(
-                f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
-            )
+        if os.path.isdir(path):
+            # Spark-written tables are DIRECTORIES of part files; the
+            # driver's fixtures are single files — read_parquet needs a
+            # glob for the former (heavy3 parity runs on Spark-written
+            # replicas)
+            path = os.path.join(path, "*.parquet")
+        elif not os.path.exists(path):
+            continue
+        con.execute(
+            f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
+        )
 
 
 def _canon_cell(v) -> str:

@@ -147,6 +147,8 @@ CARTESIAN_OK = {
     "q_sim_ivfadc",  # broadcast 16-centroid coarse-assignment fan-out
     "q_sim_ivfadc_recall",  # same fan-out + bounded exact-NN eval side
     "q_sim_ivfadc_rerank",  # same fan-out; re-rank itself is equi-join
+    "q_sim_ivfadc_probe_sweep",  # same fan-out + bounded exact-NN eval side
+    "q_sim_ivfadc_clustered_recall",  # same fan-out + bounded exact-NN eval side
     "q_win_dist",  # 1-row N-total scalar broadcast crossed in
 }
 

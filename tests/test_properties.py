@@ -572,6 +572,37 @@ def test_yardstick_fraction_stays_m_over_n_at_huge_n():
         assert _YARDSTICK_M * 0.9 <= expected_sample <= _YARDSTICK_M, (n, expected_sample)
 
 
+def test_ivfadc_codebook_not_degenerate(spark):
+    """Round-9 regression pin: the residual-PQ codebook must keep all
+    PQ_K codes alive in every subspace, and the corpus codes must
+    actually use more than one code. Round 8 seeded the codebook from
+    vec_id < PQ_K — exactly the N_CELLS cell-centroid vectors, whose
+    residuals are identically zero — so Lloyd collapsed every subspace
+    to a single code and ADC 'search' silently degenerated to
+    lowest-neighbor_id-in-nearest-cell. Both engines shared the bug, so
+    oracle parity stayed green; only a structural check catches this
+    class."""
+    from pyspark.sql import functions as F
+
+    from distributed_causal_stream_processing_spark.operators.similarity import (
+        PQ_K,
+        PQ_M,
+        ivfadc_index,
+    )
+
+    _, cb_df, codes = ivfadc_index(spark, "/root/testdata/sf0.01")
+    per_sub = {
+        r.sub_no: r.n
+        for r in cb_df.groupBy("sub_no")
+        .agg(F.countDistinct("code").alias("n"))
+        .collect()
+    }
+    assert len(per_sub) == PQ_M
+    assert all(n == PQ_K for n in per_sub.values()), per_sub
+    used = codes.select("code").distinct().count()
+    assert used > PQ_K // 2, f"only {used} codes used — near-degenerate"
+
+
 def test_skewsafe_sequence_matches_plain_on_hot_key(spark):
     """One user holding 95% of a multi-day history: the two-level
     (bucketed) sequencer equals the plain per-key window exactly, at a

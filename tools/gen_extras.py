@@ -34,12 +34,16 @@ def main() -> None:
         "ANN serving guidance (VERDICT r08 item 5): deploy code-only IVFADC",
         "(`q_sim_ivfadc`) only when `q_sim_ivfadc_recall` measured on the",
         "target corpus shows recall@1 within ~0.8x of `q_sim_pq_recall`'s",
-        "full-scan number; otherwise raise N_PROBE, fall back to PQ full-scan",
-        "(`q_sim_pq_adc`), or add the exact re-rank (`q_sim_ivfadc_rerank`).",
-        "On this repo's isotropic fixture the measured numbers are 0.05 @",
-        "cand_frac 0.12 vs PQ's 0.20 full-scan — the fixture FAILS the rule,",
-        "so the recommendation HERE is PQ full-scan or a larger probe budget;",
-        "IVFADC's pruning pays off on clustered corpora.",
+        "full-scan number; otherwise measure the probe curve with",
+        "`q_sim_ivfadc_probe_sweep` — raise N_PROBE if recall rises with",
+        "depth, else fall back to PQ full-scan (`q_sim_pq_adc`) or add the",
+        "exact re-rank (`q_sim_ivfadc_rerank`). Measured on this repo's",
+        "fixture (sf0.01): ADC-only 0.05 @ cand_frac 0.12 with a FLAT probe",
+        "curve (0.05 at depth 1-8), PQ full-scan 0.20, clustered corpus",
+        "(`q_sim_ivfadc_clustered_recall`) 0.10, ADC + exact re-rank 0.65 —",
+        "when the NN margin sits inside the 4-bit code noise, the re-rank",
+        "stage is what delivers top-1; probing deeper or adding cell",
+        "structure alone does not.",
         "",
         "| query id | oracle | implementation | what it proves |",
         "| --- | --- | --- | --- |",
