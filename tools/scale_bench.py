@@ -112,7 +112,10 @@ SKEW_FACTOR = 40  # events replicas per variant (~4M rows each at sf0.1)
 SKEW_HOT_MOD = 2, 1  # replicas 1+: user_id % 2 < 1 → hot ≈ 0.5·(k-1)/k
 
 
-def _scale3(spark, out_dir: str, base_sf: str = BASE_SF) -> None:
+def _scale3(spark, out_dir: str, base_sf: str | None = None) -> None:
+    # resolve the module global at CALL time: tests repoint BASE_SF to a
+    # smaller fixture after import (a def-time default would pin sf0.1)
+    base_sf = BASE_SF if base_sf is None else base_sf
     from pyspark.sql import functions as F
 
     from distributed_causal_stream_processing_spark.io import load
@@ -197,7 +200,7 @@ def _scale3(spark, out_dir: str, base_sf: str = BASE_SF) -> None:
     )
 
 
-def _skew_pair(spark, uni_dir: str, skew_dir: str, base_sf: str = BASE_SF) -> float:
+def _skew_pair(spark, uni_dir: str, skew_dir: str, base_sf: str | None = None) -> float:
     """Write the two same-size events replicas the skew instrument
     compares: SKEW_FACTOR key-offset copies of the base events table
     (uniform twin), and the same union where replicas 1+ reassign the
@@ -210,6 +213,7 @@ def _skew_pair(spark, uni_dir: str, skew_dir: str, base_sf: str = BASE_SF) -> fl
 
     from distributed_causal_stream_processing_spark.io import load
 
+    base_sf = BASE_SF if base_sf is None else base_sf
     ev = load(spark, base_sf, "events")
     eid_off = ev.agg(F.max("event_id")).head()[0] + 1
     uid_off = ev.agg(F.max("user_id")).head()[0] + 1
