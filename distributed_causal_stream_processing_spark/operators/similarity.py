@@ -2547,17 +2547,11 @@ def q_sim_ivfadc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivfadc_recall_table(e, adc)
 
 
-def _ivfadc_recall_table(e: DataFrame, adc: DataFrame) -> DataFrame:
-    """Recall@1 + cand_frac of an adc candidate table against the exact
-    L2 neighbor over corpus ``e`` — shared by the isotropic-fixture
-    eval (q_sim_ivfadc_recall) and the clustered-corpus eval
-    (q_sim_ivfadc_clustered_recall)."""
-    w1 = W.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
-    adc1 = (
-        adc.withColumn("rn", F.row_number().over(w1))
-        .filter(F.col("rn") == 1)
-        .select("query_id", F.col("neighbor_id").alias("adc_nn"))
-    )
+def _exact_nn1(e: DataFrame) -> DataFrame:
+    """(query_id, exact_nn) — the exact L2 nearest neighbor per query
+    vector (vec_id < PQ_NQ) over corpus ``e``. PQ_NQ-bounded: the eval
+    yardstick every ANN recall row is judged against, never a serving
+    path."""
     q = e.filter(F.col("vec_id") < PQ_NQ).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")
     )
@@ -2570,7 +2564,7 @@ def _ivfadc_recall_table(e: DataFrame, adc: DataFrame) -> DataFrame:
         4,
     )
     w2 = W.partitionBy("query_id").orderBy("d2", "neighbor_id")
-    exact1 = (
+    return (
         q.crossJoin(e.select(F.col("vec_id").alias("neighbor_id"), "emb"))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", d2.alias("d2"))
@@ -2578,6 +2572,20 @@ def _ivfadc_recall_table(e: DataFrame, adc: DataFrame) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("query_id", F.col("neighbor_id").alias("exact_nn"))
     )
+
+
+def _ivfadc_recall_table(e: DataFrame, adc: DataFrame) -> DataFrame:
+    """Recall@1 + cand_frac of an adc candidate table against the exact
+    L2 neighbor over corpus ``e`` — shared by the isotropic-fixture
+    eval (q_sim_ivfadc_recall) and the clustered-corpus eval
+    (q_sim_ivfadc_clustered_recall)."""
+    w1 = W.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    adc1 = (
+        adc.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("neighbor_id").alias("adc_nn"))
+    )
+    exact1 = _exact_nn1(e)
     nc = adc.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_cand"))
     ntot = e.agg(F.count(F.lit(1)).alias("n"))
     return (
@@ -2606,12 +2614,9 @@ def _ivfadc_recall_table(e: DataFrame, adc: DataFrame) -> DataFrame:
 
 PQ_RERANK = 10  # ADC shortlist size handed to the exact re-rank stage
 
-
-@query(
-    "q_sim_ivfadc_rerank",
-    oracle=_pq_duck(pre_ctes=_IVFADC_PRE, sub_cte=_IVFADC_SUB, seed_lo=N_CELLS)
-    + _IVFADC_SEARCH
-    + f"""
+# shortlist + exact-rerank CTEs, shared by q_sim_ivfadc_rerank and its
+# recall eval
+_IVFADC_RERANK_CTES = f"""
     , short AS (
         SELECT query_id, neighbor_id FROM (
             SELECT query_id, neighbor_id,
@@ -2628,14 +2633,24 @@ PQ_RERANK = 10  # ADC shortlist size handed to the exact re-rank stage
                    for j in range(1, {DIM + 1})]), 4) AS l2_dist
         FROM short s
         JOIN embeddings q ON q.vec_id = s.query_id
-        JOIN embeddings n ON n.vec_id = s.neighbor_id)
-    SELECT query_id, neighbor_id, l2_dist FROM (
-        SELECT query_id, neighbor_id, l2_dist,
-               row_number() OVER (
-                   PARTITION BY query_id
-                   ORDER BY l2_dist, neighbor_id) AS rn
-        FROM rer)
-    WHERE rn = 1
+        JOIN embeddings n ON n.vec_id = s.neighbor_id),
+    rr1 AS (
+        SELECT query_id, neighbor_id, l2_dist FROM (
+            SELECT query_id, neighbor_id, l2_dist,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY l2_dist, neighbor_id) AS rn
+            FROM rer)
+        WHERE rn = 1)"""
+
+
+@query(
+    "q_sim_ivfadc_rerank",
+    oracle=_pq_duck(pre_ctes=_IVFADC_PRE, sub_cte=_IVFADC_SUB, seed_lo=N_CELLS)
+    + _IVFADC_SEARCH
+    + _IVFADC_RERANK_CTES
+    + """
+    SELECT query_id, neighbor_id, l2_dist FROM rr1
     """,
 )
 def q_sim_ivfadc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2652,6 +2667,14 @@ def q_sim_ivfadc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     is broadcast against the corpus (equi join on vec_id, pruned by
     the parquet reader at 100 TB via the runtime bloom/DPP machinery),
     never a second pass over the code table."""
+    _, nn = _ivfadc_rerank_parts(spark, sf_dir)
+    return nn
+
+
+def _ivfadc_rerank_parts(spark: SparkSession, sf_dir: str):
+    """(corpus, rerank-NN table): the two-stage search's final
+    per-query winner with its exact distance — shared by
+    q_sim_ivfadc_rerank and its recall eval."""
     e, adc = _ivfadc_parts(spark, sf_dir)
     ws = W.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
     short = (
@@ -2679,10 +2702,68 @@ def q_sim_ivfadc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", l2.alias("l2_dist"))
     )
     wr = W.partitionBy("query_id").orderBy("l2_dist", "neighbor_id")
-    return (
+    nn = (
         rer.withColumn("rn", F.row_number().over(wr))
         .filter(F.col("rn") == 1)
         .select("query_id", "neighbor_id", "l2_dist")
+    )
+    return e, nn
+
+
+@query(
+    "q_sim_ivfadc_rerank_recall",
+    oracle=_pq_duck(pre_ctes=_IVFADC_PRE, sub_cte=_IVFADC_SUB, seed_lo=N_CELLS)
+    + _IVFADC_SEARCH
+    + _IVFADC_RERANK_CTES
+    + f"""
+    , exact1 AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(list_sum([
+                           (CAST(q.embedding[j] AS DOUBLE)
+                            - CAST(e.embedding[j] AS DOUBLE)) ** 2
+                           for j in range(1, {DIM + 1})]), 4),
+                           e.vec_id) AS rn
+            FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
+            WHERE q.vec_id < {PQ_NQ})
+        WHERE rn = 1)
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(CASE WHEN r.neighbor_id = x.neighbor_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+           round(avg(CASE WHEN r.neighbor_id = x.neighbor_id
+                          THEN 1.0 ELSE 0.0 END), 4) AS recall_at_1
+    FROM rr1 r JOIN exact1 x USING (query_id)
+    """,
+)
+def q_sim_ivfadc_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@1 of the full two-stage IVFADC+re-rank search against the
+    exact L2 neighbor — the number that closes the serving ladder
+    (ADC-only 0.05 / clustered 0.10 / PQ full-scan 0.20 / THIS row 0.65
+    at sf0.01): quantization error now only costs recall when it pushes
+    the true neighbor out of the ADC top-{PQ_RERANK} entirely, so the
+    re-rank stage recovers most of what the codes lose. Pinned as a
+    registered value-hash row so the serving recommendation's headline
+    number is reproducible, not a docstring claim. The exact side is
+    PQ_NQ-bounded — an eval, never a serving path."""
+    e, nn = _ivfadc_rerank_parts(spark, sf_dir)
+    exact1 = _exact_nn1(e)
+    return (
+        nn.select("query_id", F.col("neighbor_id").alias("rr_nn"))
+        .join(exact1, ["query_id"])
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+            F.sum(F.when(F.col("rr_nn") == F.col("exact_nn"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_match"),
+            F.round(
+                F.avg(
+                    F.when(F.col("rr_nn") == F.col("exact_nn"), 1.0).otherwise(0.0)
+                ),
+                4,
+            ).alias("recall_at_1"),
+        )
     )
 
 
@@ -2816,26 +2897,7 @@ def q_sim_ivfadc_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_cand",
         )
     )
-    qq = e.filter(F.col("vec_id") < PQ_NQ).select(
-        F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")
-    )
-    d2 = F.round(
-        F.aggregate(
-            F.zip_with(F.col("qe"), F.col("emb"), lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-        4,
-    )
-    w2 = W.partitionBy("query_id").orderBy("d2", "neighbor_id")
-    exact1 = (
-        qq.crossJoin(e.select(F.col("vec_id").alias("neighbor_id"), "emb"))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", d2.alias("d2"))
-        .withColumn("rn", F.row_number().over(w2))
-        .filter(F.col("rn") == 1)
-        .select("query_id", F.col("neighbor_id").alias("exact_nn"))
-    )
+    exact1 = _exact_nn1(e)
     ntot = e.agg(F.count(F.lit(1)).alias("n"))
     return (
         per.join(exact1, ["query_id"])

@@ -149,6 +149,7 @@ CARTESIAN_OK = {
     "q_sim_ivfadc_rerank",  # same fan-out; re-rank itself is equi-join
     "q_sim_ivfadc_probe_sweep",  # same fan-out + bounded exact-NN eval side
     "q_sim_ivfadc_clustered_recall",  # same fan-out + bounded exact-NN eval side
+    "q_sim_ivfadc_rerank_recall",  # same fan-out + bounded exact-NN eval side
     "q_win_dist",  # 1-row N-total scalar broadcast crossed in
 }
 
