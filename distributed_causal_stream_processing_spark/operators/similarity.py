@@ -2247,15 +2247,25 @@ _IVFADC_SUB = f"""sub AS (
                 for j in range(1, {PQ_DSUB + 1})] AS sv
         FROM res r CROSS JOIN range(0, {PQ_M}) t(m))"""
 
-_IVFADC_SEARCH = f"""
+def _ivfadc_search_sql(n_probe: int = N_PROBE, with_rank: bool = False) -> str:
+    """The probe→LUT→ADC search CTE chain, parameterized exactly like
+    the Python side's ivfadc_score (one definition — a fix applied to
+    the ADC join or tie-break reaches every IVFADC oracle). With
+    ``with_rank`` the cell's probe rank rides along as ``crank`` for
+    the probe sweep's derive-shallower-levels trick."""
+    crank_probe = ", rn AS crank" if with_rank else ""
+    crank_q = ", p.crank" if with_rank else ""
+    crank_l = ", s.crank" if with_rank else ""
+    crank_adc = ",\n               min(l.crank) AS crank" if with_rank else ""
+    return f"""
     , probes AS (
-        SELECT vec_id AS query_id, cell_id FROM (
+        SELECT vec_id AS query_id, cell_id{crank_probe} FROM (
             SELECT vec_id, cell_id, row_number() OVER (
                        PARTITION BY vec_id ORDER BY cd2, cell_id) AS rn
             FROM cd WHERE vec_id < {PQ_NQ})
-        WHERE rn <= {N_PROBE}),
+        WHERE rn <= {n_probe}),
     qsub AS (
-        SELECT p.query_id, p.cell_id, t.m AS sub_no,
+        SELECT p.query_id, p.cell_id{crank_q}, t.m AS sub_no,
                [CAST(q.embedding[t.m * {PQ_DSUB} + j] AS DOUBLE)
                 - c.cemb[t.m * {PQ_DSUB} + j]
                 for j in range(1, {PQ_DSUB + 1})] AS sv
@@ -2264,7 +2274,7 @@ _IVFADC_SEARCH = f"""
         JOIN cent c USING (cell_id)
         CROSS JOIN range(0, {PQ_M}) t(m)),
     lut AS (
-        SELECT s.query_id, s.cell_id, c.sub_no, c.code,
+        SELECT s.query_id, s.cell_id{crank_l}, c.sub_no, c.code,
                list_sum([ (s.sv[j] - c.c[j]) ** 2
                           for j in range(1, {PQ_DSUB + 1}) ]) AS d2
         FROM qsub s JOIN c{PQ_ITERS} c USING (sub_no)),
@@ -2273,12 +2283,15 @@ _IVFADC_SEARCH = f"""
         FROM fin f JOIN best b USING (vec_id)),
     adc AS (
         SELECT l.query_id, co.vec_id AS neighbor_id,
-               round(list_sum(list(l.d2 ORDER BY l.sub_no)), 4) AS adc_dist
+               round(list_sum(list(l.d2 ORDER BY l.sub_no)), 4) AS adc_dist{crank_adc}
         FROM codes co
         JOIN lut l ON l.cell_id = co.cell_id
                   AND l.sub_no = co.sub_no AND l.code = co.code
         WHERE co.vec_id <> l.query_id
         GROUP BY 1, 2)"""
+
+
+_IVFADC_SEARCH = _ivfadc_search_sql()
 
 
 def _coarse_d2() -> Column:
@@ -2473,16 +2486,10 @@ def q_sim_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_IVFADC_RECALL_TAIL = f"""
-    , adc1 AS (
-        SELECT query_id, neighbor_id FROM (
-            SELECT query_id, neighbor_id,
-                   row_number() OVER (
-                       PARTITION BY query_id
-                       ORDER BY adc_dist, neighbor_id) AS rn
-            FROM adc)
-        WHERE rn = 1),
-    exact1 AS (
+# The exact-L2-NN yardstick CTE (PQ_NQ-bounded) — ONE definition shared
+# by every recall oracle, mirroring the Python side's _exact_nn1: a
+# change to the rounding or the query bound reaches all of them.
+_EXACT1_CTE = f"""exact1 AS (
         SELECT query_id, neighbor_id FROM (
             SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
                    row_number() OVER (
@@ -2494,7 +2501,18 @@ _IVFADC_RECALL_TAIL = f"""
                            e.vec_id) AS rn
             FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
             WHERE q.vec_id < {PQ_NQ})
+        WHERE rn = 1)"""
+
+_IVFADC_RECALL_TAIL = f"""
+    , adc1 AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY adc_dist, neighbor_id) AS rn
+            FROM adc)
         WHERE rn = 1),
+    {_EXACT1_CTE},
     nc AS (SELECT query_id, count(*) AS n_cand FROM adc GROUP BY 1),
     ntot AS (SELECT count(*) AS n FROM embeddings)
     SELECT CAST(count(*) AS BIGINT) AS n_queries,
@@ -2716,19 +2734,7 @@ def _ivfadc_rerank_parts(spark: SparkSession, sf_dir: str):
     + _IVFADC_SEARCH
     + _IVFADC_RERANK_CTES
     + f"""
-    , exact1 AS (
-        SELECT query_id, neighbor_id FROM (
-            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-                   row_number() OVER (
-                       PARTITION BY q.vec_id
-                       ORDER BY round(list_sum([
-                           (CAST(q.embedding[j] AS DOUBLE)
-                            - CAST(e.embedding[j] AS DOUBLE)) ** 2
-                           for j in range(1, {DIM + 1})]), 4),
-                           e.vec_id) AS rn
-            FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
-            WHERE q.vec_id < {PQ_NQ})
-        WHERE rn = 1)
+    , {_EXACT1_CTE}
     SELECT CAST(count(*) AS BIGINT) AS n_queries,
            CAST(sum(CASE WHEN r.neighbor_id = x.neighbor_id
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
@@ -2773,45 +2779,10 @@ def q_sim_ivfadc_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # filtering on the probe rank of the cell each candidate came from.
 PROBE_LEVELS = (1, 2, 4, 8)
 
-_IVFADC_SWEEP_SEARCH = f"""
-    , probes AS (
-        SELECT vec_id AS query_id, cell_id, rn AS crank FROM (
-            SELECT vec_id, cell_id, row_number() OVER (
-                       PARTITION BY vec_id ORDER BY cd2, cell_id) AS rn
-            FROM cd WHERE vec_id < {PQ_NQ})
-        WHERE rn <= {max(PROBE_LEVELS)}),
-    qsub AS (
-        SELECT p.query_id, p.cell_id, p.crank, t.m AS sub_no,
-               [CAST(q.embedding[t.m * {PQ_DSUB} + j] AS DOUBLE)
-                - c.cemb[t.m * {PQ_DSUB} + j]
-                for j in range(1, {PQ_DSUB + 1})] AS sv
-        FROM probes p
-        JOIN embeddings q ON q.vec_id = p.query_id
-        JOIN cent c USING (cell_id)
-        CROSS JOIN range(0, {PQ_M}) t(m)),
-    lut AS (
-        SELECT s.query_id, s.cell_id, s.crank, c.sub_no, c.code,
-               list_sum([ (s.sv[j] - c.c[j]) ** 2
-                          for j in range(1, {PQ_DSUB + 1}) ]) AS d2
-        FROM qsub s JOIN c{PQ_ITERS} c USING (sub_no)),
-    codes AS (
-        SELECT f.vec_id, b.cell_id, f.sub_no, f.code
-        FROM fin f JOIN best b USING (vec_id)),
-    adc AS (
-        SELECT l.query_id, co.vec_id AS neighbor_id,
-               round(list_sum(list(l.d2 ORDER BY l.sub_no)), 4) AS adc_dist,
-               min(l.crank) AS crank
-        FROM codes co
-        JOIN lut l ON l.cell_id = co.cell_id
-                  AND l.sub_no = co.sub_no AND l.code = co.code
-        WHERE co.vec_id <> l.query_id
-        GROUP BY 1, 2)"""
-
-
 @query(
     "q_sim_ivfadc_probe_sweep",
     oracle=_pq_duck(pre_ctes=_IVFADC_PRE, sub_cte=_IVFADC_SUB, seed_lo=N_CELLS)
-    + _IVFADC_SWEEP_SEARCH
+    + _ivfadc_search_sql(n_probe=max(PROBE_LEVELS), with_rank=True)
     + f"""
     , levels AS (SELECT unnest({list(PROBE_LEVELS)}) AS n_probe),
     cand AS (
@@ -2828,19 +2799,7 @@ _IVFADC_SWEEP_SEARCH = f"""
     nc AS (
         SELECT n_probe, query_id, count(*) AS n_cand
         FROM cand GROUP BY 1, 2),
-    exact1 AS (
-        SELECT query_id, neighbor_id FROM (
-            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-                   row_number() OVER (
-                       PARTITION BY q.vec_id
-                       ORDER BY round(list_sum([
-                           (CAST(q.embedding[j] AS DOUBLE)
-                            - CAST(e.embedding[j] AS DOUBLE)) ** 2
-                           for j in range(1, {DIM + 1})]), 4),
-                           e.vec_id) AS rn
-            FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
-            WHERE q.vec_id < {PQ_NQ})
-        WHERE rn = 1),
+    {_EXACT1_CTE},
     ntot AS (SELECT count(*) AS n FROM embeddings)
     SELECT a.n_probe,
            CAST(count(*) AS BIGINT) AS n_queries,

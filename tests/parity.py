@@ -58,7 +58,9 @@ def _canon_rows(cols: list[str], rows) -> list[tuple[str, ...]]:
     return sorted(tuple(_canon_cell(r[i]) for i in order) for r in rows)
 
 
-def compare(spark_df, con, oracle: str) -> None:
+def compare(spark_df, con, oracle: str) -> int:
+    """Raises on any mismatch; returns the (matching) row count so
+    callers don't re-execute the plan just to record it."""
     s_cols = [c.lower() for c in spark_df.columns]
     s_rows = [tuple(r) for r in spark_df.collect()]
     res = con.execute(oracle)
@@ -75,3 +77,4 @@ def compare(spark_df, con, oracle: str) -> None:
         raise AssertionError(
             f"values differ; first diffs (spark vs duckdb): {diffs}"
         )
+    return len(s_rows)

@@ -53,6 +53,7 @@ if ROOT not in sys.path:
 from distributed_causal_stream_processing_spark.benchlib import (  # noqa: E402
     MIN_DELTA_S,
     REGRESSION_THRESHOLD as DEFAULT_THRESHOLD,
+    past_band,
 )
 
 
@@ -75,7 +76,7 @@ def candidates(
         base = ref["queries"].get(name)
         if base is None:
             new.append(name)
-        elif base > 0 and t > threshold * base and (t - base) > MIN_DELTA_S:
+        elif past_band(t, base, threshold):
             flagged.append((name, base, t, t / base))
     return flagged, new, len(cur)
 
@@ -143,7 +144,7 @@ def main(argv: list[str] | None = None) -> int:
             persist_adjudication(det, fresh, os.path.join(ROOT, "BENCH_DETAIL.json"))
         for name, base, t, _ in flagged:
             eff = min(t, fresh.get(name, t))
-            if eff > threshold * base and (eff - base) > MIN_DELTA_S:
+            if past_band(eff, base, threshold):
                 confirmed.append((name, base, eff, eff / base))
             else:
                 print(

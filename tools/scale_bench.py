@@ -99,9 +99,11 @@ QUADRATIC_ALARM = 13.5  # 9x candidates + 50% slack
 # single-task sort is noise at local[32]; even ~450k was. The hot key
 # has to dwarf the per-task share a uniform shuffle would give it
 # (~4M/32 ≈ 125k rows) by an order of magnitude before the straggler
-# shows. Measured at 40× / hot_share 0.49: plain twins 1.76× and 7.85×,
-# the two-level paths 0.81-0.90 — the instrument separates the classes
-# cleanly.
+# shows. The committed pin is BENCH_SCALING.json's `skewed` block
+# (latest recorded run: two-level paths 0.76/0.92, plain twins
+# 2.34×/3.22×); across probe runs the twins ranged 1.8-7.9× and the
+# two-level paths 0.7-1.0 — the class separation is stable even though
+# the twin magnitudes wobble with the host window.
 SKEW_SET = {
     "q_causal_seq_skewsafe": "skew_safe",  # two-level bucketed sequencer
     "q_agg_ewma": "skew_safe",  # two-level affine EWMA fold

@@ -82,8 +82,10 @@ def heavy3() -> int:
             t0 = _t.time()
             try:
                 df = spec.fn(spark, out_dir)
-                n = df.count()
-                compare(df, con, spec.oracle)
+                # compare() collects the DataFrame and returns its row
+                # count — a separate df.count() would execute the
+                # multi-superstep plan a second time
+                n = compare(df, con, spec.oracle)
                 results[name] = {
                     "scale": "sf0.01 x3",
                     "rows": n,
