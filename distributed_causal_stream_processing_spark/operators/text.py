@@ -663,6 +663,127 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_text_repetition_ngram",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, len(text) AS nchars, string_split(text, ' ') AS s
+        FROM documents WHERE len(string_split(text, ' ')) >= 5
+    ),
+    g2 AS (
+        SELECT doc_id, nchars,
+               unnest(list_transform(range(1, len(s)),
+                   i -> s[i] || ' ' || s[i+1])) AS gram
+        FROM t
+    ),
+    c2 AS (SELECT doc_id, nchars, gram, count(*) AS n
+           FROM g2 GROUP BY 1, 2, 3),
+    top2 AS (
+        SELECT doc_id,
+               round(n * len(gram) / CAST(nchars AS DOUBLE), 6) AS top2_share
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY doc_id ORDER BY n DESC, gram DESC) AS rn
+              FROM c2)
+        WHERE rn = 1
+    ),
+    g5 AS (
+        SELECT doc_id, nchars,
+               unnest(list_transform(range(1, len(s) - 3),
+                   i -> s[i] || ' ' || s[i+1] || ' ' || s[i+2] || ' '
+                        || s[i+3] || ' ' || s[i+4])) AS gram
+        FROM t
+    ),
+    c5 AS (SELECT doc_id, nchars, gram, count(*) AS n
+           FROM g5 GROUP BY 1, 2, 3),
+    d5 AS (
+        SELECT doc_id,
+               round(coalesce(sum(CASE WHEN n > 1 THEN n * len(gram) END), 0)
+                     / CAST(max(nchars) AS DOUBLE), 6) AS dup5_share
+        FROM c5 GROUP BY doc_id
+    )
+    SELECT t2.doc_id, t2.top2_share, d5.dup5_share,
+           (t2.top2_share > 0.2 OR d5.dup5_share > 0.15) AS repetitive
+    FROM top2 t2 JOIN d5 USING (doc_id)
+    """,
+)
+def q_text_repetition_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-weighted n-gram repetition — the other half of the
+    published repetition-filter family (Rae et al. 2021 §A1.1)
+    beside q_text_repetition's word-level ratios: per document, the
+    fraction of CHARACTERS covered by the most frequent word-bigram
+    (top2_share) and by all duplicated word-5-grams (dup5_share,
+    occurrences × gram length — boilerplate headers and repeated
+    paragraphs dominate this one while barely moving the word-level
+    dup ratio), plus the filter verdict at the family's usual
+    thresholds (0.2 / 0.15). Ties for the top bigram break
+    deterministically on (count, gram) so both engines pick the same
+    winner.
+
+    Scale shape: shingles come from posexplode + window lead (never
+    explode(transform(...)) — one array element per row through the
+    shuffle), then two hash aggregations per n — (doc, gram) counts
+    and the per-doc rollup — all map-side combinable; no corpus-sized
+    window, no Python."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.length("text").alias("nchars"),
+            F.split("text", " ").alias("s"),
+        )
+        .filter(F.size("s") >= 5)
+    )
+    pos = d.select("doc_id", "nchars", F.posexplode("s").alias("i", "t0"))
+    w = W.partitionBy("doc_id").orderBy("i")
+    leads = pos.select(
+        "doc_id",
+        "nchars",
+        "t0",
+        *[F.lead("t0", k).over(w).alias(f"t{k}") for k in range(1, 5)],
+    )
+    g2 = leads.filter(F.col("t1").isNotNull()).select(
+        "doc_id", "nchars", F.concat_ws(" ", "t0", "t1").alias("gram")
+    )
+    c2 = g2.groupBy("doc_id", "nchars", "gram").agg(F.count(F.lit(1)).alias("n"))
+    top2 = (
+        c2.groupBy("doc_id", "nchars")
+        .agg(F.max(F.struct("n", "gram")).alias("tg"))
+        .select(
+            "doc_id",
+            F.round(
+                F.col("tg.n") * F.length("tg.gram") / F.col("nchars").cast("double"),
+                6,
+            ).alias("top2_share"),
+        )
+    )
+    g5 = leads.filter(F.col("t4").isNotNull()).select(
+        "doc_id",
+        "nchars",
+        F.concat_ws(" ", "t0", "t1", "t2", "t3", "t4").alias("gram"),
+    )
+    c5 = g5.groupBy("doc_id", "nchars", "gram").agg(F.count(F.lit(1)).alias("n"))
+    d5 = c5.groupBy("doc_id").agg(
+        F.round(
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("n") > 1, F.col("n") * F.length("gram"))
+                ),
+                F.lit(0),
+            )
+            / F.max("nchars").cast("double"),
+            6,
+        ).alias("dup5_share")
+    )
+    return top2.join(d5, ["doc_id"]).select(
+        "doc_id",
+        "top2_share",
+        "dup5_share",
+        ((F.col("top2_share") > 0.2) | (F.col("dup5_share") > 0.15)).alias(
+            "repetitive"
+        ),
+    )
+
+
+@query(
     "q_text_decontaminate",
     oracle="""
     WITH toks AS (
