@@ -56,6 +56,7 @@ def __getattr__(name):  # pragma: no cover - thin lazy-import shims
         "compact_files": "sinks",
         "write_zordered": "sinks",
         "causal_sequence_skewsafe": "streaming.batch_views",
+        "running_state_skewsafe": "streaming.batch_views",
         "ivfadc_index": "operators.similarity",
         "ivfadc_score": "operators.similarity",
         "run_streaming_ivfadc": "streaming.jobs",
@@ -89,6 +90,7 @@ __all__ = [
     "compact_files",
     "write_zordered",
     "causal_sequence_skewsafe",
+    "running_state_skewsafe",
     "ivfadc_index",
     "ivfadc_score",
     "run_streaming_ivfadc",

@@ -646,6 +646,58 @@ def test_skewsafe_sequence_matches_plain_on_hot_key(spark):
     assert got == want
 
 
+def test_skewsafe_running_state_matches_plain_on_hot_key(spark):
+    """The running-SUM member of the skew-safe family: one user holding
+    ~95% of a multi-day history, at a 1-hour bucket width that splits
+    the hot key across many level-1 partitions, must equal the plain
+    per-key running count/sum window EXACTLY (integer cents make the
+    two-level regrouping associative)."""
+    import datetime
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from distributed_causal_stream_processing_spark.streaming.batch_views import (
+        running_state_skewsafe,
+    )
+
+    base = datetime.datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    for i in range(1900):  # hot key
+        rows.append((7, eid, base + datetime.timedelta(seconds=45 * i), eid * 13 % 997))
+        eid += 1
+    for u in (1, 2, 3):  # cold keys
+        for i in range(30):
+            rows.append((u, eid, base + datetime.timedelta(minutes=13 * i), eid % 50))
+            eid += 1
+    # concurrent events on the hot key (equal ts, tie-broken by id)
+    rows += [(7, eid, base, 5), (7, eid + 1, base, 6)]
+    e = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, cents long"
+    )
+
+    got = {
+        (r.user_id, r.event_id): (r.running_count, r.running_cents)
+        for r in running_state_skewsafe(e, bucket_us=3_600_000_000).collect()
+    }
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    want = {
+        (r.user_id, r.event_id): (r.rc, r.rs)
+        for r in e.select(
+            "user_id",
+            "event_id",
+            F.count(F.lit(1)).over(w).cast("long").alias("rc"),
+            F.sum("cents").over(w).cast("long").alias("rs"),
+        ).collect()
+    }
+    assert got == want
+
+
 def _stage_orders(spark, tmp_path, rows):
     """Write a minimal orders table (o_orderkey, o_totalprice) that
     q_win_dist / q_sort_multi can load from a tmp sf_dir."""

@@ -106,6 +106,7 @@ QUADRATIC_ALARM = 13.5  # 9x candidates + 50% slack
 # the twin magnitudes wobble with the host window.
 SKEW_SET = {
     "q_causal_seq_skewsafe": "skew_safe",  # two-level bucketed sequencer
+    "q_stream_stateful_agg_skewsafe": "skew_safe",  # two-level running sum
     "q_agg_ewma": "skew_safe",  # two-level affine EWMA fold
     "q_causal_seq": "plain_window_twin",  # plain per-key ordered window
     "q_stream_stateful_agg": "plain_window_twin",  # plain running window
