@@ -179,7 +179,39 @@ def run_dedup_stream_bounded(
         q.stop()
 
 
-class IdempotentForeachBatchSink:
+class _CommitMarkers:
+    """The write-then-commit marker protocol shared by every
+    foreachBatch sink in this module (IdempotentForeachBatchSink,
+    CdcMergeSink, the streaming dedup indexes) — ONE implementation of
+    the file's core crash-safety contract, so a hardening change (e.g.
+    fsync before the marker write, atomic marker creation) lands in
+    every sink at once instead of by copy-paste discipline."""
+
+    def _init_markers(self, root: str) -> None:
+        self.root = root
+        self.commits_dir = os.path.join(root, "_commits")
+        os.makedirs(self.commits_dir, exist_ok=True)
+
+    def _marker(self, batch_id: int) -> str:
+        return os.path.join(self.commits_dir, str(batch_id))
+
+    def is_committed(self, batch_id: int) -> bool:
+        return os.path.exists(self._marker(batch_id))
+
+    def _committed_ids(self) -> list[int]:
+        return sorted(int(x) for x in os.listdir(self.commits_dir))
+
+    def _latest_committed(self) -> int:
+        return max(self._committed_ids(), default=-1)
+
+    def _write_marker(self, batch_id: int, **payload) -> None:
+        # written only AFTER the batch's data write returned — the
+        # ordering every reader in this module relies on
+        with open(self._marker(batch_id), "w") as fh:
+            json.dump({"batch_id": batch_id, **payload}, fh)
+
+
+class IdempotentForeachBatchSink(_CommitMarkers):
     """Effectively-once parquet sink: the reference's write-then-commit.
 
     Layout:  <root>/data/batch_id=N/...parquet   (the write)
@@ -195,17 +227,9 @@ class IdempotentForeachBatchSink:
     """
 
     def __init__(self, root: str):
-        self.root = root
+        self._init_markers(root)
         self.data_dir = os.path.join(root, "data")
-        self.commits_dir = os.path.join(root, "_commits")
         os.makedirs(self.data_dir, exist_ok=True)
-        os.makedirs(self.commits_dir, exist_ok=True)
-
-    def _marker(self, batch_id: int) -> str:
-        return os.path.join(self.commits_dir, str(batch_id))
-
-    def is_committed(self, batch_id: int) -> bool:
-        return os.path.exists(self._marker(batch_id))
 
     def process(self, df: DataFrame, batch_id: int) -> None:
         if self.is_committed(batch_id):
@@ -214,11 +238,30 @@ class IdempotentForeachBatchSink:
         # overwrite, not append: a torn previous attempt of this batch
         # is replaced wholesale, never double-counted
         df.write.mode("overwrite").parquet(out)
-        with open(self._marker(batch_id), "w") as fh:
-            json.dump({"batch_id": batch_id, "rows": df.count()}, fh)
+        # marker row count comes from the files just written (footer
+        # metadata), NOT df.count() — counting the input DataFrame
+        # would re-execute the batch's whole plan a second time (for
+        # the IVFADC probe that is the full scoring job per batch)
+        rows = df.sparkSession.read.parquet(out).count()
+        self._write_marker(batch_id, rows=rows)
 
     def read_all(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(os.path.join(self.data_dir, "batch_id=*"))
+        # COMMITTED batches only: a crash mid-write leaves a torn
+        # data/batch_id=N with no marker, and Structured Streaming will
+        # replay batch N — reading the glob here would surface those
+        # phantom rows once, the exact anomaly write-then-commit exists
+        # to prevent (the other readers in this module, CdcMergeSink
+        # .snapshot and _StreamingIndexDedup._live_dirs, already filter
+        # by markers)
+        committed = [
+            os.path.join(self.data_dir, f"batch_id={m}")
+            for m in self._committed_ids()
+            if os.path.isdir(os.path.join(self.data_dir, f"batch_id={m}"))
+        ]
+        if not committed:
+            # preserve the empty-sink error shape of the old glob read
+            return spark.read.parquet(os.path.join(self.data_dir, "batch_id=*"))
+        return spark.read.parquet(*committed)
 
 
 def run_effectively_once_sink(spark: SparkSession, stream_dir: str, sink_root: str) -> "IdempotentForeachBatchSink":
@@ -240,8 +283,15 @@ def run_effectively_once_sink(spark: SparkSession, stream_dir: str, sink_root: s
 
 
 def run_stateful_agg_stream(spark: SparkSession, stream_dir: str) -> list:
-    """Streaming q_stream_stateful_agg: per-user view (count + sum) in
-    update mode — the reference's per-key materialized view."""
+    """Streaming q_stream_stateful_agg: per-user view (count + sum) —
+    the reference's per-key materialized view. This runner uses
+    COMPLETE mode (the memory sink re-materializes the full view each
+    micro-batch, O(|keys|) output per batch — fine for a queryable
+    in-memory table); the incremental-emission form of the same
+    aggregate — update mode, only changed keys per batch — is exercised
+    by tests/test_streaming.py's update-mode test, and a real upsert
+    sink would pair update mode with foreachBatch MERGE
+    (CdcMergeSink)."""
     agg = (
         events_stream(spark, stream_dir)
         .groupBy("user_id")
@@ -283,6 +333,30 @@ def run_stream_stream_join(
     deployment with mostly-ordered arrival would run "2 hours"-ish and
     hold state proportional to rate × (watermark + band).
     """
+    return _click_purchase_join(
+        spark,
+        stream_dir,
+        watermark,
+        how="inner",
+        query_name="ss_join_out",
+        result_sql="SELECT c_id, p_id FROM ss_join_out",
+    )
+
+
+def _click_purchase_join(
+    spark: SparkSession,
+    stream_dir: str,
+    watermark: str,
+    how: str,
+    query_name: str,
+    result_sql: str,
+) -> list:
+    """Shared body of the inner/left-outer click→purchase attribution
+    runners: same two filtered sides, same 3-clause time-band join
+    condition, same memory-sink collect — ONE definition so a fix to
+    the band or the aliases cannot silently apply to only one join
+    type."""
+
     def side(event_type: str, prefix: str) -> DataFrame:
         return (
             events_stream(spark, stream_dir, watermark=watermark)
@@ -300,17 +374,17 @@ def run_stream_stream_join(
         (F.col("c_user") == F.col("p_user"))
         & (F.col("p_ts") >= F.col("c_ts"))
         & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
-        "inner",
+        how,
     )
     q = (
         joined.writeStream.format("memory")
-        .queryName("ss_join_out")
+        .queryName(query_name)
         .outputMode("append")
         .start()
     )
     try:
         q.processAllAvailable()
-        return spark.sql("SELECT c_id, p_id FROM ss_join_out").collect()
+        return spark.sql(result_sql).collect()
     finally:
         q.stop()
 
@@ -434,7 +508,7 @@ def cleanup(path: str) -> None:
     shutil.rmtree(path, ignore_errors=True)
 
 
-class CdcMergeSink:
+class CdcMergeSink(_CommitMarkers):
     """Streaming CDC apply: maintain a keyed snapshot table (per-user
     event count + latest event) by MERGE-ing each micro-batch into the
     previous snapshot — the reference's per-key materialized view,
@@ -455,19 +529,7 @@ class CdcMergeSink:
     """
 
     def __init__(self, root: str):
-        self.root = root
-        self.commits_dir = os.path.join(root, "_commits")
-        os.makedirs(self.commits_dir, exist_ok=True)
-
-    def _marker(self, batch_id: int) -> str:
-        return os.path.join(self.commits_dir, str(batch_id))
-
-    def is_committed(self, batch_id: int) -> bool:
-        return os.path.exists(self._marker(batch_id))
-
-    def _latest_committed(self) -> int:
-        ids = [int(x) for x in os.listdir(self.commits_dir)]
-        return max(ids, default=-1)
+        self._init_markers(root)
 
     def snapshot(self, spark: SparkSession) -> DataFrame | None:
         latest = self._latest_committed()
@@ -511,8 +573,18 @@ class CdcMergeSink:
             )
         out = os.path.join(self.root, f"snapshot_{batch_id}")
         merged.write.mode("overwrite").parquet(out)
-        with open(self._marker(batch_id), "w") as fh:
-            json.dump({"batch_id": batch_id}, fh)
+        self._write_marker(batch_id)
+        # prune superseded snapshots AFTER the marker commit: only
+        # snapshot_{latest_committed} is ever read back, so keeping
+        # every batch's full keyed state grows storage O(batches ×
+        # keys); the markers themselves stay (replay idempotence needs
+        # them), and a crash before this loop just leaves garbage the
+        # next commit prunes
+        for b in self._committed_ids():
+            if b < batch_id:
+                shutil.rmtree(
+                    os.path.join(self.root, f"snapshot_{b}"), ignore_errors=True
+                )
 
 
 def run_cdc_merge_stream(spark: SparkSession, stream_dir: str, sink_root: str) -> "CdcMergeSink":
@@ -592,9 +664,6 @@ def _lift_single_file(df: DataFrame, out_dir: str, idx: int, base: float) -> Non
     mtime base+idx. The file source does not recurse, so the single
     data file is lifted out of its write dir up into out_dir; strictly
     increasing mtimes make the source replay slices oldest-first."""
-    import os
-    import shutil
-
     os.makedirs(out_dir, exist_ok=True)
     tmp = os.path.join(out_dir, f"_tmp_{idx}")
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -641,39 +710,14 @@ def run_stream_stream_join_outer(
     (watermark + band) because the time-band condition bounds both
     buffers — the same contract as the inner join.
     """
-
-    def side(event_type: str, prefix: str) -> DataFrame:
-        return (
-            events_stream(spark, stream_dir, watermark=watermark)
-            .filter(F.col("event_type") == event_type)
-            .select(
-                F.col("user_id").alias(f"{prefix}_user"),
-                F.col("event_id").alias(f"{prefix}_id"),
-                F.col("ts").alias(f"{prefix}_ts"),
-            )
-        )
-
-    clicks, purchases = side("click", "c"), side("purchase", "p")
-    joined = clicks.join(
-        purchases,
-        (F.col("c_user") == F.col("p_user"))
-        & (F.col("p_ts") >= F.col("c_ts"))
-        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
-        "left_outer",
+    return _click_purchase_join(
+        spark,
+        stream_dir,
+        watermark,
+        how="left_outer",
+        query_name="ss_join_outer_out",
+        result_sql="SELECT c_id, p_id FROM ss_join_outer_out WHERE c_id >= 0",
     )
-    q = (
-        joined.writeStream.format("memory")
-        .queryName("ss_join_outer_out")
-        .outputMode("append")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-        return spark.sql(
-            "SELECT c_id, p_id FROM ss_join_outer_out WHERE c_id >= 0"
-        ).collect()
-    finally:
-        q.stop()
 
 
 def run_chain_assign_stream(
@@ -780,7 +824,7 @@ def stage_documents_as_stream_dir(
     )
 
 
-class _StreamingIndexDedup:
+class _StreamingIndexDedup(_CommitMarkers):
     """foreachBatch kernel: near-dup detection of an unbounded stream
     against an ACCUMULATING signature index — the true-streaming form
     of the daily-ingest probe (each micro-batch is "today's ingest";
@@ -813,18 +857,11 @@ class _StreamingIndexDedup:
         raise NotImplementedError
 
     def __init__(self, root: str):
-        self.root = root
+        self._init_markers(root)
         self.index_dir = os.path.join(root, "index")
         self.decisions_dir = os.path.join(root, "decisions")
-        self.commits_dir = os.path.join(root, "_commits")
-        for d in (self.index_dir, self.decisions_dir, self.commits_dir):
+        for d in (self.index_dir, self.decisions_dir):
             os.makedirs(d, exist_ok=True)
-
-    def _marker(self, batch_id: int) -> str:
-        return os.path.join(self.commits_dir, str(batch_id))
-
-    def is_committed(self, batch_id: int) -> bool:
-        return os.path.exists(self._marker(batch_id))
 
     @property
     def _manifest_path(self) -> str:
@@ -868,8 +905,8 @@ class _StreamingIndexDedup:
                     f"dedup index corrupt: manifest names missing dir {cd}"
                 )
             dirs.append(cd)
-        for b in sorted(os.listdir(self.commits_dir), key=int):
-            if int(b) <= covers:
+        for b in self._committed_ids():
+            if b <= covers:
                 continue
             bd = os.path.join(self.index_dir, f"batch_id={b}")
             if not os.path.isdir(bd):
@@ -903,8 +940,6 @@ class _StreamingIndexDedup:
         manifest protocol: no recovery step ever has to decide whether
         a tmp dir is the sole copy of anything (the round-6 rename
         protocol did, and got it wrong once)."""
-        import shutil
-
         m = self._read_manifest()
         keep = m["compacted_dir"] if m else None
         covers = m["covers_through"] if m else -1
@@ -939,8 +974,6 @@ class _StreamingIndexDedup:
         store, step 3 would be deferred by a retention window so
         in-flight readers of the previous manifest finish their scans.
         Returns the number of dirs folded."""
-        import shutil
-
         self._purge_unmanifested()
         prev = self._read_manifest()
         live = self._live_dirs()
@@ -999,8 +1032,7 @@ class _StreamingIndexDedup:
         sigs.select(*self.key_cols).distinct().write.mode("overwrite").parquet(
             os.path.join(self.index_dir, f"batch_id={batch_id}")
         )
-        with open(self._marker(batch_id), "w") as fh:
-            json.dump({"batch_id": batch_id}, fh)
+        self._write_marker(batch_id)
 
     def read_decisions(self, spark: SparkSession) -> DataFrame:
         return spark.read.option("basePath", self.decisions_dir).parquet(
@@ -1170,5 +1202,8 @@ def run_streaming_ivfadc(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
     return sink

@@ -84,6 +84,52 @@ def test_effectively_once_sink_idempotent(spark, stream_dir, tmp_path):
     assert sink.read_all(spark).count() == total
 
 
+def test_sink_read_all_excludes_torn_uncommitted_batch(spark, stream_dir, tmp_path):
+    """A crash mid-write leaves data/batch_id=N with NO commit marker;
+    read_all must not surface those phantom rows (Structured Streaming
+    will replay batch N, so reading them early is the double-exposure
+    the write-then-commit protocol exists to prevent — review find,
+    round 9)."""
+    from distributed_causal_stream_processing_spark.io import load
+    from distributed_causal_stream_processing_spark.streaming import jobs
+
+    sink_root = str(tmp_path / "sink")
+    sink = jobs.run_effectively_once_sink(spark, stream_dir, sink_root)
+    total = load(spark, SF_SMOKE, "events").count()
+    assert sink.read_all(spark).count() == total
+
+    # simulate the torn batch: data written, marker never created
+    torn_id = sink._latest_committed() + 7
+    torn_dir = os.path.join(sink.data_dir, f"batch_id={torn_id}")
+    load(spark, SF_SMOKE, "events").limit(33).write.parquet(torn_dir)
+    assert not sink.is_committed(torn_id)
+    assert sink.read_all(spark).count() == total  # phantom rows invisible
+
+    # once the batch commits (the replay path), its rows appear exactly once
+    sink.process(load(spark, SF_SMOKE, "events").limit(33), torn_id)
+    assert sink.read_all(spark).count() == total + 33
+
+
+def test_cdc_sink_prunes_superseded_snapshots(spark, stream_dir, tmp_path):
+    """Only snapshot_{latest_committed} is ever read back; superseded
+    snapshot dirs must be pruned after each commit or storage grows
+    O(batches × keys) (review find, round 9). Markers stay — replay
+    idempotence needs them."""
+    from distributed_causal_stream_processing_spark.streaming.jobs import (
+        run_cdc_merge_stream,
+    )
+
+    sink = run_cdc_merge_stream(spark, stream_dir, str(tmp_path / "cdc"))
+    committed = sink._committed_ids()
+    assert len(committed) > 1  # multiple micro-batches ran
+    snap_dirs = [
+        d for d in os.listdir(sink.root) if d.startswith("snapshot_")
+    ]
+    assert snap_dirs == [f"snapshot_{sink._latest_committed()}"], snap_dirs
+    # the surviving snapshot still reads fine
+    assert sink.snapshot(spark).count() > 0
+
+
 def test_watermark_drops_late_rows(spark, tmp_path):
     """An event arriving (in a later file/batch) far behind the watermark
     is excluded from windowed aggregation."""
