@@ -24,6 +24,17 @@ events.ts is parquet timestamp[ns]; Spark truncates to µs. The data is
 µs-granular (verified: no sub-µs components), so DuckDB oracles CAST to
 µs TIMESTAMP for exact alignment.
 
+Float-rounding risk note (review, round 9): q_stream_tumbling /
+q_stream_sliding / q_stream_stateful_agg compare round(sum(double), 2)
+across engines whose summation associations differ — a true sum within
+1 ULP of an x.xx5 boundary could round apart. Kept as-is deliberately:
+these three have been value-hash green for 8 rounds at three scales
+(24+ driver/sweep runs), the fixture's 2-dp values keep true sums off
+the boundary grid, and tools/sweep_parity.py re-checks the class at
+arbitrary scale whenever rounding or fixtures change. The skew-safe
+sibling (q_stream_stateful_agg_skewsafe) shows the quantized-integer
+form to reach for if a fixture generation ever lands on the grid.
+
 Scale notes (100 TB): tumbling/sliding window aggs shuffle one partial
 row per (window, key) per map partition — the 100 TB-safe shape. The
 per-key window functions (causal seq) shuffle the full event stream on
@@ -406,15 +417,24 @@ def running_state_skewsafe(
             "user_id",
             "bucket",
             F.coalesce(F.sum("n").over(w_off), F.lit(0)).alias("off_n"),
-            F.coalesce(F.sum("s").over(w_off), F.lit(0)).alias("off_s"),
+            # off_s stays NULLABLE: SQL's running sum is NULL exactly
+            # when no non-null value exists in the prefix, and the
+            # two-level form must reproduce that — a plain coalesce
+            # to 0 here returned 0 where the plain window returns
+            # NULL, and NULL + offset where a bucket's prefix is
+            # all-null but PRIOR buckets are not (review find, r09)
+            F.sum("s").over(w_off).alias("off_s"),
         )
     )
+    running_cents = F.when(
+        F.col("ws").isNull() & F.col("off_s").isNull(), F.lit(None)
+    ).otherwise(F.coalesce("ws", F.lit(0)) + F.coalesce("off_s", F.lit(0)))
     return within.join(offsets, ["user_id", "bucket"]).select(
         "user_id",
         "event_id",
         "ts",
         (F.col("wc") + F.col("off_n")).cast("bigint").alias("running_count"),
-        (F.col("ws") + F.col("off_s")).cast("bigint").alias("running_cents"),
+        running_cents.cast("bigint").alias("running_cents"),
     )
 
 

@@ -104,7 +104,12 @@ def causal_sequence_stream(events: DataFrame) -> DataFrame:
         n = len(pdf)
         ts_us = (pdf["ts"].astype("int64") // 1000).to_numpy()  # ns → µs
         eid = pdf["event_id"].to_numpy()
-        lates = (ts_us < last_ts_us) | ((ts_us == last_ts_us) & (eid < last_eid))
+        # <= on the id: an event EQUAL to the watermark (ts AND id) is a
+        # redelivered duplicate of the key's most recent event — with a
+        # strict < it would silently reprocess (fresh seq, late=False),
+        # the one at-least-once shape the flag existed to expose
+        # (review find, round 9)
+        lates = (ts_us < last_ts_us) | ((ts_us == last_ts_us) & (eid <= last_eid))
         seqs = np.arange(max_seq + 1, max_seq + n + 1)
         max_seq += n
         if not lates[-1]:  # sorted ⇒ last row is non-late iff any is
@@ -184,8 +189,10 @@ def make_causal_processor():
                 n = len(pdf)
                 ts_us = (pdf["ts"].astype("int64") // 1000).to_numpy()
                 eid = pdf["event_id"].to_numpy()
+                # <= on the id: equal-to-watermark = redelivered
+                # duplicate, flag it (see the applyInPandasWithState twin)
                 lates = (ts_us < last_ts_us) | (
-                    (ts_us == last_ts_us) & (eid < last_eid)
+                    (ts_us == last_ts_us) & (eid <= last_eid)
                 )
                 seqs = np.arange(max_seq + 1, max_seq + n + 1)
                 max_seq += n
@@ -310,7 +317,11 @@ def pattern_match_stream(events: DataFrame) -> DataFrame:
                 ts_us.tolist(), pdf["event_id"].tolist(), pdf["event_type"].tolist()
             ):
                 n_events += 1
-                if (t, eid) < (last_ts_us, last_eid):
+                if (t, eid) <= (last_ts_us, last_eid):
+                    # behind OR EQUAL: an equal (ts, id) is a redelivered
+                    # duplicate of the latest event — reprocessing it would
+                    # re-open/advance the DFA and manufacture extra matches
+                    # with n_late still 0 (review find, round 9)
                     n_late += 1
                     continue
                 last_ts_us, last_eid = t, eid

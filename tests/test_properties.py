@@ -673,6 +673,20 @@ def test_skewsafe_running_state_matches_plain_on_hot_key(spark):
             eid += 1
     # concurrent events on the hot key (equal ts, tie-broken by id)
     rows += [(7, eid, base, 5), (7, eid + 1, base, 6)]
+    eid += 2
+    # NULL cents (review find, round 9): the running sum is NULL until
+    # the first non-null value and must STAY non-null after it, even
+    # when a later day-bucket's prefix is entirely null — user 9's
+    # day-2 starts with nulls after a non-null day-1; user 8 is
+    # all-null (running_cents NULL throughout)
+    rows += [
+        (9, eid, base, None),
+        (9, eid + 1, base + datetime.timedelta(minutes=1), 7),
+        (9, eid + 2, base + datetime.timedelta(days=1), None),
+        (9, eid + 3, base + datetime.timedelta(days=1, minutes=1), 4),
+        (8, eid + 4, base, None),
+        (8, eid + 5, base + datetime.timedelta(days=1), None),
+    ]
     e = spark.createDataFrame(
         rows, "user_id long, event_id long, ts timestamp, cents long"
     )

@@ -455,6 +455,18 @@ def test_causal_tws_processor_logic(spark, stream_dir):
     max_seq, last_ts_us, last_eid = handle.states["causal_seq"].get()
     assert max_seq == 4 and last_eid == 13 and last_ts_us == 3  # 3000ns = 3µs
 
+    # micro-batch 3 (review find, round 9): a redelivered EXACT
+    # duplicate of the most recent event — (ts, id) EQUAL to the
+    # frontier — must be flagged late, never silently reprocessed as
+    # new (a strict < comparison reprocessed it with late=False); the
+    # frontier itself stays put
+    out4 = pd.concat(
+        proc.handleInputRows((7,), iter([batch([(13, 3_000)])]), None)
+    )
+    assert bool(out4["late"].iloc[0]) is True
+    _, last_ts_us, last_eid = handle.states["causal_seq"].get()
+    assert last_eid == 13 and last_ts_us == 3
+
     # fresh key → fresh state object, numbering restarts at 1
     proc2 = make_causal_processor()()
     proc2.init(_FakeHandle())
