@@ -97,11 +97,33 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs product never materializes. The oracle cross-checks with
     DuckDB's list_intersect over the same pair set.
     """
-    # Shingles via posexplode + window lead, NOT explode(transform(...)):
-    # a generator over a computed array triggers InferFiltersFromGenerate,
-    # and predicate pushdown then substitutes the whole shingle lambda
-    # (split(text) inlined per element!) into a pre-projection filter —
-    # measured O(n·len²), 8.9s at sf0.1 vs <1s for this shape.
+    exploded = _distinct_3gram_rows(spark, sf_dir)
+    a = exploded.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("na"), "gram")
+    b = exploded.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("nb"), "gram")
+    common = (
+        a.join(b, ["gram"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    uni = (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
+    jac = F.col("inter") / uni
+    return common.filter(jac >= 0.1).select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+
+
+def _distinct_3gram_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, gram, n_grams) — each document's DISTINCT word-3-grams
+    exploded one per row with the per-doc gram count, over the
+    doc_id < 100 eval slice. Shared by q_dedup_ngram_jaccard and
+    q_dedup_containment (review find, round 9: the ~27-line pipeline
+    was hand-copied into both; a fix to the planner-trap workaround
+    below had to be applied twice).
+
+    Shingles via posexplode + window lead, NOT explode(transform(...)):
+    a generator over a computed array triggers InferFiltersFromGenerate,
+    and predicate pushdown then substitutes the whole shingle lambda
+    (split(text) inlined per element!) into a pre-projection filter —
+    measured O(n·len²), 8.9s at sf0.1 vs <1s for this shape."""
     d = (
         load(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 100)
@@ -126,21 +148,12 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     wn = W.partitionBy("doc_id")
-    exploded = grams.select("doc_id", "gram", F.count(F.lit(1)).over(wn).alias("n_grams"))
-    a = exploded.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("na"), "gram")
-    b = exploded.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("nb"), "gram")
-    common = (
-        a.join(b, ["gram"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b", "na", "nb")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    return grams.select(
+        "doc_id", "gram", F.count(F.lit(1)).over(wn).alias("n_grams")
     )
-    uni = (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
-    jac = F.col("inter") / uni
-    return common.filter(jac >= 0.1).select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
 
 
-def _simhash_sql(table: str, dialect_split: str) -> str:
+def _simhash_sql(dialect_split: str) -> str:
     """SimHash-16 SQL, identical logic for both engines.
 
     dialect_split: Spark 'explode'-style vs DuckDB 'unnest' differ only
@@ -170,7 +183,6 @@ def _simhash_sql(table: str, dialect_split: str) -> str:
 
 
 _SIMHASH_DUCK = _simhash_sql(
-    "documents",
     """
         SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
         FROM documents
@@ -178,7 +190,6 @@ _SIMHASH_DUCK = _simhash_sql(
 )
 
 _SIMHASH_SPARK = _simhash_sql(
-    "documents",
     """
         SELECT doc_id, explode(array_distinct(split(text, ' '))) AS tok
         FROM documents
@@ -610,25 +621,29 @@ def band_rows_for(df: DataFrame) -> DataFrame:
 
     view = f"_band_src_{uuid.uuid4().hex}"
     df.createOrReplaceTempView(view)
-    out = df.sparkSession.sql(
-        _minhash_cte(
-            "SELECT doc_id, explode(array_distinct(split(text, ' '))) AS tok"
-            f" FROM {view}",
-            "STRING",
+    try:
+        return df.sparkSession.sql(
+            _minhash_cte(
+                "SELECT doc_id, explode(array_distinct(split(text, ' '))) AS tok"
+                f" FROM {view}",
+                "STRING",
+            )
+            + f", band_rows AS ({_UNPIVOT_SPARK})"
+            " SELECT doc_id, band_no, band_key FROM band_rows"
         )
-        + f", band_rows AS ({_UNPIVOT_SPARK})"
-        " SELECT doc_id, band_no, band_key FROM band_rows"
-    )
-    # the plan is resolved eagerly at sql(); the view entry itself can go
-    df.sparkSession.catalog.dropTempView(view)
-    return out
+    finally:
+        # the plan is resolved eagerly at sql(); the view entry can go —
+        # and must go even when sql() raises, or failed micro-batches
+        # accumulate _band_src_* catalog entries (review find, round 9)
+        df.sparkSession.catalog.dropTempView(view)
 
 
 @query("q_dedup_incremental", oracle=_INCR_LSH_DUCK)
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental LSH dedup: flag NEW documents (doc_id >= 400, the
-    ingest batch) that near-duplicate the EXISTING corpus (doc_id <
-    400) by probing the corpus's band-bucket index — the daily-ingest
+    """Incremental LSH dedup: flag NEW documents (the ingest batch —
+    doc_id >= floor(0.8 * max(doc_id)), derived per fixture) that
+    near-duplicate the EXISTING corpus (the other 80%) by probing the
+    corpus's band-bucket index — the daily-ingest
     path of a production pipeline, where the corpus's signatures are
     already materialized and are never re-clustered.
 
@@ -683,35 +698,10 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     join on shingle (only pairs sharing ≥1 shingle materialize, both
     directions kept), count per directed pair, divide by the LEFT
     side's shingle count. Same shingle-generation shape too
-    (posexplode + window lead — see the Jaccard docstring for why
-    explode(transform(...)) is a planner trap)."""
-    d = (
-        load(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 100)
-        .select("doc_id", F.split("text", " ").alias("toks"))
-        .filter(F.size("toks") >= 3)
-    )
-    tok = d.select(
-        "doc_id", F.size("toks").alias("len"), F.posexplode("toks").alias("pos", "tok")
-    )
-    wl = W.partitionBy("doc_id").orderBy("pos")
-    grams = (
-        tok.select(
-            "doc_id",
-            "pos",
-            "len",
-            F.concat_ws(
-                " ", "tok", F.lead("tok", 1).over(wl), F.lead("tok", 2).over(wl)
-            ).alias("gram"),
-        )
-        .filter(F.col("pos") <= F.col("len") - 3)
-        .select("doc_id", "gram")
-        .distinct()
-    )
-    wn = W.partitionBy("doc_id")
-    exploded = grams.select(
-        "doc_id", "gram", F.count(F.lit(1)).over(wn).alias("n_grams")
-    )
+    (posexplode + window lead via the shared _distinct_3gram_rows —
+    see its docstring for why explode(transform(...)) is a planner
+    trap)."""
+    exploded = _distinct_3gram_rows(spark, sf_dir)
     a = exploded.select(
         F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("na"), "gram"
     )
@@ -729,28 +719,37 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # MinHash accuracy evaluation: how well does signature agreement
 # estimate true token-set Jaccard on the pairs LSH actually surfaces?
-def _minhash_eval_sql(split_clause: str, str_type: str, unpivot: str) -> str:
+def _minhash_scoring_sql(lead: str, tokens: str, sigs: str, band_rows: str) -> str:
+    """The candidate/score half of the eval, parameterized on the
+    three input table names so the DuckDB oracle (CTE chain) and the
+    Spark side (materialized temp views) run the IDENTICAL scoring
+    text — a change here (e.g. the floor-scaling below) cannot reach
+    one engine and miss the other. ``lead`` is "WITH " standalone or
+    "," to continue an existing CTE chain.
+
+    All three ratio columns floor-scale (SURVEY §7.4, text.floor4):
+    est_jaccard = agree/32 is a DYADIC fraction that lands exactly on
+    the 4-dp half-grid whenever agree is odd·... (5/32 = 0.15625) —
+    round() there is the known cross-engine killer (Spark HALF_UP vs
+    DuckDB rint); floor of the identical double product cannot tie."""
     agree = " + ".join(
         f"(CASE WHEN sa.mh{j} = sb.mh{j} THEN 1 ELSE 0 END)"
         for j in range(N_MINHASH)
     )
-    return (
-        _minhash_cte(split_clause, str_type)
-        + f""",
-    band_rows AS ({unpivot}),
+    return f"""{lead}
     cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM band_rows a
-        JOIN band_rows b
+        FROM {band_rows} a
+        JOIN {band_rows} b
           ON a.band_no = b.band_no AND a.band_key = b.band_key
          AND a.doc_id < b.doc_id
     ),
-    sizes AS (SELECT doc_id, count(*) AS n FROM tokens GROUP BY doc_id),
+    sizes AS (SELECT doc_id, count(*) AS n FROM {tokens} GROUP BY doc_id),
     inter AS (
         SELECT c.doc_a, c.doc_b, count(*) AS ni
         FROM cand c
-        JOIN tokens ta ON ta.doc_id = c.doc_a
-        JOIN tokens tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+        JOIN {tokens} ta ON ta.doc_id = c.doc_a
+        JOIN {tokens} tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
         GROUP BY c.doc_a, c.doc_b
     )
     -- LEFT JOIN inter: a candidate pair with ZERO token overlap (a pure
@@ -759,25 +758,33 @@ def _minhash_eval_sql(split_clause: str, str_type: str, unpivot: str) -> str:
     -- (ADVICE r04).
     , scored AS (
         SELECT c.doc_a, c.doc_b,
-               round(CAST(({agree}) AS DOUBLE) / {N_MINHASH}, 4)
-                   AS est_jaccard,
-               round(CAST(COALESCE(i.ni, 0) AS DOUBLE)
-                     / (za.n + zb.n - COALESCE(i.ni, 0)), 4)
+               floor(CAST(({agree}) AS DOUBLE) * 10000 / {N_MINHASH})
+                   / 10000 AS est_jaccard,
+               floor(CAST(COALESCE(i.ni, 0) AS DOUBLE) * 10000
+                     / (za.n + zb.n - COALESCE(i.ni, 0))) / 10000
                    AS exact_jaccard
         FROM cand c
-        JOIN sigs sa ON sa.doc_id = c.doc_a
-        JOIN sigs sb ON sb.doc_id = c.doc_b
+        JOIN {sigs} sa ON sa.doc_id = c.doc_a
+        JOIN {sigs} sb ON sb.doc_id = c.doc_b
         LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
         JOIN sizes za ON za.doc_id = c.doc_a
         JOIN sizes zb ON zb.doc_id = c.doc_b
     )
-    -- abs_err from the ROUNDED columns: rounding the unrounded
+    -- abs_err from the QUANTIZED columns: quantizing the unquantized
     -- difference can flip on a representation boundary between
-    -- engines; the rounded inputs are bit-identical on both.
+    -- engines; the quantized inputs are bit-identical on both.
     SELECT doc_a, doc_b, est_jaccard, exact_jaccard,
-           round(abs(est_jaccard - exact_jaccard), 4) AS abs_err
+           floor(abs(est_jaccard - exact_jaccard) * 10000) / 10000 AS abs_err
     FROM scored
     """
+
+
+def _minhash_eval_sql(split_clause: str, str_type: str, unpivot: str) -> str:
+    return (
+        _minhash_cte(split_clause, str_type)
+        + f""",
+    band_rows AS ({unpivot})"""
+        + _minhash_scoring_sql(",", "tokens", "sigs", "band_rows")
     )
 
 
@@ -786,12 +793,6 @@ _MINHASH_EVAL_DUCK = _minhash_eval_sql(
     "FROM documents WHERE doc_id < 100",
     "VARCHAR",
     _UNPIVOT_DUCK,
-)
-_MINHASH_EVAL_SPARK = _minhash_eval_sql(
-    "SELECT doc_id, explode(array_distinct(split(text, ' '))) AS tok "
-    "FROM documents WHERE doc_id < 100",
-    "STRING",
-    _UNPIVOT_SPARK,
 )
 
 
@@ -816,73 +817,53 @@ def q_minhash_accuracy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     inlined SQL the oracle uses: Spark inlines CTEs, and this query
     references tokens 3x and sigs 2x — measured 10.9 s → ~1 s at
     sf0.1 (the same trap _UNPIVOT_SPARK documents). DuckDB
-    materializes CTEs, so the one-statement oracle text is fine."""
+    materializes CTEs, so the one-statement oracle text is fine. The
+    views are UUID-suffixed and dropped once the result plan is built
+    (review find, round 9): fixed global names raced concurrent
+    invocations, and the undropped views pinned the checkpointed
+    blocks for the whole session."""
+    import uuid
+
+    sfx = uuid.uuid4().hex[:12]
+    t_tok, t_sig, t_band = (
+        f"mh_eval_tokens_{sfx}",
+        f"mh_eval_sigs_{sfx}",
+        f"mh_eval_band_rows_{sfx}",
+    )
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
-    tokens = spark.sql(
-        "SELECT doc_id, explode(array_distinct(split(text, ' '))) AS tok "
-        "FROM documents WHERE doc_id < 100"
-    ).localCheckpoint()
-    tokens.createOrReplaceTempView("mh_eval_tokens")
-    sigs = spark.sql(
-        _minhash_cte("SELECT * FROM mh_eval_tokens", "STRING")
-        + "SELECT * FROM sigs"
-    ).localCheckpoint()
-    sigs.createOrReplaceTempView("mh_eval_sigs")
-    rows_per_band = N_MINHASH // LSH_BANDS
-    bands = ", ".join(
-        "concat_ws(',', "
-        + ", ".join(
-            f"CAST(mh{b * rows_per_band + r} AS STRING)"
-            for r in range(rows_per_band)
+    try:
+        tokens = spark.sql(
+            "SELECT doc_id, explode(array_distinct(split(text, ' '))) AS tok "
+            "FROM documents WHERE doc_id < 100"
+        ).localCheckpoint()
+        tokens.createOrReplaceTempView(t_tok)
+        sigs = spark.sql(
+            _minhash_cte(f"SELECT * FROM {t_tok}", "STRING")
+            + "SELECT * FROM sigs"
+        ).localCheckpoint()
+        sigs.createOrReplaceTempView(t_sig)
+        rows_per_band = N_MINHASH // LSH_BANDS
+        bands = ", ".join(
+            "concat_ws(',', "
+            + ", ".join(
+                f"CAST(mh{b * rows_per_band + r} AS STRING)"
+                for r in range(rows_per_band)
+            )
+            + f") AS band{b}"
+            for b in range(LSH_BANDS)
         )
-        + f") AS band{b}"
-        for b in range(LSH_BANDS)
-    )
-    band_rows = spark.sql(
-        f"WITH banded AS (SELECT doc_id, {bands} FROM mh_eval_sigs) "
-        + _UNPIVOT_SPARK
-    ).localCheckpoint()
-    band_rows.createOrReplaceTempView("mh_eval_band_rows")
-    agree = " + ".join(
-        f"(CASE WHEN sa.mh{j} = sb.mh{j} THEN 1 ELSE 0 END)"
-        for j in range(N_MINHASH)
-    )
-    return spark.sql(
-        f"""
-    WITH cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM mh_eval_band_rows a
-        JOIN mh_eval_band_rows b
-          ON a.band_no = b.band_no AND a.band_key = b.band_key
-         AND a.doc_id < b.doc_id
-    ),
-    sizes AS (SELECT doc_id, count(*) AS n FROM mh_eval_tokens GROUP BY doc_id),
-    inter AS (
-        SELECT c.doc_a, c.doc_b, count(*) AS ni
-        FROM cand c
-        JOIN mh_eval_tokens ta ON ta.doc_id = c.doc_a
-        JOIN mh_eval_tokens tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
-        GROUP BY c.doc_a, c.doc_b
-    ),
-    scored AS (
-        SELECT c.doc_a, c.doc_b,
-               round(CAST(({agree}) AS DOUBLE) / {N_MINHASH}, 4)
-                   AS est_jaccard,
-               round(CAST(COALESCE(i.ni, 0) AS DOUBLE)
-                     / (za.n + zb.n - COALESCE(i.ni, 0)), 4)
-                   AS exact_jaccard
-        FROM cand c
-        JOIN mh_eval_sigs sa ON sa.doc_id = c.doc_a
-        JOIN mh_eval_sigs sb ON sb.doc_id = c.doc_b
-        LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
-        JOIN sizes za ON za.doc_id = c.doc_a
-        JOIN sizes zb ON zb.doc_id = c.doc_b
-    )
-    SELECT doc_a, doc_b, est_jaccard, exact_jaccard,
-           round(abs(est_jaccard - exact_jaccard), 4) AS abs_err
-    FROM scored
-    """
-    )
+        band_rows = spark.sql(
+            f"WITH banded AS (SELECT doc_id, {bands} FROM {t_sig}) "
+            + _UNPIVOT_SPARK
+        ).localCheckpoint()
+        band_rows.createOrReplaceTempView(t_band)
+        # same scoring text as the oracle, resolved against the views;
+        # the returned plan holds the checkpointed frames directly, so
+        # dropping the views right after is safe and un-pins the blocks
+        return spark.sql(_minhash_scoring_sql("WITH", t_tok, t_sig, t_band))
+    finally:
+        for v in (t_tok, t_sig, t_band):
+            spark.catalog.dropTempView(v)
 
 
 def _fuzzy_name_pairs(names: DataFrame, tau: int) -> DataFrame:
