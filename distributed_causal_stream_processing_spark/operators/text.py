@@ -72,7 +72,7 @@ def q_text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT lang,
            CAST(count(*) AS BIGINT) AS n_docs,
-           round(avg(n_chars), 2) AS avg_chars,
+           floor(avg(n_chars) * 100) / 100 AS avg_chars,
            CAST(min(length(text)) AS BIGINT) AS min_len,
            CAST(max(length(text)) AS BIGINT) AS max_len,
            CAST(count(DISTINCT source) AS BIGINT) AS n_sources
@@ -85,7 +85,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        (F.floor(F.avg("n_chars") * 100) / 100).alias("avg_chars"),
         F.min(F.length("text")).cast("bigint").alias("min_len"),
         F.max(F.length("text")).cast("bigint").alias("max_len"),
         F.countDistinct("source").alias("n_sources"),
@@ -93,6 +93,14 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _STOP_IN = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+
+def floor6(x):
+    """floor4's 6-dp sibling — same tie-free rationale for the
+    rational ratios quantized at 6 dp (review find, round 9: dyadic
+    shares like 9/128 = 0.0703125 land exactly on the 6-dp half-grid,
+    where Spark HALF_UPs and DuckDB rints)."""
+    return F.floor(x * 1000000) / 1000000
 
 
 def floor4(x):
@@ -275,7 +283,6 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_STOP_IN_PIPE = ", ".join(f"'{s}'" for s in STOPWORDS)
 
 
 @query(
@@ -287,7 +294,7 @@ _STOP_IN_PIPE = ", ".join(f"'{s}'" for s in STOPWORDS)
                CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
                    AS n_distinct,
                CAST(len(list_filter(string_split(text, ' '),
-                                    t -> t IN ({_STOP_IN_PIPE}))) AS DOUBLE) AS n_stop
+                                    t -> t IN ({_STOP_IN}))) AS DOUBLE) AS n_stop
         FROM documents
     ),
     scored AS (
@@ -323,17 +330,12 @@ def q_pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage for the MinHash rep (q_minhash_lsh) for near-dup semantics.
     """
     d = load(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    n_tokens = F.size(toks).cast("double")
-    n_distinct = F.size(F.array_distinct(toks)).cast("double")
-    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("double")
-    quality = floor4(
-        0.4 * (n_distinct / n_tokens)
-        + 0.3 * F.least(n_tokens / 100.0, F.lit(1.0))
-        + 0.3 * (1.0 - n_stop / n_tokens)
-    )
-    scored = d.select(
-        "doc_id", "lang", "text", n_tokens.alias("n_tokens"), quality.alias("quality_score")
+    # the canonical scorer (with_quality_score) — ONE copy of the
+    # load-bearing formula, shared with q_text_quality and the
+    # streaming quality filter (review find, round 9: an inline copy
+    # here could silently drift from the standalone operators)
+    scored = with_quality_score(d).select(
+        "doc_id", "lang", "text", "n_tokens", "quality_score"
     )
     kept = scored.filter((F.col("quality_score") >= 0.5) & (F.col("n_tokens") >= 20))
     wd = W.partitionBy(F.md5("text")).orderBy("doc_id")
@@ -638,8 +640,10 @@ def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(sum(n) AS BIGINT) AS n_tokens,
            CAST(count(*) AS BIGINT) AS n_distinct,
-           round(1.0 - count(*) / CAST(sum(n) AS DOUBLE), 6) AS dup_ratio,
-           round(max(n) / CAST(sum(n) AS DOUBLE), 6) AS top_share
+           floor((1.0 - count(*) / CAST(sum(n) AS DOUBLE)) * 1000000)
+               / 1000000 AS dup_ratio,
+           floor(max(n) / CAST(sum(n) AS DOUBLE) * 1000000)
+               / 1000000 AS top_share
     FROM c GROUP BY doc_id
     """,
 )
@@ -657,8 +661,8 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_tok.groupBy("doc_id").agg(
         F.sum("n").cast("bigint").alias("n_tokens"),
         F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
-        F.round(F.lit(1.0) - F.count(F.lit(1)) / total, 6).alias("dup_ratio"),
-        F.round(F.max("n") / total, 6).alias("top_share"),
+        floor6(F.lit(1.0) - F.count(F.lit(1)) / total).alias("dup_ratio"),
+        floor6(F.max("n") / total).alias("top_share"),
     )
 
 
@@ -679,7 +683,8 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM g2 GROUP BY 1, 2, 3),
     top2 AS (
         SELECT doc_id,
-               round(n * len(gram) / CAST(nchars AS DOUBLE), 6) AS top2_share
+               floor(n * len(gram) / CAST(nchars AS DOUBLE) * 1000000)
+                   / 1000000 AS top2_share
         FROM (SELECT *, row_number() OVER (
                   PARTITION BY doc_id ORDER BY n DESC, gram DESC) AS rn
               FROM c2)
@@ -696,8 +701,9 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM g5 GROUP BY 1, 2, 3),
     d5 AS (
         SELECT doc_id,
-               round(coalesce(sum(CASE WHEN n > 1 THEN n * len(gram) END), 0)
-                     / CAST(max(nchars) AS DOUBLE), 6) AS dup5_share
+               floor(coalesce(sum(CASE WHEN n > 1 THEN n * len(gram) END), 0)
+                     / CAST(max(nchars) AS DOUBLE) * 1000000)
+                   / 1000000 AS dup5_share
         FROM c5 GROUP BY doc_id
     )
     SELECT t2.doc_id, t2.top2_share, d5.dup5_share,
@@ -749,9 +755,8 @@ def q_text_repetition_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max(F.struct("n", "gram")).alias("tg"))
         .select(
             "doc_id",
-            F.round(
-                F.col("tg.n") * F.length("tg.gram") / F.col("nchars").cast("double"),
-                6,
+            floor6(
+                F.col("tg.n") * F.length("tg.gram") / F.col("nchars").cast("double")
             ).alias("top2_share"),
         )
     )
@@ -762,15 +767,14 @@ def q_text_repetition_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c5 = g5.groupBy("doc_id", "nchars", "gram").agg(F.count(F.lit(1)).alias("n"))
     d5 = c5.groupBy("doc_id").agg(
-        F.round(
+        floor6(
             F.coalesce(
                 F.sum(
                     F.when(F.col("n") > 1, F.col("n") * F.length("gram"))
                 ),
                 F.lit(0),
             )
-            / F.max("nchars").cast("double"),
-            6,
+            / F.max("nchars").cast("double")
         ).alias("dup5_share")
     )
     return top2.join(d5, ["doc_id"]).select(
@@ -858,7 +862,7 @@ def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(start // 24 AS INTEGER) AS chunk_no,
            array_to_string(s[start + 1 : start + 32], ' ') AS chunk_text,
            CAST(least(32, len(s) - start) AS INTEGER) AS n_tokens
-    FROM toks, (SELECT unnest(range(0, 10000, 24)) AS start)
+    FROM toks, LATERAL (SELECT unnest(range(0, len(s), 24)) AS start)
     WHERE start < len(s)
     """,
 )
@@ -1051,8 +1055,10 @@ def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     t AS (SELECT sum(n_docs) AS total, count(*) AS n_langs FROM c)
     SELECT lang,
            CAST(n_docs AS BIGINT) AS n_docs,
-           round(n_docs / CAST(total AS DOUBLE), 6) AS actual_share,
-           round((1.0 / n_langs) / (n_docs / CAST(total AS DOUBLE)), 6) AS weight
+           floor(n_docs / CAST(total AS DOUBLE) * 1000000)
+               / 1000000 AS actual_share,
+           floor((1.0 / n_langs) / (n_docs / CAST(total AS DOUBLE)) * 1000000)
+               / 1000000 AS weight
     FROM c CROSS JOIN t
     """,
 )
@@ -1077,8 +1083,8 @@ def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.crossJoin(F.broadcast(totals)).select(
         "lang",
         F.col("n_docs").cast("bigint").alias("n_docs"),
-        F.round(share, 6).alias("actual_share"),
-        F.round((F.lit(1.0) / F.col("n_langs")) / share, 6).alias("weight"),
+        floor6(share).alias("actual_share"),
+        floor6((F.lit(1.0) / F.col("n_langs")) / share).alias("weight"),
     )
 
 
@@ -1166,6 +1172,29 @@ HH_SUPPORT = 0.005  # report tokens with share >= 0.5% of all tokens
 HH_K = int(1 / HH_SUPPORT)  # Misra-Gries counter budget per partition
 
 
+def mg_merge(counters, batch_counts, k: int):
+    """One Misra-Gries merge step: add a batch's value counts into the
+    sketch, then — if more than ``k`` counters survive — subtract the
+    (k+1)-th largest count from ALL counters and drop the non-positive.
+
+    Every prune reduces >= k+1 counters by cut, so the cuts charged
+    against any one item total < N_p/(k+1) <= support*N_p — a partition
+    heavy hitter always survives (the classic deletion bound). The
+    round-8 variant ("drop <= cut, keep survivors UNCHANGED") broke the
+    bound: survivors never paid for prunes, so a true heavy hitter
+    arriving interleaved with k persistent high-count tokens was
+    re-added and re-dropped every batch, losing its whole count each
+    time (review find, round 9 — unit- and property-tested against a
+    plain Counter in test_properties, including that adversarial
+    batching)."""
+    counters = counters.add(batch_counts, fill_value=0)
+    if len(counters) > k:
+        cut = counters.nlargest(k + 1).iloc[-1]
+        counters = counters - cut
+        counters = counters[counters > 0]
+    return counters
+
+
 def heavy_hitters_exact(toks: DataFrame, support: float) -> DataFrame:
     """Exact heavy hitters over a one-column (``tok``) DataFrame via
     the distributed two-phase algorithm: per-partition Misra-Gries
@@ -1181,10 +1210,7 @@ def heavy_hitters_exact(toks: DataFrame, support: float) -> DataFrame:
     def mg_sketch(batches):
         counters = pd.Series(dtype="int64")
         for pdf in batches:
-            counters = counters.add(pdf["tok"].value_counts(), fill_value=0)
-            if len(counters) > k:
-                cut = counters.nlargest(k + 1).iloc[-1]
-                counters = counters[counters > cut]
+            counters = mg_merge(counters, pdf["tok"].value_counts(), k)
         yield pd.DataFrame({"tok": counters.index.astype(str)})
 
     cands = toks.mapInPandas(mg_sketch, "tok string").distinct()
@@ -1207,7 +1233,7 @@ def heavy_hitters_exact(toks: DataFrame, support: float) -> DataFrame:
     c AS (SELECT tok, count(*) AS n FROM w GROUP BY tok),
     t AS (SELECT count(*) AS total FROM w)
     SELECT tok, CAST(n AS BIGINT) AS n,
-           round(n / CAST(total AS DOUBLE), 6) AS share
+           floor(n / CAST(total AS DOUBLE) * 1000000) / 1000000 AS share
     FROM c CROSS JOIN t
     WHERE n >= {HH_SUPPORT} * total
     """,
@@ -1236,7 +1262,7 @@ def q_text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters_exact(toks, HH_SUPPORT).select(
         "tok",
         F.col("n").cast("bigint").alias("n"),
-        F.round(F.col("n") / F.col("total").cast("double"), 6).alias("share"),
+        floor6(F.col("n") / F.col("total").cast("double")).alias("share"),
     )
 
 

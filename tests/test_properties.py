@@ -572,6 +572,93 @@ def test_yardstick_fraction_stays_m_over_n_at_huge_n():
         assert _YARDSTICK_M * 0.9 <= expected_sample <= _YARDSTICK_M, (n, expected_sample)
 
 
+def test_misra_gries_survives_adversarial_batching():
+    """The round-9 counterexample, pinned: a true heavy hitter arriving
+    interleaved with k persistent high-count tokens. The round-8 prune
+    ("drop <= cut, keep survivors unchanged") re-added and re-dropped
+    'x' every batch — the sketch's candidate set missed it entirely;
+    the correct decrement-all prune must keep it."""
+    import pandas as pd
+
+    from distributed_causal_stream_processing_spark.operators.text import mg_merge
+
+    k = 2
+    counters = pd.Series(dtype="int64")
+    batches = [["x", "x"], ["a"] * 3 + ["b"] * 3, ["x", "x"], ["x", "x"]]
+    for b in batches:
+        counters = mg_merge(counters, pd.Series(b).value_counts(), k)
+    # x holds 6/12 = 50% of the stream — it MUST survive the sketch
+    assert "x" in counters.index, dict(counters)
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    stream=st.lists(st.integers(min_value=0, max_value=9), min_size=1, max_size=120),
+    cuts=st.lists(st.integers(min_value=1, max_value=8), min_size=0, max_size=6),
+    k=st.integers(min_value=2, max_value=5),
+)
+def test_misra_gries_never_misses_heavy_hitter(stream, cuts, k):
+    """MG(k) over ANY batching must retain every item with share >
+    1/(k+1) of the stream (the deletion bound) — checked against a
+    plain Counter. Batch boundaries come from the generated cut
+    points, so hypothesis explores adversarial batchings."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from distributed_causal_stream_processing_spark.operators.text import mg_merge
+
+    bounds = sorted({min(c * len(stream) // 8, len(stream)) for c in cuts})
+    pieces, lo = [], 0
+    for b in bounds + [len(stream)]:
+        if b > lo:
+            pieces.append(stream[lo:b])
+            lo = b
+    counters = pd.Series(dtype="int64")
+    for piece in pieces:
+        counters = mg_merge(counters, pd.Series(piece).value_counts(), k)
+    exact = Counter(stream)
+    for tok, n in exact.items():
+        if n * (k + 1) > len(stream):  # share strictly above 1/(k+1)
+            assert tok in counters.index, (tok, n, len(stream), k, pieces)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=90), min_size=1, max_size=14),
+    capacity=st.integers(min_value=8, max_value=64),
+)
+def test_pack_greedy_matches_bruteforce_fold(spark, sizes, capacity):
+    """pack_greedy vs the plain sequential fold (the docstring's
+    claimed property test, made real in round 9): rows in order
+    accumulate until the capacity would overflow, then a new pack
+    opens; oversized rows get their own pack."""
+    from distributed_causal_stream_processing_spark.operators.text import pack_greedy
+
+    rows = [("g", i, s) for i, s in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, n_tok long")
+    got = {
+        r.doc_id: r.pack_id
+        for r in pack_greedy(df, "lang", "doc_id", "n_tok", capacity).collect()
+    }
+    want, pack_id, acc = {}, 0, capacity + 1
+    for i, s in enumerate(sizes):
+        if acc + s > capacity:
+            pack_id, acc = pack_id + 1, s
+        else:
+            acc += s
+        want[i] = pack_id
+    assert got == want
+
+
 def test_ivfadc_codebook_not_degenerate(spark):
     """Round-9 regression pin: the residual-PQ codebook must keep all
     PQ_K codes alive in every subspace, and the corpus codes must
