@@ -189,7 +189,8 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag, l_linestatus,
            CAST(grouping(l_returnflag) AS INTEGER) AS g_flag,
            CAST(grouping(l_linestatus) AS INTEGER) AS g_status,
-           round(sum(l_extendedprice), 2) AS sum_price
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
@@ -200,7 +201,13 @@ def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.grouping("l_returnflag").cast("int").alias("g_flag"),
         F.grouping("l_linestatus").cast("int").alias("g_status"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        # DECIMAL sum, not round(sum(double), 2): the CUBE's global cell
+        # folds EVERY price; double association differs per engine and at
+        # sf10+ the delta crosses the half-cent grid (the q_agg_group
+        # idiom, applied here per review find round 9)
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
     )
 
 
@@ -543,9 +550,11 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag, l_linestatus,
            CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price,
            CAST(count(*) AS BIGINT) AS n_rows,
-           round(sum(l_extendedprice) / count(*), 6) AS avg_price
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*), 6) AS avg_price
     FROM lineitem
     GROUP BY l_returnflag, l_linestatus
     """,
@@ -569,9 +578,12 @@ def q_view_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def partial(df: DataFrame) -> DataFrame:
+        # price partials in DECIMAL: the merged sum must be exact or the
+        # two-level merge's association diverges from the oracle's flat
+        # double sum at scale (review find, round 9 — q_agg_group idiom)
         return df.groupBy("l_returnflag", "l_linestatus").agg(
             F.sum("l_quantity").alias("p_qty"),
-            F.sum("l_extendedprice").alias("p_price"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("p_price"),
             F.count(F.lit(1)).alias("p_rows"),
         )
 
@@ -590,9 +602,11 @@ def q_view_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         "l_linestatus",
         F.col("m_qty").cast("bigint").alias("sum_qty"),
-        F.round("m_price", 2).alias("sum_price"),
+        F.col("m_price").cast("double").alias("sum_price"),
         F.col("m_rows").cast("bigint").alias("n_rows"),
-        F.round(F.col("m_price") / F.col("m_rows"), 6).alias("avg_price"),
+        F.round(
+            F.col("m_price").cast("double") / F.col("m_rows"), 6
+        ).alias("avg_price"),
     )
 
 
@@ -903,9 +917,13 @@ def ewma_two_level(e: DataFrame, bucket_us: int = _EWMA_BUCKET_US) -> DataFrame:
     approximation; input expects columns (user_id, us, event_id,
     value)."""
     seg = (
-        # floor division, matching DuckDB's `//` in the oracle: `us div`
-        # truncates toward zero, which would diverge on negative us
-        # (pre-1970 timestamps) and change the bucket boundaries
+        # FLOOR division on BOTH engines: DuckDB's `//` TRUNCATES toward
+        # zero (verified: -1 // 86400000000 = 0), so the oracle uses
+        # CAST(floor(us / b.0) AS BIGINT) to match this floor — a
+        # truncating bucket would diverge on negative us (pre-1970
+        # timestamps) and change the per-segment fold boundaries
+        # (review find, round 9: the old comment claimed the opposite).
+        # floor(double division) is exact for |us| < 2^53 µs ≈ ±285 y.
         e.withColumn("bucket", F.floor(F.col("us") / F.lit(bucket_us)).cast("long"))
         .groupBy("user_id", "bucket")
         .agg(
@@ -953,7 +971,8 @@ def ewma_two_level(e: DataFrame, bucket_us: int = _EWMA_BUCKET_US) -> DataFrame:
         FROM events
     ),
     seg AS (
-        SELECT user_id, us // {_EWMA_BUCKET_US} AS bucket,
+        SELECT user_id,
+               CAST(floor(us / {_EWMA_BUCKET_US}.0) AS BIGINT) AS bucket,
                count(*) AS n,
                list_reduce(list(value ORDER BY us, event_id),
                            (a, b) -> 0.8 * a + 0.2 * b) AS y,
@@ -964,7 +983,8 @@ def ewma_two_level(e: DataFrame, bucket_us: int = _EWMA_BUCKET_US) -> DataFrame:
                                         list(value ORDER BY us, event_id)),
                            (a, b) -> a * 0.8) AS a
         FROM ev
-        GROUP BY user_id, us // {_EWMA_BUCKET_US}
+        GROUP BY user_id,
+                 CAST(floor(us / {_EWMA_BUCKET_US}.0) AS BIGINT)
     )
     SELECT user_id, CAST(sum(n) AS BIGINT) AS n_events,
            round(list_reduce(list({{'a': a, 'b': b, 'y': y}} ORDER BY bucket),

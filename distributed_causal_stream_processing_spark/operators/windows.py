@@ -584,9 +584,16 @@ def q_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     history. The symbol encoding is what makes arbitrary sequence
     regexes (alternation, repetition, negation-by-alphabet) express
     MATCH_RECOGNIZE patterns without a dedicated operator."""
-    sym = F.create_map(
-        *[F.lit(x) for kv in _EVT_SYM.items() for x in kv]
-    )[F.col("event_type")]
+    # coalesce to 'e' like the oracle's CASE ... ELSE 'e': a lookup
+    # MISS returns NULL, which array_join silently drops — an unknown
+    # sixth event type would shorten the Spark sequence but not the
+    # oracle's, a silent match-count divergence (review find, round 9)
+    sym = F.coalesce(
+        F.create_map(*[F.lit(x) for kv in _EVT_SYM.items() for x in kv])[
+            F.col("event_type")
+        ],
+        F.lit("e"),
+    )
     ev = load(spark, sf_dir, "events").select(
         "user_id",
         F.unix_micros("ts").alias("us"),
@@ -665,15 +672,14 @@ def q_win_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         n.cast("bigint").alias("n_window"),
+        # integer truncating division derived from the SAME w/cents
+        # objects as the other columns (review find, round 9: a raw
+        # F.expr restated the whole window spec, so a frame edit could
+        # silently leave rolling_mean on the stale frame). (a - a % n)
+        # / n equals a DIV n for longs — both truncate toward zero —
+        # and the quotient is an exact integer in double.
         (
-            F.expr(
-                "CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) "
-                "OVER (PARTITION BY user_id ORDER BY ts, event_id "
-                "ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) * 100 DIV "
-                "count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id "
-                "ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS DOUBLE)"
-            )
-            / 10000
+            ((sum_cents * 100 - (sum_cents * 100) % n) / n / 10000)
         ).alias("rolling_mean"),
         F.when(
             sigma.isNotNull() & (sigma > 0), F.round((F.col("value") - mu) / sigma, 4)
