@@ -181,7 +181,9 @@ def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_join_broadcast",
     oracle="""
-    SELECT n.n_name, round(sum(c.c_acctbal), 2) AS total_acctbal,
+    SELECT n.n_name,
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_acctbal,
            CAST(count(*) AS BIGINT) AS n_customers
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -200,7 +202,9 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_acctbal"),
             F.count(F.lit(1)).alias("n_customers"),
         )
     )
@@ -447,10 +451,15 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").withColumn(
         "salt", F.pmod(F.hash("l_orderkey", "l_linenumber"), n_salts)
     )
+    # replicate via explode(sequence), not crossJoin(range): the same
+    # plan shape q_join_salted_events uses — no nested-loop node, so
+    # this query needs no CARTESIAN_OK exemption and the registry-wide
+    # no-NLJ audit keeps covering it (review find, round 9)
     p = (
         load(spark, sf_dir, "part")
         .filter(F.col("p_size") <= 10)
-        .crossJoin(spark.range(N_SALTS).select(F.col("id").cast("int").alias("salt")))
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(N_SALTS - 1))))
+        .withColumn("salt", F.col("salt").cast("int"))
     )
     return (
         li.join(p, (li.l_partkey == p.p_partkey) & (li.salt == p.salt))

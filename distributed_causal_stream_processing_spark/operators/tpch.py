@@ -416,7 +416,8 @@ def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT c_nationkey AS cntrycode,
            CAST(count(*) AS BIGINT) AS numcust,
-           round(sum(c_acctbal), 2) AS totacctbal
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               AS totacctbal
     FROM customer CROSS JOIN avg_bal
     WHERE c_acctbal > ab
       AND NOT EXISTS (
@@ -458,7 +459,9 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         no_orders.groupBy(F.col("c_nationkey").alias("cntrycode"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("totacctbal"),
         )
         .orderBy("cntrycode")
     )
@@ -700,7 +703,8 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_tpch_q17",
     oracle="""
-    SELECT round(CAST(sum(l_extendedprice) AS DOUBLE) / 7.0, 2) AS avg_yearly
+    SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / 7.0, 2) AS avg_yearly
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
     WHERE p_brand = 'Brand#23'
@@ -740,7 +744,10 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg(
             F.round(
-                F.sum("l_extendedprice").cast("double") / F.lit(7.0), 2
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                .cast("double")
+                / F.lit(7.0),
+                2,
             ).alias("avg_yearly")
         )
     )
@@ -751,8 +758,10 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority,
            CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
-           round(sum(o_totalprice), 2) AS total_price,
-           round(avg(o_totalprice), 4) AS avg_price
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*), 4) AS avg_price
     FROM orders
     WHERE o_orderstatus <> 'F'
     GROUP BY o_orderpriority
@@ -773,8 +782,10 @@ def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT o_orderpriority,
                CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
-               round(sum(o_totalprice), 2) AS total_price,
-               round(avg(o_totalprice), 4) AS avg_price
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_price,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                     / count(*), 4) AS avg_price
         FROM orders
         WHERE o_orderstatus <> 'F'
         GROUP BY o_orderpriority

@@ -126,7 +126,6 @@ CARTESIAN_OK = {
     "q_join_cross",
     "q_join_theta",
     "q_join_asof",
-    "q_join_salted",
     "q_tpch_q15",  # 1-row max-revenue scalar broadcast crossed in
     "q_sim_ann_ivf",
     "q_sim_ivf_kmeans",  # broadcast k=8 centroid fan-out, same as ann_ivf
