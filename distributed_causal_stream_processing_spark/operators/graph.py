@@ -161,6 +161,7 @@ def connected_components(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    changed = True
     for _ in range(max_rounds):
         neigh_min = (
             sym.join(labels, sym.dst == labels.node)
@@ -182,6 +183,18 @@ def connected_components(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
         labels = merged.select("node", F.col("new_label").alias("label"))
         if not changed:
             break
+    if changed:
+        # fail LOUDLY: exiting with labels still moving means the graph's
+        # diameter exceeds max_rounds and the returned components would
+        # be silently WRONG (distant nodes keep non-minimal labels) —
+        # exactly the class of quiet corruption the oracle would flag as
+        # an unexplained hash mismatch (review find, round 9). Callers
+        # with long-chain graphs raise max_rounds explicitly.
+        raise RuntimeError(
+            f"connected_components did not converge within {max_rounds} "
+            "rounds — graph diameter exceeds the round budget; raise "
+            "max_rounds"
+        )
     return labels.select("node", F.col("label").alias("component"))
 
 

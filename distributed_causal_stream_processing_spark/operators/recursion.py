@@ -80,6 +80,14 @@ def q_causal_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     yields root attribution and depth, and exercises Spark 4's
     recursive-CTE surface end-to-end against DuckDB's.
     """
+    # Spark caps recursive CTEs at spark.sql.cteRecursionLevelLimit
+    # (default 100) and THROWS past it, while the DuckDB oracle
+    # recurses to fixpoint unbounded — a >100-deep chain (hourly events
+    # for ~4 days within the gap) would fail the whole query (review
+    # find, round 9). Raise the ceiling far above any plausible chain;
+    # the shrinking-frontier recursion terminates at the longest chain
+    # regardless, so the limit is a backstop, not a cost.
+    spark.conf.set("spark.sql.cteRecursionLevelLimit", "100000")
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(causal_chains_sql(GAP_US))
 

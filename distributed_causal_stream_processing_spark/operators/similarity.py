@@ -12,6 +12,20 @@ Scale notes (100 TB of embeddings): the brute-force pair product is the
 `q_sim_ann_lsh` — deterministic random-hyperplane signatures bucket the
 join, so only same-bucket pairs are scored. Swapping bucketing for IVF
 (k-means cells) keeps the same plan shape.
+
+Float-comparison risk note (review, round 9): the blocked-GEMM queries
+rank and threshold on sims computed by DIFFERENT float algorithms per
+engine (numpy normalize-then-BLAS-GEMM vs DuckDB's sequential
+dot/sqrt-product) — two pairs whose true sims differ by less than the
+~1e-15 algorithmic delta could rank oppositely, and a pair within an
+ULP of the 0.3 threshold could be emitted by one engine only. Kept
+as-is deliberately: the outputs compare on 4-dp-ROUNDED sims, nine
+rounds of three-scale parity have never produced a flip (the fixture's
+sim spectrum keeps pair gaps far above 1e-15), and quantizing before
+rank cannot fully close the class either (the two sides' doubles
+differ, so any grid has the same boundary exposure). If a fixture
+generation ever lands a flip, the fix is ranking on floor-scaled sims
+computed at a coarser grid than the algorithmic delta.
 """
 
 from __future__ import annotations
@@ -361,21 +375,35 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("nrm", norm(F.col("emb")))
     sig = _single_table_sig()
     sigs = e.select("vec_id", "emb", "nrm", sig.alias("bucket"))
+    # NARROW bucket join, vectors joined back by id afterwards (the
+    # _mt_candidates shape — review find, round 9): the old form carried
+    # the 64-double arrays and norms through the bucket shuffle on BOTH
+    # sides (9x-exploded on the probe side), which _mt_candidates
+    # measured 2x slower at sf0.1; heavy buckets amplify it further.
     q = sigs.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(hamming1_variants(F.col("bucket"), N_PLANES)).alias("bucket"),
+    )
+    n = sigs.select(F.col("vec_id").alias("neighbor_id"), "bucket")
+    pairs = (
+        q.join(n, ["bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()  # a pair met in several probed buckets scores once
+    )
+    qv = sigs.select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("ea"),
         F.col("nrm").alias("na"),
-        F.explode(hamming1_variants(F.col("bucket"), N_PLANES)).alias("bucket"),
     )
-    n = sigs.select(
+    nv = sigs.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("emb").alias("eb"),
         F.col("nrm").alias("nb"),
-        "bucket",
     )
     cand = (
-        q.join(n, ["bucket"])
-        .filter(F.col("neighbor_id") != F.col("query_id"))
+        pairs.join(qv, ["query_id"])
+        .join(nv, ["neighbor_id"])
         .select("query_id", "neighbor_id", scored("na", "nb").alias("sim"))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
@@ -950,6 +978,14 @@ def _kmeans_duck(k: int, iters: int, dim: int) -> str:
     argmin distance to c_{t-1}; c_t = per-dimension member average
     rounded to 6 dp (the rounding pins both engines to the same
     centroids despite differing float-summation orders)."""
+    # squared-L2 ordering, NOT list_distance: sqrt halves the spacing
+    # between near-tied distances, so two squared distances that are
+    # distinct doubles can collapse to one double under sqrt — DuckDB
+    # would fall to the cell_id tie-break while Spark (which orders by
+    # the raw squared sum) keeps the strict order, and one diverged
+    # assignment cascades through every Lloyd round (review find,
+    # round 9; same rationale as the PQ oracle's comment).
+    d2 = f"list_sum([ (CAST(e.embedding[j] AS DOUBLE) - c.c[j]) ** 2 for j in range(1, {dim + 1}) ])"
     ctes = [
         f"""c0 AS (
         SELECT vec_id AS cell_id, CAST(embedding AS DOUBLE[]) AS c
@@ -962,7 +998,7 @@ def _kmeans_duck(k: int, iters: int, dim: int) -> str:
             SELECT e.vec_id, c.cell_id,
                    row_number() OVER (
                        PARTITION BY e.vec_id
-                       ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.c),
+                       ORDER BY {d2},
                                 c.cell_id) AS rn
             FROM embeddings e CROSS JOIN {prev} c)
         WHERE rn = 1)""")
@@ -983,10 +1019,10 @@ def _kmeans_duck(k: int, iters: int, dim: int) -> str:
     fin AS (
         SELECT vec_id, cell_id, d2 FROM (
             SELECT e.vec_id, c.cell_id,
-                   list_distance(CAST(e.embedding AS DOUBLE[]), c.c) ** 2 AS d2,
+                   {d2} AS d2,
                    row_number() OVER (
                        PARTITION BY e.vec_id
-                       ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.c),
+                       ORDER BY {d2},
                                 c.cell_id) AS rn
             FROM embeddings e CROSS JOIN {prev} c)
         WHERE rn = 1)
@@ -1118,10 +1154,20 @@ def q_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_dedup_semantic_clusters",
-    oracle="""
-    WITH RECURSIVE pairs AS (
+    oracle=f"""
+    WITH RECURSIVE k AS (
+        SELECT printf('%09x',
+               greatest(1, least(4294967296,
+                        (4294967296 * {_YARDSTICK_M}) // count(*)))
+        ) AS cutoff FROM embeddings
+    ),
+    se AS (
+        SELECT e.* FROM embeddings e, k
+        WHERE '0' || substr(md5(CAST(e.vec_id AS VARCHAR)), 1, 8) < k.cutoff
+    ),
+    pairs AS (
         SELECT a.vec_id AS src, b.vec_id AS dst
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        FROM se a JOIN se b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                      CAST(b.embedding AS DOUBLE[])) >= 0.3
     ),
@@ -1146,18 +1192,23 @@ def q_dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline needs to keep one representative per meaning, composing
     two primitives that are each independently oracle-checked.
 
-    Scale: pair discovery is the blocked/LSH-prunable kernel (output
-    linear-ish after thresholding), and the closure is min-label
-    propagation with O(|pairs|) state per round — at no point does a
-    node-pair set beyond the thresholded pairs materialize."""
+    The registered form clusters the SAME scale-aware yardstick sample
+    as q_dedup_embedding (review find, round 9: the previous unsampled
+    form was the one remaining registered query quadratic in corpus
+    size, contradicting the repo invariant the yardstick sample was
+    added to establish). Pair discovery over the constant ~_YARDSTICK_M
+    vectors keeps the pair budget O(1) in n; callers wanting the full
+    corpus compose q_dedup_embedding(pred=...) or the LSH-pruned pair
+    source with connected_components directly — the closure is
+    min-label propagation with O(|pairs|) state per round either way."""
     from distributed_causal_stream_processing_spark.operators.graph import (
         connected_components,
     )
 
-    pairs = _blocked_cosine_pairs(spark, sf_dir, thresh=0.3).select(
+    pairs = q_dedup_embedding(spark, sf_dir).select(
         F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
     )
-    comp = connected_components(pairs)
+    comp = connected_components(pairs, max_rounds=200)
     w = W.partitionBy("component")
     return comp.select(
         F.col("node").alias("vec_id"),
@@ -1180,12 +1231,19 @@ N_QUANT_LEVELS = 256  # int8 codebook: 1 byte/dim vs 4 (float32)
         SELECT i, min(v) AS mn, max(v) AS mx FROM el GROUP BY i
     ),
     coded AS (
+        -- mx = mn (a constant dimension) makes step 0 and (v-mn)/step
+        -- NaN; both engines would error on the BIGINT cast. Degrade to
+        -- code 0 / recon mn — there is no distribution to quantize.
         SELECT vec_id, i, v,
-               least({N_QUANT_LEVELS - 1}, CAST(floor(
-                   (v - mn) / ((mx - mn) / {N_QUANT_LEVELS})) AS BIGINT)) AS code,
-               mn + (least({N_QUANT_LEVELS - 1}, CAST(floor(
-                   (v - mn) / ((mx - mn) / {N_QUANT_LEVELS})) AS BIGINT)) + 0.5)
-                  * ((mx - mn) / {N_QUANT_LEVELS}) AS recon
+               CASE WHEN mx = mn THEN 0
+                    ELSE least({N_QUANT_LEVELS - 1}, CAST(floor(
+                        (v - mn) / ((mx - mn) / {N_QUANT_LEVELS})) AS BIGINT))
+               END AS code,
+               CASE WHEN mx = mn THEN mn
+                    ELSE mn + (least({N_QUANT_LEVELS - 1}, CAST(floor(
+                        (v - mn) / ((mx - mn) / {N_QUANT_LEVELS})) AS BIGINT)) + 0.5)
+                       * ((mx - mn) / {N_QUANT_LEVELS})
+               END AS recon
         FROM el JOIN stats USING (i)
     )
     SELECT vec_id,
@@ -1215,16 +1273,24 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     el = e.select("vec_id", (F.col("i0") + 1).alias("i"), "v")
     stats = el.groupBy("i").agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
     step = (F.col("mx") - F.col("mn")) / N_QUANT_LEVELS
-    code = F.least(
-        F.lit(N_QUANT_LEVELS - 1),
-        F.floor((F.col("v") - F.col("mn")) / step).cast("bigint"),
+    # constant-dimension guard (mx == mn): step 0 would make the ratio
+    # NaN and the ANSI bigint cast throw on BOTH engines — degrade to
+    # code 0 / recon mn, mirroring the oracle (review find, round 9)
+    flat = F.col("mx") == F.col("mn")
+    code = F.when(flat, F.lit(0)).otherwise(
+        F.least(
+            F.lit(N_QUANT_LEVELS - 1),
+            F.floor((F.col("v") - F.col("mn")) / step).cast("bigint"),
+        )
     )
     coded = el.join(F.broadcast(stats), "i").select(
         "vec_id",
         "i",
         "v",
         code.alias("code"),
-        (F.col("mn") + (code + 0.5) * step).alias("recon"),
+        F.when(flat, F.col("mn"))
+        .otherwise(F.col("mn") + (code + 0.5) * step)
+        .alias("recon"),
     )
     err = (F.col("v") - F.col("recon")) * (F.col("v") - F.col("recon"))
     return coded.groupBy("vec_id").agg(
@@ -1617,7 +1683,7 @@ def q_embed_abtt(spark: SparkSession, sf_dir: str) -> DataFrame:
                             cell_id) AS crn
         FROM embeddings e CROSS JOIN cent c
     ),
-    memb AS (SELECT vec_id, cell_id FROM assign WHERE crn <= 2),
+    memb AS (SELECT vec_id, cell_id FROM assign WHERE crn <= {N_PROBE}),
     pairs AS (
         SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
         FROM memb a JOIN memb b
@@ -1668,7 +1734,9 @@ def q_dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(cent))
         .select("vec_id", "cell_id", scored("na", "nb").alias("sim_c"))
         .withColumn("crn", F.row_number().over(wc))
-        .filter(F.col("crn") <= 2)
+        # multi-assignment depth = N_PROBE, not a literal (review find,
+        # round 9: tuning N_PROBE silently skipped this path)
+        .filter(F.col("crn") <= N_PROBE)
         .select("vec_id", "cell_id")
     )
     a = memb.select(F.col("vec_id").alias("vec_a"), "cell_id")
@@ -2164,26 +2232,10 @@ def q_sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     adc1 = q_sim_pq_adc(spark, sf_dir).select(
         "query_id", F.col("neighbor_id").alias("adc_nn")
     )
-    q = e.filter(F.col("vec_id") < PQ_NQ).select(
-        F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")
-    )
-    d2 = F.round(
-        F.aggregate(
-            F.zip_with(F.col("qe"), F.col("emb"), lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-        4,
-    )
-    w = W.partitionBy("query_id").orderBy("d2", "neighbor_id")
-    exact1 = (
-        q.crossJoin(e.select(F.col("vec_id").alias("neighbor_id"), "emb"))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", d2.alias("d2"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("query_id", F.col("neighbor_id").alias("exact_nn"))
-    )
+    # the ONE exact-NN yardstick definition (review find, round 9: an
+    # inline copy here escaped the shared-definition guarantee the
+    # _EXACT1_CTE comment promises)
+    exact1 = _exact_nn1(e)
     return (
         adc1.join(exact1, ["query_id"])
         .agg(

@@ -572,6 +572,29 @@ def test_yardstick_fraction_stays_m_over_n_at_huge_n():
         assert _YARDSTICK_M * 0.9 <= expected_sample <= _YARDSTICK_M, (n, expected_sample)
 
 
+def test_connected_components_raises_on_round_exhaustion(spark):
+    """A path graph needs diameter-many propagation rounds; exiting the
+    loop with labels still moving must raise, never return silently
+    wrong components (review find, round 9) — and the same graph
+    converges exactly once the budget covers the diameter."""
+    import pytest as _pytest
+
+    from distributed_causal_stream_processing_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "src long, dst long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_rounds=3)
+    comp = {
+        r.node: r.component
+        for r in connected_components(edges, max_rounds=15).collect()
+    }
+    assert set(comp.values()) == {0} and len(comp) == 13
+
+
 def test_misra_gries_survives_adversarial_batching():
     """The round-9 counterexample, pinned: a true heavy hitter arriving
     interleaved with k persistent high-count tokens. The round-8 prune
