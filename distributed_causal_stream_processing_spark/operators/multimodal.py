@@ -113,6 +113,8 @@ def extract_features(media: DataFrame) -> DataFrame:
         # returns a feature vector. The stub derives a deterministic
         # fake from raw bytes so the pipeline is testable end-to-end.
         dim = {"image": 8, "audio": 4, "video": 6}[media_type]
+        if not payload:  # empty payload: zero features, not a crash
+            return [0.0] * dim
         return [float(payload[i % len(payload)]) for i in range(dim)]
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -193,7 +195,8 @@ def resize_images(media: DataFrame, target_w: int = 64, target_h: int = 48) -> D
                     "out_width": target_w,
                     "out_height": target_h,
                     "resized": [
-                        bytes(p[i % len(p)] for i in range(n_out)) for p in pdf["payload"]
+                        bytes(p[i % len(p)] for i in range(n_out)) if p else b""
+                        for p in pdf["payload"]
                     ],
                 }
             )
@@ -228,6 +231,8 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
         for pdf in batches:
             ids, nos, offs, frames = [], [], [], []
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                if not p:  # empty payload: no frames, not a crash
+                    continue
                 step = max(len(p) // n_frames, 1)
                 for k in range(n_frames):
                     off = (k * step) % len(p)
@@ -356,7 +361,7 @@ def as_encoded_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{ihdr_crc}, body)"
     )
     ch = "CAST(doc_id % 2 + 1 AS INT)"
-    rate = "CAST(8000 + (doc_id % 8) * 4000 AS INT)"
+    rate = _PCM_RATE  # ONE copy of the generative rate formula
     blen = "length(body)"
     wav = (
         f"concat(X'52494646', {_le4(f'36 + {blen}')}, X'57415645', "
@@ -425,6 +430,20 @@ def decode_headers(media: DataFrame) -> DataFrame:
                         f"WAV: unsupported fmt chunk length {fmt_len} (PCM-16 only)"
                     )
                 (bits,) = pystruct.unpack("<H", payload[34:36])
+                # validate the unpacked fields, not just the lengths: a
+                # non-PCM codec tag with a 16-byte fmt chunk is legal on
+                # disk and would silently misparse under the PCM-16
+                # frame-size assumption, and ch/bits of 0 would crash as
+                # ZeroDivisionError instead of the documented loud
+                # ValueError (review find, round 9)
+                if audio_fmt != 1:
+                    raise ValueError(
+                        f"WAV: non-PCM audio format tag {audio_fmt}"
+                    )
+                if ch == 0 or bits not in (8, 16, 24, 32):
+                    raise ValueError(
+                        f"WAV: corrupt fmt fields (channels={ch}, bits={bits})"
+                    )
                 if payload[36:40] != b"data":
                     raise ValueError("WAV: data chunk not after fmt")
                 (data_len,) = pystruct.unpack("<I", payload[40:44])
@@ -516,7 +535,15 @@ def as_raw_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     path."""
     d = load(spark, sf_dir, "documents").select("doc_id")
     w, h = _BMP_W, _BMP_H
-    stride = f"(3 * {w} + 3) - (3 * {w} + 3) % 4"
+    # OUTER parens are load-bearing: this fragment is interpolated into
+    # products like "54 + {stride} * {h}", and SQL's % binds like * —
+    # unparenthesized, that parsed as 54 + (3w+3) - ((3w+3)%4)*h,
+    # corrupting bfSize/biSizeImage in every generated BMP (312 rows
+    # even went negative and truncated to 0xFFFFFFFF through hex/lpad).
+    # The in-repo parser never reads those two fields, so parity stayed
+    # green while external BMP consumers would reject the files
+    # (review find, round 9; the header round-trip test now reads them).
+    stride = f"((3 * {w} + 3) - (3 * {w} + 3) % 4)"
     pad = f"{stride} - 3 * {w}"
     # one pixel: the 2-hex-digit gray value repeated for B, G, R
     row_hex = (
@@ -594,6 +621,18 @@ def resize_bmp(media: DataFrame) -> DataFrame:
             if hdr != 40 or planes != 1 or bpp != 24 or comp != 0 or h <= 0:
                 raise ValueError("BMP: unsupported variant")
             stride = (3 * w + 3) & ~3
+            # validate the SIZE fields too (review find, round 9): the
+            # generator once wrote corrupt bfSize/biSizeImage through an
+            # operator-precedence bug that no reader caught because no
+            # reader looked — an external consumer validating these
+            # would have rejected every file while parity stayed green
+            (bf_size,) = pystruct.unpack("<I", p[2:6])
+            (bi_size_image,) = pystruct.unpack("<I", p[34:38])
+            if bf_size != len(p) or bi_size_image != stride * h:
+                raise ValueError(
+                    f"BMP: size fields corrupt (bfSize={bf_size} vs "
+                    f"{len(p)}, biSizeImage={bi_size_image} vs {stride * h})"
+                )
             pix = np.frombuffer(p, np.uint8, stride * h, off).reshape(h, stride)
             # bottom-up rows -> logical top-down, strip padding, (h, w, 3)
             rgb = pix[::-1, : 3 * w].reshape(h, w, 3)
