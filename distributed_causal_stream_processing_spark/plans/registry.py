@@ -60,18 +60,18 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # - positions 0-24: unchanged — the streaming/scalar/LLM/UDF block
 #   (fresh green every round since r04; keep for continuity);
 # - positions 25-30: the six P0 relational ids — never leave the window;
-# - positions 31-35: P1 fill kept in (all fresh-green r08);
-# - positions 36-48: the 13 ids parked during r08 (q_filter_like,
-#   q_join_left/full/semi/anti/multiway/cross, q_agg_having/distinct,
-#   q_win_frame_rows, q_win_analytic, q_set_union_all/union_distinct)
-#   rotated back IN — last driver-green r07; VERDICT r08 item 3
-#   requires fresh r09 rows;
-# - position 49: lent to WINDOW_PROMOTED (q_sim_ivfadc, VERDICT r08
-#   item 4 — the round-8 flagship serving stack gets a driver-graded
-#   value-hash row; q_causal_seq_skewsafe banked its green r08 row and
-#   returns to the extras);
+# - positions 31-35: P1 fill kept in (all fresh-green r09);
+# - positions 36-48: the 13 ids parked during r09 (q_join_broadcast,
+#   q_join_theta/range/asof, q_agg_rollup/cube/grouping_sets/collect/
+#   approx_distinct, q_win_frame_range/dist, q_set_intersect/except)
+#   rotated back IN — last driver-green r08; VERDICT r09 item 1
+#   requires fresh r10 rows;
+# - position 49: lent to WINDOW_PROMOTED (q_sim_ivfadc_rerank_recall,
+#   VERDICT r09 item 1 — the recall number the serving recommendation
+#   hinges on gets a driver-graded value-hash row; q_sim_ivfadc banked
+#   its green r09 row and returns to the extras);
 # - positions 49-61 of this tuple (→ 50-62 of queries()): 13 ids with
-#   fresh green r08 driver rows rotated OUT, pytest-parity-gated every
+#   fresh green r09 driver rows rotated OUT, pytest-parity-gated every
 #   session;
 # - after that: extras (TPC-H composites, graph, ANN variants, ...)
 #   in module insertion order.
@@ -118,21 +118,7 @@ CONTRACT_ORDER = (
     "q_agg_stats",
     "q_sort_multi",
     "q_topk",
-    # -- rotated IN: parked during r08, need fresh r09 driver rows ------
-    "q_filter_like",
-    "q_join_left",
-    "q_join_full",
-    "q_join_semi",
-    "q_join_anti",
-    "q_join_multiway",
-    "q_agg_having",
-    "q_agg_distinct",
-    "q_win_frame_rows",
-    "q_win_analytic",
-    "q_set_union_all",
-    "q_set_union_distinct",
-    "q_join_cross",
-    # -- rotated OUT: fresh green in r08, pytest-gated locally ----------
+    # -- rotated IN: parked during r09, need fresh r10 driver rows ------
     "q_join_broadcast",
     "q_join_theta",
     "q_join_range",
@@ -146,16 +132,29 @@ CONTRACT_ORDER = (
     "q_win_dist",
     "q_set_intersect",
     "q_set_except",
+    # -- rotated OUT: fresh green in r09, pytest-gated locally ----------
+    "q_filter_like",
+    "q_join_left",
+    "q_join_full",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_multiway",
+    "q_agg_having",
+    "q_agg_distinct",
+    "q_win_frame_rows",
+    "q_win_analytic",
+    "q_set_union_all",
+    "q_set_union_distinct",
+    "q_join_cross",
 )
 
 # Extra (non-§2) ids promoted INTO the driver's ~50-slot graded window
 # for the current round, each lent a slot by a fresh-green contract id
-# sliding past position 49. Round 9: q_sim_ivfadc (VERDICT r08 item 4 —
-# the round-8 flagship ANN serving stack gets a driver-graded value-hash
-# row; its DuckDB oracle unrolls the full broadcast-probe + ADC scoring).
-# q_causal_seq_skewsafe banked its green r08 row and returns to the
-# extras.
-WINDOW_PROMOTED = ("q_sim_ivfadc",)
+# sliding past position 49. Round 10: q_sim_ivfadc_rerank_recall
+# (VERDICT r09 item 1 — the recall number the IVFADC serving
+# recommendation hinges on gets a driver-graded value-hash row).
+# q_sim_ivfadc banked its green r09 row and returns to the extras.
+WINDOW_PROMOTED = ("q_sim_ivfadc_rerank_recall",)
 _PROMOTE_AT = 49  # insert position: last graded slot(s) of the window
 
 # Modules whose import populates REGISTRY. Order roughly follows SURVEY §2.

@@ -42,7 +42,25 @@ def render() -> str:
     import sys
 
     sys.path.insert(0, str(ROOT))
-    from distributed_causal_stream_processing_spark.plans.registry import CONTRACT_ORDER
+    from distributed_causal_stream_processing_spark.plans.registry import (
+        _PROMOTE_AT,
+        CONTRACT_ORDER,
+        WINDOW_PROMOTED,
+    )
+
+    # The driver grades the first 50 registry entries. Derive the graded
+    # window exactly as registry._load_all() lays the head out (contract
+    # prefix + promoted extras + contract tail), then parked = contract ids
+    # not in the window — so a promoted extra displacing a contract id past
+    # slot 49 is counted (VERDICT r09 "What's wrong" item 1: the old
+    # positions-50+ slice omitted the displaced id).
+    head = (
+        list(CONTRACT_ORDER[:_PROMOTE_AT])
+        + list(WINDOW_PROMOTED)
+        + list(CONTRACT_ORDER[_PROMOTE_AT:])
+    )
+    window = set(head[:50])
+    parked = [q for q in CONTRACT_ORDER if q not in window]
 
     hist = _history()
     rounds = sorted({r for h in hist.values() for r in h})
@@ -54,13 +72,15 @@ def render() -> str:
         "window remain pytest-parity-gated locally every session (tests/test_parity.py).",
         "Regenerate with `python tools/gen_coverage_history.py`.",
         "",
-        "Rotation plan (standing): the window holds 50 of 62 ids, so 12 park",
-        "each round; each round's FIRST task swaps the two 12-id blocks in",
-        "`plans/registry.py::CONTRACT_ORDER` so the block parked last round",
-        "earns fresh driver rows (never mid-round — the driver grades",
-        "end-of-round HEAD). Currently parked (positions 50-61, derived live",
-        "from the registry): "
-        + ", ".join(f"`{q}`" for q in CONTRACT_ORDER[50:]) + ".",
+        "Rotation plan (standing): the driver grades the first 50 registry",
+        "entries; 62 contract ids exist plus any WINDOW_PROMOTED extras, so",
+        f"{len(parked)} ids park this round. Each round's FIRST task swaps the",
+        "parked block into the window in `plans/registry.py::CONTRACT_ORDER`",
+        "so the block parked last round earns fresh driver rows (never",
+        "mid-round — the driver grades end-of-round HEAD). Currently parked",
+        "(derived live from the graded window = contract ids minus the first",
+        "50 head entries, promoted extras included): "
+        + ", ".join(f"`{q}`" for q in parked) + ".",
         "",
         "| query id | " + " | ".join(f"r{r:02d}" for r in rounds) + " | last green |",
         "| --- | " + " | ".join("---" for _ in rounds) + " | --- |",
