@@ -2371,13 +2371,16 @@ def ivfadc_index(spark: SparkSession, sf_dir: str):
     return ivfadc_index_from(e)
 
 
-def ivfadc_index_from(e: DataFrame):
+def ivfadc_index_from(e: DataFrame, cent: DataFrame | None = None):
     """ivfadc_index over a caller-supplied (vec_id, emb double[]) corpus
     — the clustered-corpus eval indexes a derived corpus through the
-    identical pipeline."""
-    cent = e.filter(F.col("vec_id") < N_CELLS).select(
-        F.col("vec_id").alias("cell_id"), F.col("emb").alias("cemb")
-    )
+    identical pipeline. ``cent`` substitutes the coarse centroid table
+    (cell_id, cemb double[]): the trained-centroid eval passes Lloyd
+    output instead of the default seeded cells."""
+    if cent is None:
+        cent = e.filter(F.col("vec_id") < N_CELLS).select(
+            F.col("vec_id").alias("cell_id"), F.col("emb").alias("cemb")
+        )
     cd = e.crossJoin(F.broadcast(cent)).select(
         "vec_id", "cell_id", _coarse_d2().alias("cd2")
     )
@@ -2517,18 +2520,28 @@ def q_sim_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
     unclustered for the current probe budget — measure the actual
     curve with q_sim_ivfadc_probe_sweep before touching N_PROBE: if
     recall rises with probe depth, raise N_PROBE; if the curve is
-    FLAT, deeper probing buys nothing and the fix is the PQ full-scan
-    (q_sim_pq_adc) or the exact re-rank stage (q_sim_ivfadc_rerank)
+    FLAT, deeper probing buys nothing and the fixes are, in order of
+    cost: TRAIN the coarse centroids (q_sim_ivfadc_trained_recall —
+    offline cost only, no serving cost), fall back to the PQ full-scan
+    (q_sim_pq_adc), or add the exact re-rank stage (q_sim_ivfadc_rerank)
     whenever top-1 fidelity matters. Measured on THIS repo's isotropic
     fixture (sf0.01, post seed-fix — see _pq_codebook's seed_lo note):
     ADC-only recall@1 0.05 @ cand_frac 0.1223, the sweep's curve FLAT
     (0.05 at every probe depth 1-8), PQ full-scan 0.20, clustered
-    corpus (q_sim_ivfadc_clustered_recall) 0.10 — and ADC + exact
-    re-rank 0.65. I.e. on a corpus whose NN margin is inside the 4-bit
-    quantization noise, neither probing deeper nor cell structure
-    recovers top-1 from codes alone; the re-rank stage is what
-    delivers it, at R float fetches per query. Code-only IVFADC is the
-    right call only where the measured recall meets the rule above."""
+    corpus (q_sim_ivfadc_clustered_recall) 0.10, TRAINED centroids
+    0.25 @ cand_frac 0.1231 (two Lloyd rounds on the coarse layer alone
+    — smaller residuals give the 4-bit codes more signal per bit, and
+    the code-only path then BEATS the full-scan's 0.20 at 1/8 the
+    candidates), and ADC + exact re-rank 0.65 at R=10. The re-rank
+    depth curve is measured too (q_sim_ivfadc_rerank_sweep): R=1 0.05,
+    R=2 0.25, R=5 0.40, R=10 0.65, R=20 0.85 — climbing toward the
+    probe hit-rate ceiling, so pick R from the measured curve as the
+    smallest depth meeting the recall target (here doubling 10→20 buys
+    +0.20; past the ceiling more R buys nothing). I.e. on a corpus
+    whose NN margin is inside the 4-bit quantization noise: first train
+    the centroids (free at serving time), then buy the rest with
+    re-rank depth. Code-only IVFADC is the right call only where the
+    measured recall meets the rule above."""
     _, adc = _ivfadc_parts(spark, sf_dir)
     w = W.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
     return (
@@ -2999,6 +3012,254 @@ def q_sim_ivfadc_clustered_recall(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     cent, cb_df, codes = ivfadc_index_from(e)
+    q = e.filter(F.col("vec_id") < PQ_NQ).select(
+        F.col("vec_id").alias("query_id"), "emb"
+    )
+    adc = ivfadc_score(q, cent, cb_df, codes)
+    return _ivfadc_recall_table(e, adc)
+
+
+# Re-rank depth sweep (VERDICT r09 item 2): the serving recommendation
+# cites a single point (R=PQ_RERANK=10 → recall 0.65); this measures the
+# whole recall@1 curve over shortlist depths so a user tuning R toward
+# exact reads a curve, not a point. ONE ADC pass and ONE exact-distance
+# join at the deepest level; every shallower level is a filter on the
+# candidate's ADC rank (rank is single-valued per (query, candidate)).
+RERANK_LEVELS = (1, 2, 5, 10, 20)
+
+_RERANK_SWEEP_TAIL = f"""
+    , rshort AS (
+        SELECT query_id, neighbor_id, rn FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY adc_dist, neighbor_id) AS rn
+            FROM adc)
+        WHERE rn <= {max(RERANK_LEVELS)}),
+    rl2 AS (
+        SELECT s.query_id, s.neighbor_id, s.rn,
+               round(list_sum([
+                   (CAST(q.embedding[j] AS DOUBLE)
+                    - CAST(n.embedding[j] AS DOUBLE)) ** 2
+                   for j in range(1, {DIM + 1})]), 4) AS l2_dist
+        FROM rshort s
+        JOIN embeddings q ON q.vec_id = s.query_id
+        JOIN embeddings n ON n.vec_id = s.neighbor_id),
+    rlevels AS (SELECT unnest({list(RERANK_LEVELS)}) AS r_depth),
+    rwin AS (
+        SELECT r_depth, query_id, neighbor_id AS rr_nn FROM (
+            SELECT lv.r_depth, r.query_id, r.neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY lv.r_depth, r.query_id
+                       ORDER BY r.l2_dist, r.neighbor_id) AS wrn
+            FROM rl2 r JOIN rlevels lv ON r.rn <= lv.r_depth)
+        WHERE wrn = 1),
+    {_EXACT1_CTE}
+    SELECT w.r_depth,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(CASE WHEN w.rr_nn = x.neighbor_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+           round(avg(CASE WHEN w.rr_nn = x.neighbor_id
+                          THEN 1.0 ELSE 0.0 END), 4) AS recall_at_1
+    FROM rwin w JOIN exact1 x USING (query_id)
+    GROUP BY w.r_depth
+    """
+
+
+@query(
+    "q_sim_ivfadc_rerank_sweep",
+    oracle=_pq_duck(pre_ctes=_IVFADC_PRE, sub_cte=_IVFADC_SUB, seed_lo=N_CELLS)
+    + _IVFADC_SEARCH
+    + _RERANK_SWEEP_TAIL,
+)
+def q_sim_ivfadc_rerank_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@1 of IVFADC + exact re-rank across shortlist depths
+    R ∈ RERANK_LEVELS — the measured curve behind the serving
+    recommendation's re-rank branch (the probe sweep's mirror for the
+    OTHER tunable). q_sim_ivfadc_rerank_recall pins the single deployed
+    point (R=10); this row answers "what does raising R buy": recall
+    climbs toward the probe hit-rate ceiling (the fraction of queries
+    whose true NN landed in a probed cell at all — no shortlist depth
+    recovers a neighbor the coarse probe never scored).
+
+    One scoring pass, not len(RERANK_LEVELS): the ADC table is ranked
+    once, exact L2 is computed once for the max(R)-deep shortlist (the
+    only float fetches — max(R) rows per query), and each shallower
+    level is a filter on that rank before the per-level argmin. Scale:
+    identical to q_sim_ivfadc_rerank — broadcast shortlist vs the
+    corpus on vec_id, parquet-prunable; the exact side stays
+    PQ_NQ-bounded (an eval, never a serving path)."""
+    e, adc = _ivfadc_parts(spark, sf_dir)
+    ws = W.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    short = (
+        adc.withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") <= max(RERANK_LEVELS))
+        .select("query_id", "neighbor_id", "rn")
+    )
+    l2 = F.round(
+        F.aggregate(
+            F.zip_with(F.col("qe"), F.col("ne"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        4,
+    )
+    rl2 = (
+        short.join(
+            e.select(F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")),
+            ["query_id"],
+        )
+        .join(
+            e.select(F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("ne")),
+            ["neighbor_id"],
+        )
+        .select("query_id", "neighbor_id", "rn", l2.alias("l2_dist"))
+    )
+    per = (
+        rl2.withColumn(
+            "r_depth", F.explode(F.array(*[F.lit(r) for r in RERANK_LEVELS]))
+        )
+        .filter(F.col("rn") <= F.col("r_depth"))
+        .groupBy("r_depth", "query_id")
+        .agg(F.min(F.struct("l2_dist", "neighbor_id")).alias("bn"))
+        .select("r_depth", "query_id", F.col("bn.neighbor_id").alias("rr_nn"))
+    )
+    exact1 = _exact_nn1(e)
+    return (
+        per.join(exact1, ["query_id"])
+        .groupBy("r_depth")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+            F.sum(F.when(F.col("rr_nn") == F.col("exact_nn"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_match"),
+            F.round(
+                F.avg(
+                    F.when(F.col("rr_nn") == F.col("exact_nn"), 1.0).otherwise(0.0)
+                ),
+                4,
+            ).alias("recall_at_1"),
+        )
+        .orderBy("r_depth")
+    )
+
+
+# Trained-centroid IVFADC (VERDICT r09 item 3): the serving stack's
+# coarse layer with Lloyd-trained cells instead of the seeded
+# vec_id < N_CELLS ones. Trained cells shrink residual magnitude —
+# exactly what 4-bit residual codes need to rank (the clustered-corpus
+# eval's own diagnosis) — so this row measures what centroid training
+# buys the END-TO-END recall, beside q_sim_ivfadc_recall's seeded row.
+IVF_TRAIN_ITERS = 2  # fixed Lloyd rounds for the coarse cells
+
+
+def _trained_cent_duck(iters: int) -> tuple[str, ...]:
+    """The coarse-cell Lloyd trainer unrolled as DuckDB CTEs producing
+    the ``cent(cell_id, cemb)`` table _IVFADC_PRE's downstream CTEs
+    expect — kc*/ka* names keep clear of the PQ unroll's c*/a* chain."""
+    d2 = (
+        f"list_sum([ (CAST(e.embedding[j] AS DOUBLE) - c.cemb[j]) ** 2 "
+        f"for j in range(1, {DIM + 1}) ])"
+    )
+    ctes = [
+        f"""kc0 AS (
+        SELECT vec_id AS cell_id,
+               [CAST(embedding[j] AS DOUBLE) for j in range(1, {DIM + 1})] AS cemb
+        FROM embeddings WHERE vec_id < {N_CELLS})"""
+    ]
+    prev = "kc0"
+    for t in range(1, iters + 1):
+        ctes.append(f"""ka{t} AS (
+        SELECT vec_id, cell_id FROM (
+            SELECT e.vec_id, c.cell_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {d2}, c.cell_id) AS rn
+            FROM embeddings e CROSS JOIN {prev} c)
+        WHERE rn = 1)""")
+        ctes.append(f"""kc{t} AS (
+        SELECT cell_id, list(v ORDER BY i) AS cemb FROM (
+            SELECT a.cell_id, t.i,
+                   round(avg(CAST(e.embedding[t.i] AS DOUBLE)), 6) AS v
+            FROM ka{t} a
+            JOIN embeddings e USING (vec_id)
+            CROSS JOIN range(1, {DIM + 1}) t(i)
+            GROUP BY a.cell_id, t.i)
+        GROUP BY cell_id)""")
+        prev = f"kc{t}"
+    ctes.append(f"cent AS (SELECT cell_id, cemb FROM {prev})")
+    return tuple(ctes)
+
+
+def _trained_cent(e: DataFrame) -> DataFrame:
+    """Lloyd-train the N_CELLS coarse centroids over corpus ``e`` —
+    the q_sim_ivf_kmeans trainer pattern (broadcast k×dim centroids,
+    argmin as min(struct) hash-agg, per-(cell, dim) avg rounded to 6 dp
+    so both engines quantize identically between rounds; the collected
+    state is N_CELLS*DIM doubles, constant in the corpus)."""
+    spark = e.sparkSession
+    cent = sorted(
+        (int(r.cell_id), list(r.cemb))
+        for r in e.filter(F.col("vec_id") < N_CELLS)
+        .select(F.col("vec_id").alias("cell_id"), F.col("emb").alias("cemb"))
+        .collect()
+    )
+    for _ in range(IVF_TRAIN_ITERS):
+        cent_df = spark.createDataFrame(cent, "cell_id bigint, cemb array<double>")
+        upd = (
+            e.crossJoin(F.broadcast(cent_df))
+            .select(
+                "vec_id",
+                "emb",
+                F.struct(_coarse_d2().alias("d2"), F.col("cell_id")).alias("dc"),
+            )
+            .groupBy("vec_id")
+            .agg(F.min("dc").alias("best"), F.first("emb").alias("emb"))
+            .select(
+                F.col("best.cell_id").alias("cell_id"),
+                F.posexplode("emb").alias("i", "v"),
+            )
+            .groupBy("cell_id", "i")
+            .agg(F.round(F.avg("v"), 6).alias("v"))
+            .groupBy("cell_id")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "v"))).alias("cv"))
+            .select("cell_id", F.col("cv.v").alias("cemb"))
+            .collect()
+        )
+        cent = sorted((int(r.cell_id), list(r.cemb)) for r in upd)
+    return spark.createDataFrame(cent, "cell_id bigint, cemb array<double>")
+
+
+@query(
+    "q_sim_ivfadc_trained_recall",
+    oracle=_pq_duck(
+        pre_ctes=_trained_cent_duck(IVF_TRAIN_ITERS) + _IVFADC_PRE[1:],
+        sub_cte=_IVFADC_SUB,
+        seed_lo=N_CELLS,
+    )
+    + _IVFADC_SEARCH
+    + _IVFADC_RECALL_TAIL,
+)
+def q_sim_ivfadc_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_sim_ivfadc_recall with k-means-TRAINED coarse centroids
+    (IVF_TRAIN_ITERS Lloyd rounds, seeded from the same vec_id < N_CELLS
+    vectors the seeded index uses verbatim) — measures whether training
+    the coarse layer lifts end-to-end code-only recall: trained cells
+    sit at member means, so residual magnitude shrinks and the 4-bit
+    residual codes get more signal per bit. The whole downstream
+    pipeline (residual PQ trainer, code table, probe, LUT, ADC) is the
+    identical machinery — only the ``cent`` table differs — so any
+    recall delta vs q_sim_ivfadc_recall is attributable to centroid
+    training alone. Scale: training collects N_CELLS*DIM doubles per
+    round (constant); everything else inherits q_sim_ivfadc's shape.
+    The exact side is PQ_NQ-bounded — an eval, never a serving path."""
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double("embedding").alias("emb"))
+        .localCheckpoint(eager=True)
+    )
+    cent = _trained_cent(e)
+    _, cb_df, codes = ivfadc_index_from(e, cent=cent)
     q = e.filter(F.col("vec_id") < PQ_NQ).select(
         F.col("vec_id").alias("query_id"), "emb"
     )

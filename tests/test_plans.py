@@ -149,6 +149,8 @@ CARTESIAN_OK = {
     "q_sim_ivfadc_probe_sweep",  # same fan-out + bounded exact-NN eval side
     "q_sim_ivfadc_clustered_recall",  # same fan-out + bounded exact-NN eval side
     "q_sim_ivfadc_rerank_recall",  # same fan-out + bounded exact-NN eval side
+    "q_sim_ivfadc_rerank_sweep",  # same fan-out + bounded exact-NN eval side
+    "q_sim_ivfadc_trained_recall",  # same fan-out (Lloyd rounds broadcast 16 cells)
     "q_win_dist",  # 1-row N-total scalar broadcast crossed in
 }
 
