@@ -526,6 +526,43 @@ def q_join_salted_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_join_events_shuffle",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_join_events_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PLAIN shuffle events⋈customer — q_join_salted_events' unsalted
+    twin, pinned to a sort-merge join via the merge hint so it stays a
+    genuine both-sides shuffle even where the dim would broadcast. Two
+    jobs: (a) the API surface for broadcast-disabled enrichment (memory
+    ceilings, stateful streaming joins — the regimes where BHJ is off
+    the table and the join MUST shuffle on the key); (b) the measured
+    plain twin in tools/scale_bench.py's skewed-key instrument: under a
+    ~49%-hot user_id this plan lands the hot key in ONE reducer task
+    while q_join_salted_events spreads it over N_SALTS — the pair's
+    skewed/uniform ratios quantify exactly what the salt buys. Result
+    is identical to the salted variant (same oracle); only the shuffle
+    differs."""
+    e = load(spark, sf_dir, "events")
+    c = load(spark, sf_dir, "customer")
+    return (
+        e.join(c.hint("merge"), e.user_id == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
+@query(
     "q_merge_upsert",
     oracle="""
     WITH upd AS (

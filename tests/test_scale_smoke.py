@@ -236,3 +236,35 @@ def test_scale_bench_replicas_preserve_workload_shape(spark, tmp_path):
     rate_base = p_base / (n_base * n_base)
     rate_big = p_big / (3 * n_base * 3 * n_base)
     assert rate_big <= 2.5 * rate_base + 1e-6
+
+
+def test_skew_pair_join_twins_match_every_event(spark, tmp_path):
+    """The skewed-key instrument's join pair is only a fair comparison
+    if BOTH twins inner-join every event (identical output volume, so
+    the skewed/uniform ratio isolates shuffle skew, not match rates):
+    the replica customer dim must cover replica-0 keys, the offset key
+    ranges, and the hot user. Also pins the hot share near its design
+    point (~0.5*(k-1)/k of the skewed twin)."""
+    import importlib.util
+    import os
+
+    from pyspark.sql import functions as F
+
+    spec = importlib.util.spec_from_file_location(
+        "scale_bench", "/root/repo/tools/scale_bench.py"
+    )
+    sb = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sb)
+
+    uni = str(tmp_path / "uni")
+    skw = str(tmp_path / "skw")
+    hot = sb._skew_pair(spark, uni, skw, base_sf="/root/testdata/sf0.001")
+    assert 0.40 <= hot <= 0.55, hot
+    for d in (uni, skw):
+        e = spark.read.parquet(os.path.join(d, "events.parquet"))
+        c = spark.read.parquet(os.path.join(d, "customer.parquet"))
+        n_events = e.count()
+        joined = e.join(c, e.user_id == c.c_custkey).count()
+        assert joined == n_events, (d, joined, n_events)
+        # every event matches exactly once → dim keys are unique too
+        assert c.select("c_custkey").distinct().count() == c.count()

@@ -94,7 +94,7 @@ QUADRATIC_ALARM = 13.5  # 9x candidates + 50% slack
 # skew), not a defect: every twin has a registered skew-safe sibling
 # to reach for.
 #
-# Why ~49% and 40×: a first deployment at 3× volume with a 20% hot key
+# Why ~49% and a large factor: a first deployment at 3× volume with a 20% hot key
 # (~60k rows) measured ratio ≈1.0 for every query — a 60k-row
 # single-task sort is noise at local[32]; even ~450k was. The hot key
 # has to dwarf the per-task share a uniform shuffle would give it
@@ -110,8 +110,29 @@ SKEW_SET = {
     "q_agg_ewma": "skew_safe",  # two-level affine EWMA fold
     "q_causal_seq": "plain_window_twin",  # plain per-key ordered window
     "q_stream_stateful_agg": "plain_window_twin",  # plain running window
+    "q_join_salted_events": "skew_safe",  # salt-spread events⋈customer
+    "q_join_events_shuffle": "plain_window_twin",  # unsalted SMJ twin
 }
-SKEW_FACTOR = 40  # events replicas per variant (~4M rows each at sf0.1)
+
+# The join pair is timed in the regime the manual salt exists for
+# (q_join_salted_events' docstring): broadcast off (a BHJ dim pays
+# nothing for key skew — nothing to measure) and AQE's runtime skew
+# split off (it would heal the plain SMJ twin at runtime; the salt is
+# the PRE-PLANNED answer for stateful-streaming/broadcast-disabled
+# environments where that healing is unavailable). The window twins are
+# unaffected by either conf. Confs restored after each timing.
+JOIN_SKEW_QUERIES = {"q_join_salted_events", "q_join_events_shuffle"}
+JOIN_SKEW_CONFS = {
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.skewJoin.enabled": "false",
+}
+# 40× sufficed for the WINDOW twins (per-row frame evaluation makes a
+# 2M-row single-task straggler obvious) but not for the JOIN pair: a
+# sort-merge join's hot task is just one radix sort of narrow rows, and
+# at 2M hot rows it hides inside the 4M-row scan (measured r10: plain
+# SMJ twin ratio 0.86 at 40×, i.e. invisible; 2.66 at 120×). 120× keeps
+# every plain twin's straggler visible; ratios stay volume-cancelling.
+SKEW_FACTOR = 120  # events replicas per variant (~12M rows each at sf0.1)
 SKEW_HOT_MOD = 2, 1  # replicas 1+: user_id % 2 < 1 → hot ≈ 0.5·(k-1)/k
 
 
@@ -218,8 +239,19 @@ def _skew_pair(spark, uni_dir: str, skew_dir: str, base_sf: str | None = None) -
 
     base_sf = BASE_SF if base_sf is None else base_sf
     ev = load(spark, base_sf, "events")
+    cu = load(spark, base_sf, "customer")
     eid_off = ev.agg(F.max("event_id")).head()[0] + 1
-    uid_off = ev.agg(F.max("user_id")).head()[0] + 1
+    # key stride covers BOTH the events user domain and the customer key
+    # domain (customer keys extend past the max event user): offset
+    # replicas of the two tables then stay aligned AND collision-free,
+    # so the join pair's twins inner-match every event exactly once
+    uid_off = (
+        max(
+            ev.agg(F.max("user_id")).head()[0],
+            cu.agg(F.max("c_custkey")).head()[0],
+        )
+        + 1
+    )
     mod, lim = SKEW_HOT_MOD
 
     def build(skewed: bool):
@@ -247,6 +279,21 @@ def _skew_pair(spark, uni_dir: str, skew_dir: str, base_sf: str | None = None) -
     build(True).write.mode("overwrite").parquet(
         os.path.join(skew_dir, "events.parquet")
     )
+    # Matching customer dim for the join pair: replicate with the SAME
+    # per-replica key offsets the uniform events use, so every event in
+    # BOTH twins (hot user 1 included — replica 0 keeps original keys)
+    # inner-joins exactly one customer and the twins' join output
+    # volumes are identical; the ratio then isolates the shuffle skew,
+    # not differing match rates.
+    cu_parts = [cu] + [
+        cu.withColumn("c_custkey", F.col("c_custkey") + F.lit(k * uid_off))
+        for k in range(1, SKEW_FACTOR)
+    ]
+    cu_all = cu_parts[0]
+    for p in cu_parts[1:]:
+        cu_all = cu_all.unionByName(p)
+    for d in (uni_dir, skew_dir):
+        cu_all.write.mode("overwrite").parquet(os.path.join(d, "customer.parquet"))
     back = spark.read.parquet(os.path.join(skew_dir, "events.parquet"))
     total = back.count()
     hot = back.filter(F.col("user_id") == 1).count()
@@ -331,14 +378,24 @@ def main() -> int:
             hot_share = _skew_pair(spark, uni_dir, skew_dir)
             skew_gen_sec = round(time.perf_counter() - t0, 1)
             for name, klass in SKEW_SET.items():
+                joinq = name in JOIN_SKEW_QUERIES
+                saved_confs = {}
+                if joinq:
+                    saved_confs = {k: spark.conf.get(k) for k in JOIN_SKEW_CONFS}
+                    for k, v in JOIN_SKEW_CONFS.items():
+                        spark.conf.set(k, v)
                 base = big = None
-                for _ in range(RUNS):
-                    b1 = time_query_noop(queries, name, spark, uni_dir)
-                    b2 = time_query_noop(queries, name, spark, skew_dir)
-                    if b1 is not None:
-                        base = b1 if base is None else min(base, b1)
-                    if b2 is not None:
-                        big = b2 if big is None else min(big, b2)
+                try:
+                    for _ in range(RUNS):
+                        b1 = time_query_noop(queries, name, spark, uni_dir)
+                        b2 = time_query_noop(queries, name, spark, skew_dir)
+                        if b1 is not None:
+                            base = b1 if base is None else min(base, b1)
+                        if b2 is not None:
+                            big = b2 if big is None else min(big, b2)
+                finally:
+                    for k, v in saved_confs.items():
+                        spark.conf.set(k, v)
                 if base is None or big is None:
                     alarms.append(f"skew:{name}")
                     rc = 1
