@@ -153,14 +153,33 @@ def main() -> None:
     for name in quartet:
         if name not in queries or name in failures:
             continue
-        t0 = time.perf_counter()
-        try:
-            queries[name](spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-        except Exception:  # noqa: BLE001 — stability probe is best-effort
+
+        def one_warm_pass() -> float | None:
+            t0 = time.perf_counter()
+            try:
+                queries[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception:  # noqa: BLE001 — stability probe is best-effort
+                return None
+            return round(time.perf_counter() - t0, 3)
+
+        t = one_warm_pass()
+        if t is None:
             continue
-        warm[name] = round(time.perf_counter() - t0, 3)
+        # Noise guard (VERDICT r09 item 5): the warm pass is one-shot, so
+        # a host-interference window landing inside it recorded 17.26 s
+        # for a 5 s query (r09 q_graph_components) and the "warm vs first
+        # pass" diagnostic lied. A warm pass slower than the query's own
+        # final (cold/retried) suite time is physically suspect — warm
+        # should only ever be faster — so re-measure once and keep the
+        # min. Healthy runs pay nothing; a genuine warm-path regression
+        # reproduces and stays visible.
+        if name in timings and t > 1.5 * timings[name]:
+            t2 = one_warm_pass()
+            if t2 is not None:
+                t = min(t, t2)
+        warm[name] = t
     import gc
 
     gc.collect()  # drop Python-side DataFrame refs so the cleaner can run
@@ -253,6 +272,44 @@ def main() -> None:
                 probe(16, "_ck_16_a")[1],
                 probe(16, "_ck_16_b")[1],
             )
+            # RocksDB state store (VERDICT r09 item 6): the sequencer's
+            # own measurements say per-partition state-store commits
+            # dominate this probe's wall at local scale, and the RocksDB
+            # provider (JVM-built-in, no new deps) changes exactly that
+            # commit path — measure it beside the default HDFS-backed
+            # provider at both partition counts. Best-effort: a provider
+            # that fails to load records an error string, never kills
+            # the default numbers.
+            wall_rocksdb = wall_rocksdb_16 = None
+            rocksdb_err = None
+            provider_key = "spark.sql.streaming.stateStore.providerClass"
+            changelog_key = (
+                "spark.sql.streaming.stateStore.rocksdb"
+                ".changelogCheckpointing.enabled"
+            )
+            old_provider = spark.conf.get(provider_key, None)
+            try:
+                from distributed_causal_stream_processing_spark.session import (
+                    enable_rocksdb_state,
+                )
+
+                enable_rocksdb_state(spark)
+                wall_rocksdb = min(
+                    probe(None, "_ck_rdb_a")[1],
+                    probe(None, "_ck_rdb_b")[1],
+                )
+                wall_rocksdb_16 = min(
+                    probe(16, "_ck_rdb16_a")[1],
+                    probe(16, "_ck_rdb16_b")[1],
+                )
+            except Exception as exc:  # noqa: BLE001
+                rocksdb_err = f"{type(exc).__name__}: {exc}"[:200]
+            finally:
+                if old_provider is None:
+                    spark.conf.unset(provider_key)
+                else:
+                    spark.conf.set(provider_key, old_provider)
+                spark.conf.unset(changelog_key)
         finally:
             shutil.rmtree(sdir, ignore_errors=True)
         streaming = {
@@ -264,6 +321,16 @@ def main() -> None:
             "wall_sec_16_state_parts": round(wall_tuned, 3),
             "rows_per_sec_16_state_parts": round(n_rows / wall_tuned),
         }
+        if rocksdb_err is not None:
+            streaming["rocksdb_error"] = rocksdb_err
+        if wall_rocksdb is not None:
+            streaming["wall_sec_rocksdb"] = round(wall_rocksdb, 3)
+            streaming["rows_per_sec_rocksdb"] = round(n_rows / wall_rocksdb)
+        if wall_rocksdb_16 is not None:
+            streaming["wall_sec_rocksdb_16_state_parts"] = round(wall_rocksdb_16, 3)
+            streaming["rows_per_sec_rocksdb_16_state_parts"] = round(
+                n_rows / wall_rocksdb_16
+            )
     except Exception as exc:  # noqa: BLE001 — probe is best-effort
         streaming = {"error": f"{type(exc).__name__}: {exc}"[:200]}
 

@@ -68,7 +68,18 @@ def causal_sequence_stream(events: DataFrame) -> DataFrame:
     16 partitions ran 4.25 s (23.5k rows/s) vs 5.4 s at the default
     32. Size it to batch volume / desired parallelism, not to the
     batch-query shuffle default; at cluster scale the same conf scales
-    the state stores out instead.
+    the state stores out instead. (3) the state-store PROVIDER
+    (round 10, measured same-window min-of-2 at sf0.1): RocksDB
+    (session.enable_rocksdb_state — JVM-built-in, changelog
+    checkpointing on) ran 6.12 s vs HDFS-backed 6.43 s at 32
+    partitions and 5.53 s at 16 — within host noise of each other at
+    this state size (~15k user keys fits trivially in heap, so the
+    provider swap moves only the commit path). The documented default
+    stays the HDFS-backed provider at test scale; switch to RocksDB
+    when per-executor state approaches heap (its point is disk-backed
+    state + delta-only commits, not local-scale wall time). bench.py
+    records both providers' rows each round so the crossover is
+    measured, not assumed.
     """
 
     def sequence_group(
