@@ -909,3 +909,192 @@ def test_banded_sort_rank_matches_brute_force_on_ties(spark, tmp_path):
     order = sorted(kept, key=lambda t: (t[1], -t[2], t[0]))
     want = {t[0]: i + 1 for i, t in enumerate(order)}
     assert got == want
+
+
+# --- Round-10 structural-pin sweep (VERDICT r09 item 8) -------------------
+# Hash-parity cannot catch a bug BOTH engines share by design (round 9's
+# degenerate PQ codebook proved the class). Each sketch/index family
+# therefore gets a structural invariant pinned on the real fixture, and
+# each test carries a MUTATION check: the same predicate evaluated on a
+# deliberately-broken construction must fail, proving the pin has teeth.
+
+
+def test_minhash_permutation_family_diversity(spark):
+    """The 32 MinHash permutations must produce DIVERSE per-doc minima
+    on the real corpus: every column mh_j needs >=2 distinct values
+    across docs (a constant column contributes nothing to the
+    signature) and must disagree with mh_0 on at least one doc (a
+    duplicated permutation silently halves the effective signature —
+    both engines share the constants, so parity would stay green).
+    Mutation: collapsing the (a_j, b_j) families to a single
+    permutation must fail the same predicate."""
+    from pyspark.sql import functions as F
+
+    from distributed_causal_stream_processing_spark.functions.hashing import (
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_P,
+        N_MINHASH,
+        md5_u32_sql,
+    )
+    from distributed_causal_stream_processing_spark.io import load
+
+    toks = (
+        load(spark, "/root/testdata/sf0.001", "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .select("doc_id", F.expr(md5_u32_sql("tok")).alias("x"))
+    )
+
+    def diversity(a, b):
+        sig = toks.groupBy("doc_id").agg(
+            *[
+                F.min(F.expr(f"(CAST({a[j]} AS BIGINT) * x + {b[j]}) % {MINHASH_P}"))
+                .alias(f"mh{j}")
+                for j in range(N_MINHASH)
+            ]
+        )
+        row = sig.agg(
+            *[F.countDistinct(f"mh{j}").alias(f"d{j}") for j in range(N_MINHASH)],
+            *[
+                F.sum((F.col(f"mh{j}") != F.col("mh0")).cast("int")).alias(f"n{j}")
+                for j in range(1, N_MINHASH)
+            ],
+        ).head()
+        per_col_diverse = all(row[f"d{j}"] >= 2 for j in range(N_MINHASH))
+        pairwise_distinct = all(row[f"n{j}"] >= 1 for j in range(1, N_MINHASH))
+        return per_col_diverse and pairwise_distinct
+
+    assert diversity(MINHASH_A, MINHASH_B), "healthy permutation family degenerate"
+    # mutation: one permutation copied 32 times — every column identical
+    assert not diversity([MINHASH_A[0]] * N_MINHASH, [MINHASH_B[0]] * N_MINHASH)
+
+
+def test_hyperplane_lsh_buckets_nondegenerate(spark):
+    """Every LSH table's bucket distribution over the real embedding
+    corpus must be non-degenerate: no bucket holds more than half the
+    corpus, and every individual hyperplane splits the corpus with a
+    minority side of >=10% (a plane that never flips sign contributes
+    zero selectivity to its table — the exact shape a zeroed/misscaled
+    plane literal would produce, invisible to parity because the oracle
+    unrolls the same plane constants). Mutation: zero planes hash the
+    whole corpus into one bucket and must fail the same predicates."""
+    from unittest import mock
+
+    from pyspark.sql import functions as F
+
+    from distributed_causal_stream_processing_spark.io import load
+    from distributed_causal_stream_processing_spark.operators import similarity as sim
+
+    e = load(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", sim.as_double("embedding").alias("emb")
+    )
+    n = e.count()
+
+    def shape(sig):
+        biggest = 0
+        worst_minority = 1.0
+        for t in range(sim.N_TABLES):
+            top = (
+                sig.groupBy(f"b{t}").count().agg(F.max("count")).head()[0]
+            )
+            biggest = max(biggest, top / n)
+            for p in range(1, sim.PLANES_PER_TABLE + 1):
+                ones = (
+                    sig.agg(
+                        F.avg(F.substring(f"b{t}", p, 1).cast("int"))
+                    ).head()[0]
+                )
+                worst_minority = min(worst_minority, ones, 1.0 - ones)
+        return biggest, worst_minority
+
+    biggest, worst_minority = shape(sim.mt_signature_frame(e))
+    assert biggest <= 0.5, f"a bucket holds {biggest:.0%} of the corpus"
+    assert worst_minority >= 0.10, f"a plane's minority side is {worst_minority:.0%}"
+
+    with mock.patch.object(
+        sim, "_mt_planes", lambda k: [[0.0] * sim.DIM for _ in range(k)]
+    ):
+        biggest0, minority0 = shape(sim.mt_signature_frame(e))
+    assert biggest0 == 1.0 and minority0 == 0.0  # mutation detected
+
+
+def test_session_count_is_gap_count_plus_one(spark):
+    """Session-window structural pin on the real fixture: per user, the
+    number of sessions q_stream_session emits must equal 1 + the number
+    of inactivity gaps > 15 minutes in that user's ordered event stream
+    — derived here independently via lag(), not session_window, so a
+    shared over/under-merge in both engines' session constructions
+    cannot hide behind green parity. Mutation: the same identity
+    evaluated at half the gap must diverge on this fixture (proving the
+    fixture actually exercises the 7.5-15 minute band the pin relies
+    on)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from distributed_causal_stream_processing_spark.io import load
+    from distributed_causal_stream_processing_spark.plans.registry import (
+        REGISTRY,
+        _load_all,
+    )
+
+    _load_all()
+    sf = "/root/testdata/sf0.001"
+    sessions_per_user = (
+        REGISTRY["q_stream_session"].fn(spark, sf)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        load(spark, sf, "events")
+        .withColumn("prev", F.lag("ts").over(w))
+        .withColumn(
+            "gap_s",
+            F.col("ts").cast("double") - F.col("prev").cast("double"),
+        )
+    )
+
+    def mismatches(gap_seconds):
+        per_user = gaps.groupBy("user_id").agg(
+            F.sum(
+                F.when(F.col("gap_s") > gap_seconds, 1).otherwise(0)
+            ).alias("n_gaps")
+        )
+        return (
+            sessions_per_user.join(per_user, "user_id")
+            .filter(F.col("n_sessions") != F.col("n_gaps") + 1)
+            .count()
+        )
+
+    assert mismatches(15 * 60) == 0
+    assert mismatches(int(7.5 * 60)) > 0  # mutation: wrong gap must diverge
+
+
+def test_misra_gries_candidate_budget_never_exceeded():
+    """The MG sketch's whole scale story is its O(k) state bound: after
+    EVERY merge the candidate set must hold <= k counters, whatever the
+    batching (an unbounded candidate set is a per-partition memory leak
+    that still returns correct heavy hitters on small data — parity
+    green, OOM at 100 TB). Mutation: a prune-free merge on the same
+    stream must blow the bound, proving the stream actually pressures
+    it."""
+    import pandas as pd
+
+    from distributed_causal_stream_processing_spark.operators.text import mg_merge
+
+    k = 5
+    batches = [
+        [f"t{i}_{j}" for j in range(12)] + ["hot"] * 3 for i in range(20)
+    ]  # 12 fresh distinct tokens per batch + one persistent heavy hitter
+    counters = pd.Series(dtype="int64")
+    naive = pd.Series(dtype="int64")
+    naive_peak = 0
+    for b in batches:
+        vc = pd.Series(b).value_counts()
+        counters = mg_merge(counters, vc, k)
+        assert len(counters) <= k, f"budget blown: {len(counters)} > {k}"
+        naive = naive.add(vc, fill_value=0)  # mutation: merge without prune
+        naive_peak = max(naive_peak, len(naive))
+    assert naive_peak > k  # the stream genuinely pressures the bound
+    assert "hot" in counters.index  # and the bound costs no recall here
