@@ -31,19 +31,24 @@ def main() -> None:
         "docstring sentence). All are pytest-parity-gated each session",
         "(tests/test_parity.py) regardless of driver-window position.",
         "",
-        "ANN serving guidance (VERDICT r08 item 5): deploy code-only IVFADC",
-        "(`q_sim_ivfadc`) only when `q_sim_ivfadc_recall` measured on the",
-        "target corpus shows recall@1 within ~0.8x of `q_sim_pq_recall`'s",
-        "full-scan number; otherwise measure the probe curve with",
-        "`q_sim_ivfadc_probe_sweep` — raise N_PROBE if recall rises with",
-        "depth, else fall back to PQ full-scan (`q_sim_pq_adc`) or add the",
-        "exact re-rank (`q_sim_ivfadc_rerank`). Measured on this repo's",
-        "fixture (sf0.01): ADC-only 0.05 @ cand_frac 0.12 with a FLAT probe",
-        "curve (0.05 at depth 1-8), PQ full-scan 0.20, clustered corpus",
-        "(`q_sim_ivfadc_clustered_recall`) 0.10, ADC + exact re-rank 0.65 —",
-        "when the NN margin sits inside the 4-bit code noise, the re-rank",
-        "stage is what delivers top-1; probing deeper or adding cell",
-        "structure alone does not.",
+        "ANN serving guidance (VERDICT r08 item 5, extended r10): deploy",
+        "code-only IVFADC (`q_sim_ivfadc`) only when `q_sim_ivfadc_recall`",
+        "measured on the target corpus shows recall@1 within ~0.8x of",
+        "`q_sim_pq_recall`'s full-scan number; otherwise measure the probe",
+        "curve with `q_sim_ivfadc_probe_sweep` — raise N_PROBE if recall",
+        "rises with depth. If the curve is FLAT, the fixes in cost order:",
+        "TRAIN the coarse centroids (`q_sim_ivfadc_trained_recall` — offline",
+        "cost only), fall back to PQ full-scan (`q_sim_pq_adc`), or add the",
+        "exact re-rank (`q_sim_ivfadc_rerank`), picking the shortlist depth",
+        "from the measured curve (`q_sim_ivfadc_rerank_sweep`). Measured on",
+        "this repo's fixture (sf0.01): ADC-only 0.05 @ cand_frac 0.12 with a",
+        "FLAT probe curve (0.05 at depth 1-8), PQ full-scan 0.20, clustered",
+        "corpus (`q_sim_ivfadc_clustered_recall`) 0.10, TRAINED centroids",
+        "0.25 @ cand_frac 0.12 (two Lloyd rounds on the coarse layer beat",
+        "the full-scan at 1/8 the candidates), and ADC + exact re-rank",
+        "0.05/0.25/0.40/0.65/0.85 at R = 1/2/5/10/20 — when the NN margin",
+        "sits inside the 4-bit code noise, centroid training is the free",
+        "lift and re-rank depth buys the rest.",
         "",
         "| query id | oracle | implementation | what it proves |",
         "| --- | --- | --- | --- |",
