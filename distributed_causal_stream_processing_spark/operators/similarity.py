@@ -2535,13 +2535,17 @@ def q_sim_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates), and ADC + exact re-rank 0.65 at R=10. The re-rank
     depth curve is measured too (q_sim_ivfadc_rerank_sweep): R=1 0.05,
     R=2 0.25, R=5 0.40, R=10 0.65, R=20 0.85 — climbing toward the
-    probe hit-rate ceiling, so pick R from the measured curve as the
-    smallest depth meeting the recall target (here doubling 10→20 buys
-    +0.20; past the ceiling more R buys nothing). I.e. on a corpus
-    whose NN margin is inside the 4-bit quantization noise: first train
-    the centroids (free at serving time), then buy the rest with
-    re-rank depth. Code-only IVFADC is the right call only where the
-    measured recall meets the rule above."""
+    probe hit-rate ceiling (q_sim_ivfadc_ceiling: 0.90 here), so pick
+    R from the measured curve as the smallest depth meeting the recall
+    target (here doubling 10→20 buys +0.20 and lands ON the ceiling;
+    past it more R buys nothing — raise N_PROBE instead). CAUTION,
+    measured: the two fixes do NOT compose — trained centroids + R=10
+    re-rank scored 0.45, BELOW seeded + re-rank's 0.65
+    (q_sim_ivfadc_trained_rerank_recall: training improves top-1 code
+    ranking but worsened top-R containment on this corpus). Pick the
+    coarse layer for the stage that follows it and measure the
+    combination on the target corpus. Code-only IVFADC is the right
+    call only where the measured recall meets the rule above."""
     _, adc = _ivfadc_parts(spark, sf_dir)
     w = W.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
     return (
@@ -3265,3 +3269,155 @@ def q_sim_ivfadc_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     adc = ivfadc_score(q, cent, cb_df, codes)
     return _ivfadc_recall_table(e, adc)
+
+
+# Probe hit-rate ceiling: the number every downstream stage is bounded
+# by — no shortlist depth, codebook, or re-rank recovers a true NN the
+# coarse probe never scored. Registered so the rerank sweep's "climbing
+# toward the ceiling" is a measured number, not prose.
+_IVFADC_CEILING_TAIL = f"""
+    , {_EXACT1_CTE}
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           round(avg(CASE WHEN a.neighbor_id IS NOT NULL
+                          THEN 1.0 ELSE 0.0 END), 4) AS ceiling_at_probe
+    FROM exact1 x
+    LEFT JOIN adc a
+      ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+    """
+
+
+@query(
+    "q_sim_ivfadc_ceiling",
+    oracle=_pq_duck(pre_ctes=_IVFADC_PRE, sub_cte=_IVFADC_SUB, seed_lo=N_CELLS)
+    + _IVFADC_SEARCH
+    + _IVFADC_CEILING_TAIL,
+)
+def q_sim_ivfadc_ceiling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The coarse probe's HIT-RATE CEILING: the fraction of queries
+    whose exact L2 nearest neighbor lands among the ADC candidates at
+    all (i.e. in one of the N_PROBE probed cells). Every recall number
+    in the IVFADC family is bounded above by this row — ADC ranking,
+    codebook quality, and re-rank depth only decide how much of the
+    ceiling is realized, never more — so the serving recommendation's
+    "R climbs toward the ceiling" and "raise N_PROBE vs re-rank" calls
+    are decided by comparing q_sim_ivfadc_rerank_sweep's tail against
+    THIS number: rerank recall ≈ ceiling means deeper shortlists are
+    spent; recall ≪ ceiling means R (or the codebook) is the problem,
+    not the probe. Scale: one broadcast-sized anti-join-shaped lookup
+    over the candidate table; the exact side stays PQ_NQ-bounded (an
+    eval, never a serving path)."""
+    e, adc = _ivfadc_parts(spark, sf_dir)
+    exact1 = _exact_nn1(e)
+    hit = adc.select(
+        "query_id", F.col("neighbor_id").alias("exact_nn"), F.lit(1).alias("found")
+    )
+    return (
+        exact1.join(hit, ["query_id", "exact_nn"], "left")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+            F.sum(F.coalesce(F.col("found"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_hit"),
+            F.round(
+                F.avg(F.coalesce(F.col("found"), F.lit(0)).cast("double")), 4
+            ).alias("ceiling_at_probe"),
+        )
+    )
+
+
+@query(
+    "q_sim_ivfadc_trained_rerank_recall",
+    oracle=_pq_duck(
+        pre_ctes=_trained_cent_duck(IVF_TRAIN_ITERS) + _IVFADC_PRE[1:],
+        sub_cte=_IVFADC_SUB,
+        seed_lo=N_CELLS,
+    )
+    + _IVFADC_SEARCH
+    + _IVFADC_RERANK_CTES
+    + f"""
+    , {_EXACT1_CTE}
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(CASE WHEN r.neighbor_id = x.neighbor_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+           round(avg(CASE WHEN r.neighbor_id = x.neighbor_id
+                          THEN 1.0 ELSE 0.0 END), 4) AS recall_at_1
+    FROM rr1 r JOIN exact1 x USING (query_id)
+    """,
+)
+def q_sim_ivfadc_trained_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@1 of trained coarse centroids AND the exact re-rank
+    stage together — measured end to end because the two lifts do NOT
+    compose additively. Measured (sf0.01): 0.45, BELOW the seeded
+    index + re-rank's 0.65 at the same R=10, even though trained
+    code-only recall@1 (0.25) is 5× the seeded 0.05 and the trained
+    probe ceiling (0.85, measured in-session) is within noise of the
+    seeded 0.90. I.e. centroid training reshapes the whole ADC
+    ranking: top-1 precision improves while top-R containment — the
+    thing a re-rank stage actually consumes — worsens on this corpus.
+    The serving lesson this row exists to pin: pick the coarse layer
+    for the stage that follows it (training wins for code-only
+    serving; the seeded/plain layer won for re-rank serving here), and
+    measure the COMBINATION on the target corpus, never the deltas in
+    isolation. Same machinery as q_sim_ivfadc_rerank_recall with the
+    cent table swapped for _trained_cent's Lloyd output. The exact
+    side stays PQ_NQ-bounded (an eval, never a serving path)."""
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double("embedding").alias("emb"))
+        .localCheckpoint(eager=True)
+    )
+    cent = _trained_cent(e)
+    _, cb_df, codes = ivfadc_index_from(e, cent=cent)
+    q = e.filter(F.col("vec_id") < PQ_NQ).select(
+        F.col("vec_id").alias("query_id"), "emb"
+    )
+    adc = ivfadc_score(q, cent, cb_df, codes)
+    ws = W.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    short = (
+        adc.withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") <= PQ_RERANK)
+        .select("query_id", "neighbor_id")
+    )
+    l2 = F.round(
+        F.aggregate(
+            F.zip_with(F.col("qe"), F.col("ne"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        4,
+    )
+    rer = (
+        short.join(
+            e.select(F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")),
+            ["query_id"],
+        )
+        .join(
+            e.select(F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("ne")),
+            ["neighbor_id"],
+        )
+        .select("query_id", "neighbor_id", l2.alias("l2_dist"))
+    )
+    wr = W.partitionBy("query_id").orderBy("l2_dist", "neighbor_id")
+    nn = (
+        rer.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("neighbor_id").alias("rr_nn"))
+    )
+    exact1 = _exact_nn1(e)
+    return (
+        nn.join(exact1, ["query_id"])
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+            F.sum(F.when(F.col("rr_nn") == F.col("exact_nn"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_match"),
+            F.round(
+                F.avg(
+                    F.when(F.col("rr_nn") == F.col("exact_nn"), 1.0).otherwise(0.0)
+                ),
+                4,
+            ).alias("recall_at_1"),
+        )
+    )

@@ -151,6 +151,8 @@ CARTESIAN_OK = {
     "q_sim_ivfadc_rerank_recall",  # same fan-out + bounded exact-NN eval side
     "q_sim_ivfadc_rerank_sweep",  # same fan-out + bounded exact-NN eval side
     "q_sim_ivfadc_trained_recall",  # same fan-out (Lloyd rounds broadcast 16 cells)
+    "q_sim_ivfadc_ceiling",  # same fan-out + bounded exact-NN eval side
+    "q_sim_ivfadc_trained_rerank_recall",  # same fan-out (trained cells + rerank)
     "q_win_dist",  # 1-row N-total scalar broadcast crossed in
 }
 

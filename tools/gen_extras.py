@@ -45,10 +45,14 @@ def main() -> None:
         "FLAT probe curve (0.05 at depth 1-8), PQ full-scan 0.20, clustered",
         "corpus (`q_sim_ivfadc_clustered_recall`) 0.10, TRAINED centroids",
         "0.25 @ cand_frac 0.12 (two Lloyd rounds on the coarse layer beat",
-        "the full-scan at 1/8 the candidates), and ADC + exact re-rank",
-        "0.05/0.25/0.40/0.65/0.85 at R = 1/2/5/10/20 — when the NN margin",
-        "sits inside the 4-bit code noise, centroid training is the free",
-        "lift and re-rank depth buys the rest.",
+        "the full-scan at 1/8 the candidates), ADC + exact re-rank",
+        "0.05/0.25/0.40/0.65/0.85 at R = 1/2/5/10/20 against a measured",
+        "probe ceiling of 0.90 (`q_sim_ivfadc_ceiling`). CAUTION: the fixes",
+        "do not compose — trained + re-rank measured 0.45, below seeded +",
+        "re-rank's 0.65 (`q_sim_ivfadc_trained_rerank_recall`: training",
+        "improves top-1 code ranking but worsened top-R containment here).",
+        "Pick the coarse layer for the stage that follows it and measure",
+        "the combination on the target corpus.",
         "",
         "| query id | oracle | implementation | what it proves |",
         "| --- | --- | --- | --- |",
