@@ -69,17 +69,19 @@ def causal_sequence_stream(events: DataFrame) -> DataFrame:
     32. Size it to batch volume / desired parallelism, not to the
     batch-query shuffle default; at cluster scale the same conf scales
     the state stores out instead. (3) the state-store PROVIDER
-    (round 10, measured same-window min-of-2 at sf0.1): RocksDB
+    (round 10): bench.py now records the sequencer under BOTH
+    providers each round. Across two measured windows the ordering
+    flipped — probe window: RocksDB 6.12 s vs HDFS-backed 6.43 s at 32
+    partitions; committed bench record: RocksDB ahead in both configs
+    (20.3k vs 15.5k rows/s at 32, 21.4k vs 19.3k at 16) — i.e. the
+    difference sits inside host noise at this state size (~15k user
+    keys fits trivially in heap, so the provider swap moves only the
+    commit path). The in-repo default stays the HDFS-backed provider
+    (zero-config, heap-resident); switch to RocksDB
     (session.enable_rocksdb_state — JVM-built-in, changelog
-    checkpointing on) ran 6.12 s vs HDFS-backed 6.43 s at 32
-    partitions and 5.53 s at 16 — within host noise of each other at
-    this state size (~15k user keys fits trivially in heap, so the
-    provider swap moves only the commit path). The documented default
-    stays the HDFS-backed provider at test scale; switch to RocksDB
-    when per-executor state approaches heap (its point is disk-backed
-    state + delta-only commits, not local-scale wall time). bench.py
-    records both providers' rows each round so the crossover is
-    measured, not assumed.
+    checkpointing on) when per-executor state approaches heap: its
+    point is disk-backed state + delta-only commits, and it costs
+    nothing measurable here even where it doesn't pay.
     """
 
     def sequence_group(
