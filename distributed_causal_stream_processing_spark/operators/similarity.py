@@ -1990,13 +1990,18 @@ def _pq_duck(
     pre_ctes: tuple[str, ...] = (),
     sub_cte: str | None = None,
     seed_lo: int = 0,
+    train_where: str | None = None,
 ) -> str:
     """The same training + encode unrolled as recursion-free DuckDB SQL
     (the _kmeans_duck pattern, with a sub_no dimension). ``pre_ctes``
     prepends extra CTEs and ``sub_cte`` substitutes the subvector
     source — the IVFADC oracle trains the identical PQ machinery on
     coarse-cell RESIDUALS instead of raw vectors, seeded past the
-    zero-residual centroid vectors (``seed_lo`` — see _pq_codebook)."""
+    zero-residual centroid vectors (``seed_lo`` — see _pq_codebook).
+    ``train_where`` restricts which subvectors the Lloyd rounds SEE
+    (the incremental-index eval trains on the pre-existing corpus
+    only) while ``fin`` still ENCODES every vector with the trained
+    codebook — the stale-codebook-encodes-new-batch serving pattern."""
     d2 = (
         f"list_sum([ (s.sv[j] - c.c[j]) ** 2 "
         f"for j in range(1, {PQ_DSUB + 1}) ])"
@@ -2007,13 +2012,21 @@ def _pq_duck(
                [CAST(e.embedding[t.m * {PQ_DSUB} + j] AS DOUBLE)
                 for j in range(1, {PQ_DSUB + 1})] AS sv
         FROM embeddings e CROSS JOIN range(0, {PQ_M}) t(m))"""
+    train_src = "sub"
     ctes = [
         *pre_ctes,
         sub_cte,
-        f"""c0 AS (
-        SELECT sub_no, vec_id - {seed_lo} AS code, sv AS c FROM sub
-        WHERE vec_id >= {seed_lo} AND vec_id < {seed_lo + PQ_K})""",
     ]
+    if train_where is not None:
+        train_src = "sub_train"
+        ctes.append(
+            f"sub_train AS (SELECT * FROM sub WHERE {train_where})"
+        )
+    ctes.append(
+        f"""c0 AS (
+        SELECT sub_no, vec_id - {seed_lo} AS code, sv AS c FROM {train_src}
+        WHERE vec_id >= {seed_lo} AND vec_id < {seed_lo + PQ_K})"""
+    )
     prev = "c0"
     for t in range(1, PQ_ITERS + 1):
         ctes.append(f"""a{t} AS (
@@ -2022,7 +2035,7 @@ def _pq_duck(
                    row_number() OVER (
                        PARTITION BY s.vec_id, s.sub_no
                        ORDER BY {d2}, c.code) AS rn
-            FROM sub s JOIN {prev} c USING (sub_no))
+            FROM {train_src} s JOIN {prev} c USING (sub_no))
         WHERE rn = 1)""")
         ctes.append(f"""c{t} AS (
         SELECT sub_no, code, list(v ORDER BY i) AS c FROM (
@@ -2371,12 +2384,22 @@ def ivfadc_index(spark: SparkSession, sf_dir: str):
     return ivfadc_index_from(e)
 
 
-def ivfadc_index_from(e: DataFrame, cent: DataFrame | None = None):
+def ivfadc_index_from(
+    e: DataFrame,
+    cent: DataFrame | None = None,
+    train_pred: Column | None = None,
+):
     """ivfadc_index over a caller-supplied (vec_id, emb double[]) corpus
     — the clustered-corpus eval indexes a derived corpus through the
     identical pipeline. ``cent`` substitutes the coarse centroid table
     (cell_id, cemb double[]): the trained-centroid eval passes Lloyd
-    output instead of the default seeded cells."""
+    output instead of the default seeded cells. ``train_pred``
+    restricts which vectors the CODEBOOK trains on while every vector
+    is still assigned and encoded — the incremental-index eval trains
+    on the pre-existing corpus only and encodes the new batch with the
+    stale codebook (the production corpus-growth pattern: assignment
+    and encoding are per-row map work; retraining is the expensive
+    offline step you avoid per batch)."""
     if cent is None:
         cent = e.filter(F.col("vec_id") < N_CELLS).select(
             F.col("vec_id").alias("cell_id"), F.col("emb").alias("cemb")
@@ -2400,7 +2423,8 @@ def ivfadc_index_from(e: DataFrame, cent: DataFrame | None = None):
         )
     )
     sub = _pq_subvecs(res.select("vec_id", "emb")).localCheckpoint(eager=True)
-    cb_df = _pq_codebook(e.sparkSession, sub, seed_lo=N_CELLS)
+    sub_train = sub.filter(train_pred) if train_pred is not None else sub
+    cb_df = _pq_codebook(e.sparkSession, sub_train, seed_lo=N_CELLS)
     codes = (
         _pq_assign(sub, cb_df)
         .select("vec_id", "sub_no", "code")
@@ -3421,3 +3445,53 @@ def q_sim_ivfadc_trained_rerank_recall(spark: SparkSession, sf_dir: str) -> Data
             ).alias("recall_at_1"),
         )
     )
+
+
+# Incremental index growth (round 10): at 100 TB the corpus grows in
+# batches and nobody retrains the codebook per batch — new vectors are
+# assigned to the EXISTING cells and encoded with the EXISTING codebook
+# (both are per-row map work over broadcast constants); retraining is
+# the scheduled offline job. This eval runs exactly that: train on the
+# pre-existing corpus, encode everything, search the combined table,
+# and measure what the stale codebook costs vs the full rebuild.
+INCR_CUT = 48  # ids below this are always corpus (covers cell + codebook seeds)
+_INCR_TRAIN_WHERE = f"vec_id < {INCR_CUT} OR vec_id % 5 > 0"
+
+
+@query(
+    "q_sim_ivfadc_incremental_recall",
+    oracle=_pq_duck(
+        pre_ctes=_IVFADC_PRE,
+        sub_cte=_IVFADC_SUB,
+        seed_lo=N_CELLS,
+        train_where=_INCR_TRAIN_WHERE,
+    )
+    + _IVFADC_SEARCH
+    + _IVFADC_RECALL_TAIL,
+)
+def q_sim_ivfadc_incremental_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@1 of an INCREMENTALLY GROWN IVFADC index: the codebook
+    trains only on the pre-existing corpus (vec_id < INCR_CUT or
+    vec_id % 5 > 0 — ~80% of vectors, chosen so the cell and codebook
+    seeds are always corpus), the remaining ~20% arrive as a new batch
+    that is cell-assigned and residual-encoded with the STALE codebook,
+    and search runs over the combined code table against the exact NN
+    over the combined corpus. The delta vs q_sim_ivfadc_recall (full
+    rebuild) is the measured price of deferring retraining — the
+    number that decides the retrain cadence at scale, where assignment
+    and encoding are per-batch map work over broadcast constants but
+    retraining re-reads the corpus.
+
+    Scale: identical serving shape to q_sim_ivfadc; the training
+    restriction is one filter on the subvector table. The exact side
+    stays PQ_NQ-bounded — an eval, never a serving path."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("emb")
+    )
+    train_pred = (F.col("vec_id") < INCR_CUT) | (F.col("vec_id") % 5 > 0)
+    cent, cb_df, codes = ivfadc_index_from(e, train_pred=train_pred)
+    q = e.filter(F.col("vec_id") < PQ_NQ).select(
+        F.col("vec_id").alias("query_id"), "emb"
+    )
+    adc = ivfadc_score(q, cent, cb_df, codes)
+    return _ivfadc_recall_table(e, adc)
