@@ -1098,3 +1098,43 @@ def test_misra_gries_candidate_budget_never_exceeded():
         naive_peak = max(naive_peak, len(naive))
     assert naive_peak > k  # the stream genuinely pressures the bound
     assert "hot" in counters.index  # and the bound costs no recall here
+
+
+def test_ivfadc_family_cross_query_consistency(spark):
+    """The IVFADC eval rows are independent implementations over the
+    same index — where they overlap they must agree exactly, or one of
+    them is lying (the degenerate-codebook lesson again, but caught by
+    cross-checking our own rows instead of the oracle): (a) the rerank
+    sweep must be monotone non-decreasing in shortlist depth (a deeper
+    shortlist can only add candidates to the exact re-rank); (b) its
+    R=1 level IS the ADC top-1 by construction, so it must equal
+    q_sim_ivfadc_recall's recall@1; (c) its R=PQ_RERANK level must
+    equal q_sim_ivfadc_rerank_recall (the sweep derives levels by
+    filtering ADC rank; the dedicated row re-ranks directly); (d) no
+    recall row may exceed the probe hit-rate ceiling."""
+    from distributed_causal_stream_processing_spark.operators.similarity import (
+        PQ_RERANK,
+        RERANK_LEVELS,
+        q_sim_ivfadc_ceiling,
+        q_sim_ivfadc_recall,
+        q_sim_ivfadc_rerank_recall,
+        q_sim_ivfadc_rerank_sweep,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    sweep = {
+        r["r_depth"]: r["recall_at_1"]
+        for r in q_sim_ivfadc_rerank_sweep(spark, sf).collect()
+    }
+    assert sorted(sweep) == sorted(RERANK_LEVELS)
+    levels = sorted(sweep)
+    assert all(
+        sweep[a] <= sweep[b] for a, b in zip(levels, levels[1:])
+    ), sweep
+    adc1 = q_sim_ivfadc_recall(spark, sf).head()["recall_at_1"]
+    assert sweep[1] == adc1, (sweep[1], adc1)
+    rr = q_sim_ivfadc_rerank_recall(spark, sf).head()["recall_at_1"]
+    assert sweep[PQ_RERANK] == rr, (sweep[PQ_RERANK], rr)
+    ceiling = q_sim_ivfadc_ceiling(spark, sf).head()["ceiling_at_probe"]
+    assert max(sweep.values()) <= ceiling + 1e-9, (sweep, ceiling)
+    assert adc1 <= ceiling + 1e-9
