@@ -1440,19 +1440,24 @@ def test_streaming_ivfadc_matches_batch(spark, tmp_path):
     import time as _time
 
     from distributed_causal_stream_processing_spark.io import load
-    from distributed_causal_stream_processing_spark.operators.similarity import PQ_NQ
+    from distributed_causal_stream_processing_spark.operators.similarity import (
+        PQ_NQ,
+        _q_win,
+    )
     from distributed_causal_stream_processing_spark.plans.registry import (
         all_queries,
     )
     from distributed_causal_stream_processing_spark.streaming import jobs
 
     qdir = str(tmp_path / "queries")
-    # stage the PQ_NQ query vectors as two mtime-ordered files so the
-    # file source replays them as two micro-batches
-    e = load(spark, SF_SMOKE, "embeddings").filter(F.col("vec_id") < PQ_NQ)
+    # stage the PQ_NQ eval-window query vectors as two mtime-ordered
+    # files so the file source replays them as two micro-batches (the
+    # window predicate is the batch query's own — one definition)
+    e = load(spark, SF_SMOKE, "embeddings").filter(_q_win())
+    mid = e.approxQuantile("vec_id", [0.5], 0)[0]
     seen: set[str] = set()
     for i, part in enumerate(
-        (e.filter(F.col("vec_id") < PQ_NQ // 2), e.filter(F.col("vec_id") >= PQ_NQ // 2))
+        (e.filter(F.col("vec_id") < mid), e.filter(F.col("vec_id") >= mid))
     ):
         part.coalesce(1).write.mode("overwrite" if i == 0 else "append").parquet(qdir)
         new = set(glob.glob(os.path.join(qdir, "part-*.parquet"))) - seen

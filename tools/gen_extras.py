@@ -31,28 +31,29 @@ def main() -> None:
         "docstring sentence). All are pytest-parity-gated each session",
         "(tests/test_parity.py) regardless of driver-window position.",
         "",
-        "ANN serving guidance (VERDICT r08 item 5, extended r10): deploy",
-        "code-only IVFADC (`q_sim_ivfadc`) only when `q_sim_ivfadc_recall`",
-        "measured on the target corpus shows recall@1 within ~0.8x of",
-        "`q_sim_pq_recall`'s full-scan number; otherwise measure the probe",
-        "curve with `q_sim_ivfadc_probe_sweep` — raise N_PROBE if recall",
-        "rises with depth. If the curve is FLAT, the fixes in cost order:",
-        "TRAIN the coarse centroids (`q_sim_ivfadc_trained_recall` — offline",
-        "cost only), fall back to PQ full-scan (`q_sim_pq_adc`), or add the",
-        "exact re-rank (`q_sim_ivfadc_rerank`), picking the shortlist depth",
-        "from the measured curve (`q_sim_ivfadc_rerank_sweep`). Measured on",
-        "this repo's fixture (sf0.01): ADC-only 0.05 @ cand_frac 0.12 with a",
-        "FLAT probe curve (0.05 at depth 1-8), PQ full-scan 0.20, clustered",
-        "corpus (`q_sim_ivfadc_clustered_recall`) 0.10, TRAINED centroids",
-        "0.25 @ cand_frac 0.12 (two Lloyd rounds on the coarse layer beat",
-        "the full-scan at 1/8 the candidates), ADC + exact re-rank",
-        "0.05/0.25/0.40/0.65/0.85 at R = 1/2/5/10/20 against a measured",
-        "probe ceiling of 0.90 (`q_sim_ivfadc_ceiling`). CAUTION: the fixes",
-        "do not compose — trained + re-rank measured 0.45, below seeded +",
-        "re-rank's 0.65 (`q_sim_ivfadc_trained_rerank_recall`: training",
-        "improves top-1 code ranking but worsened top-R containment here).",
-        "Pick the coarse layer for the stage that follows it and measure",
-        "the combination on the target corpus.",
+        "ANN serving guidance (VERDICT r08 item 5; all numbers re-measured",
+        "round 10 on the REPRESENTATIVE query window after finding the old",
+        "20-query eval was dominated by the 16 zero-residual centroid",
+        "vectors and read 3-6x high — see similarity.py's PQ_Q_LO note):",
+        "deploy code-only IVFADC (`q_sim_ivfadc`) only when",
+        "`q_sim_ivfadc_recall` measured on the target corpus shows recall@1",
+        "within ~0.8x of `q_sim_pq_recall`'s full-scan number. On this",
+        "isotropic worst-case fixture (sf0.01, 100 queries) the measured",
+        "chain is: probe ceiling 0.25 (`q_sim_ivfadc_ceiling`) with a FLAT",
+        "probe curve (0.03-0.05 at depth 1-8, `q_sim_ivfadc_probe_sweep`);",
+        "code-only 0.04 @ cand_frac 0.126, PQ full-scan 0.10, clustered",
+        "corpus 0.08; exact re-rank climbing the ceiling at",
+        "0.04/0.05/0.06/0.11/0.17 for R = 1/2/5/10/20",
+        "(`q_sim_ivfadc_rerank_sweep`); TRAINED coarse centroids lifting",
+        "the whole chain — ceiling 0.25->0.32, code-only 0.04->0.08, and",
+        "trained + re-rank@10 0.25 vs seeded + re-rank@10's 0.11",
+        "(`q_sim_ivfadc_trained_rerank_recall`) — the best",
+        "recall-per-serving-dollar move measured (offline cost only). An",
+        "incrementally grown index (new batch encoded with the stale",
+        "codebook, `q_sim_ivfadc_incremental_recall`) matches the full",
+        "rebuild exactly (0.04), so retraining can be deferred. Measure",
+        "combinations end to end on the target corpus: on the old biased",
+        "window the trained-vs-seeded re-rank comparison came out INVERTED.",
         "",
         "| query id | oracle | implementation | what it proves |",
         "| --- | --- | --- | --- |",
