@@ -2160,7 +2160,7 @@ def q_sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ ASYMMETRIC-DISTANCE search: nearest neighbor per query
-    (vec_id < 20) computed purely from CODES — per query one exact
+    (the PQ_Q_LO..PQ_Q_HI eval window) computed purely from CODES — per query one exact
     M x K distance lookup table, each candidate scored by M lookups.
     The search never reads a candidate's float vector, which is the
     entire point of PQ at 100 TB: the scan side is the 4-byte code
@@ -2551,7 +2551,8 @@ def _ivfadc_parts(spark: SparkSession, sf_dir: str):
 )
 def q_sim_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFADC search (VERDICT r07 item 7): nearest neighbor per query
-    (vec_id < 20) from coarse cells + residual-PQ codes only. The query
+    (the PQ_Q_LO..PQ_Q_HI eval window) from coarse cells + residual-PQ
+    codes only. The query
     probes its N_PROBE nearest of N_CELLS cells, builds one LUT per
     probed cell from its own residual there (the only float vector
     touched), and scores just the probed cells' candidates by M code
