@@ -2808,16 +2808,20 @@ def q_sim_ivfadc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nn
 
 
-def _ivfadc_rerank_parts(spark: SparkSession, sf_dir: str):
-    """(corpus, rerank-NN table): the two-stage search's final
-    per-query winner with its exact distance — shared by
-    q_sim_ivfadc_rerank and its recall eval."""
-    e, adc = _ivfadc_parts(spark, sf_dir)
+def _rerank_l2(e: DataFrame, adc: DataFrame, r: int) -> DataFrame:
+    """(query_id, neighbor_id, rn, l2_dist): exact L2 over the ADC
+    top-``r`` shortlist with the ADC rank attached — the SINGLE
+    definition of the two-stage search's second stage. The rerank row,
+    its recall eval, the depth sweep, and the trained variant all call
+    this, so the cross-row equalities test_ivfadc_family_cross_query_
+    consistency pins (sweep@R == dedicated row) hold by construction,
+    and a fix to the tie-break or the rounded fold reaches every
+    site."""
     ws = W.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
     short = (
         adc.withColumn("rn", F.row_number().over(ws))
-        .filter(F.col("rn") <= PQ_RERANK)
-        .select("query_id", "neighbor_id")
+        .filter(F.col("rn") <= r)
+        .select("query_id", "neighbor_id", "rn")
     )
     l2 = F.round(
         F.aggregate(
@@ -2827,7 +2831,7 @@ def _ivfadc_rerank_parts(spark: SparkSession, sf_dir: str):
         ),
         4,
     )
-    rer = (
+    return (
         short.join(
             e.select(F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")),
             ["query_id"],
@@ -2836,15 +2840,49 @@ def _ivfadc_rerank_parts(spark: SparkSession, sf_dir: str):
             e.select(F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("ne")),
             ["neighbor_id"],
         )
-        .select("query_id", "neighbor_id", l2.alias("l2_dist"))
+        .select("query_id", "neighbor_id", "rn", l2.alias("l2_dist"))
     )
+
+
+def _rerank_nn1(e: DataFrame, adc: DataFrame, r: int = PQ_RERANK) -> DataFrame:
+    """Per-query exact winner of the ADC top-``r`` shortlist."""
     wr = W.partitionBy("query_id").orderBy("l2_dist", "neighbor_id")
-    nn = (
-        rer.withColumn("rn", F.row_number().over(wr))
-        .filter(F.col("rn") == 1)
+    return (
+        _rerank_l2(e, adc, r)
+        .withColumn("wrn", F.row_number().over(wr))
+        .filter(F.col("wrn") == 1)
         .select("query_id", "neighbor_id", "l2_dist")
     )
-    return e, nn
+
+
+def _recall_vs_exact1(e: DataFrame, nn: DataFrame) -> DataFrame:
+    """(n_queries, n_match, recall_at_1) of a per-query NN table
+    against the exact yardstick — shared by the rerank recall eval and
+    its trained variant."""
+    return (
+        nn.select("query_id", F.col("neighbor_id").alias("rr_nn"))
+        .join(_exact_nn1(e), ["query_id"])
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+            F.sum(F.when(F.col("rr_nn") == F.col("exact_nn"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_match"),
+            F.round(
+                F.avg(
+                    F.when(F.col("rr_nn") == F.col("exact_nn"), 1.0).otherwise(0.0)
+                ),
+                4,
+            ).alias("recall_at_1"),
+        )
+    )
+
+
+def _ivfadc_rerank_parts(spark: SparkSession, sf_dir: str):
+    """(corpus, rerank-NN table): the two-stage search's final
+    per-query winner with its exact distance — shared by
+    q_sim_ivfadc_rerank and its recall eval."""
+    e, adc = _ivfadc_parts(spark, sf_dir)
+    return e, _rerank_nn1(e, adc)
 
 
 @query(
@@ -2876,23 +2914,7 @@ def q_sim_ivfadc_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     number is reproducible, not a docstring claim. The exact side is
     PQ_NQ-bounded — an eval, never a serving path."""
     e, nn = _ivfadc_rerank_parts(spark, sf_dir)
-    exact1 = _exact_nn1(e)
-    return (
-        nn.select("query_id", F.col("neighbor_id").alias("rr_nn"))
-        .join(exact1, ["query_id"])
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_queries"),
-            F.sum(F.when(F.col("rr_nn") == F.col("exact_nn"), 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_match"),
-            F.round(
-                F.avg(
-                    F.when(F.col("rr_nn") == F.col("exact_nn"), 1.0).otherwise(0.0)
-                ),
-                4,
-            ).alias("recall_at_1"),
-        )
-    )
+    return _recall_vs_exact1(e, nn)
 
 
 # Probe sweep (supports q_sim_ivfadc's SERVING RECOMMENDATION): the
@@ -3148,31 +3170,7 @@ def q_sim_ivfadc_rerank_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus on vec_id, parquet-prunable; the exact side stays
     PQ_NQ-bounded (an eval, never a serving path)."""
     e, adc = _ivfadc_parts(spark, sf_dir)
-    ws = W.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
-    short = (
-        adc.withColumn("rn", F.row_number().over(ws))
-        .filter(F.col("rn") <= max(RERANK_LEVELS))
-        .select("query_id", "neighbor_id", "rn")
-    )
-    l2 = F.round(
-        F.aggregate(
-            F.zip_with(F.col("qe"), F.col("ne"), lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-        4,
-    )
-    rl2 = (
-        short.join(
-            e.select(F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")),
-            ["query_id"],
-        )
-        .join(
-            e.select(F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("ne")),
-            ["neighbor_id"],
-        )
-        .select("query_id", "neighbor_id", "rn", l2.alias("l2_dist"))
-    )
+    rl2 = _rerank_l2(e, adc, max(RERANK_LEVELS))
     per = (
         rl2.withColumn(
             "r_depth", F.explode(F.array(*[F.lit(r) for r in RERANK_LEVELS]))
@@ -3249,7 +3247,7 @@ def _trained_cent_duck(iters: int) -> tuple[str, ...]:
     return tuple(ctes)
 
 
-def _trained_cent(e: DataFrame) -> DataFrame:
+def _trained_cent(e: DataFrame, iters: int = IVF_TRAIN_ITERS) -> DataFrame:
     """Lloyd-train the N_CELLS coarse centroids over corpus ``e`` —
     the q_sim_ivf_kmeans trainer pattern (broadcast k×dim centroids,
     argmin as min(struct) hash-agg, per-(cell, dim) avg rounded to 6 dp
@@ -3262,7 +3260,7 @@ def _trained_cent(e: DataFrame) -> DataFrame:
         .select(F.col("vec_id").alias("cell_id"), F.col("emb").alias("cemb"))
         .collect()
     )
-    for _ in range(IVF_TRAIN_ITERS):
+    for _ in range(iters):
         cent_df = spark.createDataFrame(cent, "cell_id bigint, cemb array<double>")
         upd = (
             e.crossJoin(F.broadcast(cent_df))
@@ -3432,53 +3430,7 @@ def q_sim_ivfadc_trained_rerank_recall(spark: SparkSession, sf_dir: str) -> Data
         F.col("vec_id").alias("query_id"), "emb"
     )
     adc = ivfadc_score(q, cent, cb_df, codes)
-    ws = W.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
-    short = (
-        adc.withColumn("rn", F.row_number().over(ws))
-        .filter(F.col("rn") <= PQ_RERANK)
-        .select("query_id", "neighbor_id")
-    )
-    l2 = F.round(
-        F.aggregate(
-            F.zip_with(F.col("qe"), F.col("ne"), lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-        4,
-    )
-    rer = (
-        short.join(
-            e.select(F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")),
-            ["query_id"],
-        )
-        .join(
-            e.select(F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("ne")),
-            ["neighbor_id"],
-        )
-        .select("query_id", "neighbor_id", l2.alias("l2_dist"))
-    )
-    wr = W.partitionBy("query_id").orderBy("l2_dist", "neighbor_id")
-    nn = (
-        rer.withColumn("rn", F.row_number().over(wr))
-        .filter(F.col("rn") == 1)
-        .select("query_id", F.col("neighbor_id").alias("rr_nn"))
-    )
-    exact1 = _exact_nn1(e)
-    return (
-        nn.join(exact1, ["query_id"])
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_queries"),
-            F.sum(F.when(F.col("rr_nn") == F.col("exact_nn"), 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_match"),
-            F.round(
-                F.avg(
-                    F.when(F.col("rr_nn") == F.col("exact_nn"), 1.0).otherwise(0.0)
-                ),
-                4,
-            ).alias("recall_at_1"),
-        )
-    )
+    return _recall_vs_exact1(e, _rerank_nn1(e, adc))
 
 
 # Incremental index growth (round 10): at 100 TB the corpus grows in

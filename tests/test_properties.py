@@ -992,21 +992,30 @@ def test_hyperplane_lsh_buckets_nondegenerate(spark):
     n = e.count()
 
     def shape(sig):
-        biggest = 0
-        worst_minority = 1.0
-        for t in range(sim.N_TABLES):
-            top = (
-                sig.groupBy(f"b{t}").count().agg(F.max("count")).head()[0]
+        # one checkpoint + two aggregations, not one Spark action per
+        # plane/table: mt_signature_frame's docstring warns repeated
+        # branching re-derives the full plane expression per branch
+        sig = sig.localCheckpoint(eager=True)
+        bucket_tops = (
+            sig.select(
+                F.posexplode(
+                    F.array(*[F.col(f"b{t}") for t in range(sim.N_TABLES)])
+                ).alias("t", "bucket")
             )
-            biggest = max(biggest, top / n)
-            for p in range(1, sim.PLANES_PER_TABLE + 1):
-                ones = (
-                    sig.agg(
-                        F.avg(F.substring(f"b{t}", p, 1).cast("int"))
-                    ).head()[0]
-                )
-                worst_minority = min(worst_minority, ones, 1.0 - ones)
-        return biggest, worst_minority
+            .groupBy("t", "bucket")
+            .count()
+            .agg(F.max("count"))
+            .head()[0]
+        )
+        ones = sig.agg(
+            *[
+                F.avg(F.substring(f"b{t}", p, 1).cast("int")).alias(f"o{t}_{p}")
+                for t in range(sim.N_TABLES)
+                for p in range(1, sim.PLANES_PER_TABLE + 1)
+            ]
+        ).head()
+        worst_minority = min(min(o, 1.0 - o) for o in ones)
+        return bucket_tops / n, worst_minority
 
     biggest, worst_minority = shape(sim.mt_signature_frame(e))
     assert biggest <= 0.5, f"a bucket holds {biggest:.0%} of the corpus"
