@@ -2573,10 +2573,12 @@ def q_sim_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
     the measured chain of constraints on this isotropic fixture
     (sf0.01, 100 queries) reads bottom-up:
     (1) the PROBE CEILING (q_sim_ivfadc_ceiling) is 0.25 — no codebook
-    or shortlist depth can beat it, and the probe sweep
-    (q_sim_ivfadc_probe_sweep) is FLAT in depth (0.03-0.05 at 1-8
-    probes for 0.06→0.50 of the corpus scanned), so deeper probing
-    buys candidates, not recall;
+    or shortlist depth can beat it at N_PROBE=2 — and the probe sweep
+    (q_sim_ivfadc_probe_sweep) is FLAT all the way to its asymptote
+    (0.03-0.05 at depths 1-16, i.e. 0.06→1.00 of the corpus scanned:
+    even handing the ADC stage EVERY residual code recovers nothing),
+    so on this corpus the 4-bit ranking itself, not the probe, is the
+    binding constraint for code-only serving;
     (2) code-only recall hugs the floor under it: seeded cells 0.04 @
     cand_frac 0.126, PQ full-scan 0.10, clustered corpus 0.08 — the NN
     margin sits inside the 4-bit quantization noise;
@@ -2921,7 +2923,7 @@ def q_sim_ivfadc_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # recall/cost curve across N_PROBE settings, measured in ONE pass —
 # score at the deepest level, then derive each shallower level by
 # filtering on the probe rank of the cell each candidate came from.
-PROBE_LEVELS = (1, 2, 4, 8)
+PROBE_LEVELS = (1, 2, 4, 8, 16)
 
 @query(
     "q_sim_ivfadc_probe_sweep",
@@ -2961,10 +2963,13 @@ def q_sim_ivfadc_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     basis for q_sim_ivfadc's SERVING RECOMMENDATION ("raise N_PROBE or
     full-scan"): one row per probe level in PROBE_LEVELS with recall@1
     vs the exact L2 neighbor and the candidate fraction actually
-    scored. At max probe = N_CELLS/2 the curve approaches the PQ
-    full-scan ceiling (q_sim_pq_recall), making the trade explicit on
-    THIS corpus instead of asking the reader to extrapolate from the
-    single N_PROBE=2 point.
+    scored, making the trade explicit on THIS corpus
+    instead of asking the reader to extrapolate from the single
+    N_PROBE=2 point — and the deepest level IS the full scan
+    (N_PROBE = N_CELLS, cand_frac 1.0), so the curve's asymptote is
+    measured, not extrapolated: flat to the end here (0.04 at
+    cand_frac 1.0), i.e. probing is exonerated and the codes are the
+    constraint.
 
     One scoring pass, not len(PROBE_LEVELS): candidates are scored at
     the deepest level with their cell's probe rank attached, and each
