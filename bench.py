@@ -288,6 +288,7 @@ def main() -> None:
                 ".changelogCheckpointing.enabled"
             )
             old_provider = spark.conf.get(provider_key, None)
+            old_changelog = spark.conf.get(changelog_key, None)
             try:
                 from distributed_causal_stream_processing_spark.session import (
                     enable_rocksdb_state,
@@ -309,7 +310,10 @@ def main() -> None:
                     spark.conf.unset(provider_key)
                 else:
                     spark.conf.set(provider_key, old_provider)
-                spark.conf.unset(changelog_key)
+                if old_changelog is None:
+                    spark.conf.unset(changelog_key)
+                else:
+                    spark.conf.set(changelog_key, old_changelog)
         finally:
             shutil.rmtree(sdir, ignore_errors=True)
         streaming = {

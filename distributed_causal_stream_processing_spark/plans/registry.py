@@ -60,18 +60,15 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # - positions 0-24: unchanged — the streaming/scalar/LLM/UDF block
 #   (fresh green every round since r04; keep for continuity);
 # - positions 25-30: the six P0 relational ids — never leave the window;
-# - positions 31-35: P1 fill kept in (all fresh-green r09);
-# - positions 36-48: the 13 ids parked during r09 (q_join_broadcast,
-#   q_join_theta/range/asof, q_agg_rollup/cube/grouping_sets/collect/
-#   approx_distinct, q_win_frame_range/dist, q_set_intersect/except)
-#   rotated back IN — last driver-green r08; VERDICT r09 item 1
-#   requires fresh r10 rows;
-# - position 49: lent to WINDOW_PROMOTED (q_sim_ivfadc_rerank_recall,
-#   VERDICT r09 item 1 — the recall number the serving recommendation
-#   hinges on gets a driver-graded value-hash row; q_sim_ivfadc banked
-#   its green r09 row and returns to the extras);
+# - positions 31-35: P1 fill kept in (all fresh-green r10);
+# - positions 36-48: the 13 ids parked during r10 (q_filter_like,
+#   q_join_left/full/semi/anti/multiway/cross, q_agg_having/distinct,
+#   q_win_frame_rows/analytic, q_set_union_all/union_distinct)
+#   rotated back IN — last driver-green r09; VERDICT r10 item 2
+#   requires fresh r11 rows;
+# - position 49: lent to WINDOW_PROMOTED (see its comment);
 # - positions 49-61 of this tuple (→ 50-62 of queries()): 13 ids with
-#   fresh green r09 driver rows rotated OUT, pytest-parity-gated every
+#   fresh green r10 driver rows rotated OUT, pytest-parity-gated every
 #   session;
 # - after that: extras (TPC-H composites, graph, ANN variants, ...)
 #   in module insertion order.
@@ -118,21 +115,8 @@ CONTRACT_ORDER = (
     "q_agg_stats",
     "q_sort_multi",
     "q_topk",
-    # -- rotated IN: parked during r09, need fresh r10 driver rows ------
-    "q_join_broadcast",
-    "q_join_theta",
-    "q_join_range",
-    "q_join_asof",
-    "q_agg_rollup",
-    "q_agg_cube",
-    "q_agg_grouping_sets",
-    "q_agg_collect",
-    "q_agg_approx_distinct",
-    "q_win_frame_range",
-    "q_win_dist",
-    "q_set_intersect",
-    "q_set_except",
-    # -- rotated OUT: fresh green in r09, pytest-gated locally ----------
+    # -- rotated IN: parked during r10 (last driver-green r09), need
+    #    fresh r11 rows (VERDICT r10 item 2) --------------------------
     "q_filter_like",
     "q_join_left",
     "q_join_full",
@@ -146,6 +130,20 @@ CONTRACT_ORDER = (
     "q_set_union_all",
     "q_set_union_distinct",
     "q_join_cross",
+    # -- rotated OUT: fresh green in r10, pytest-gated locally ----------
+    "q_join_broadcast",
+    "q_join_theta",
+    "q_join_range",
+    "q_join_asof",
+    "q_agg_rollup",
+    "q_agg_cube",
+    "q_agg_grouping_sets",
+    "q_agg_collect",
+    "q_agg_approx_distinct",
+    "q_win_frame_range",
+    "q_win_dist",
+    "q_set_intersect",
+    "q_set_except",
 )
 
 # Extra (non-§2) ids promoted INTO the driver's ~50-slot graded window

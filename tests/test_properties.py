@@ -1122,6 +1122,7 @@ def test_ivfadc_family_cross_query_consistency(spark):
     filtering ADC rank; the dedicated row re-ranks directly); (d) no
     recall row may exceed the probe hit-rate ceiling."""
     from distributed_causal_stream_processing_spark.operators.similarity import (
+        PQ_NQ,
         PQ_RERANK,
         RERANK_LEVELS,
         q_sim_ivfadc_ceiling,
@@ -1137,8 +1138,14 @@ def test_ivfadc_family_cross_query_consistency(spark):
     }
     assert sorted(sweep) == sorted(RERANK_LEVELS)
     levels = sorted(sweep)
+    # Monotonicity holds up to rounded ties: l2_dist is rounded to 4 dp,
+    # so a deeper shortlist can admit a candidate that TIES the true
+    # NN's rounded distance and wins the neighbor_id tie-break,
+    # legitimately costing one query (ADVICE r10). Allow one
+    # query's worth of slack per step; a real regression loses more.
+    tol = 1.0 / PQ_NQ + 1e-9
     assert all(
-        sweep[a] <= sweep[b] for a, b in zip(levels, levels[1:])
+        sweep[b] >= sweep[a] - tol for a, b in zip(levels, levels[1:])
     ), sweep
     adc1 = q_sim_ivfadc_recall(spark, sf).head()["recall_at_1"]
     assert sweep[1] == adc1, (sweep[1], adc1)

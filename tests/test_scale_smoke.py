@@ -258,7 +258,13 @@ def test_skew_pair_join_twins_match_every_event(spark, tmp_path):
 
     uni = str(tmp_path / "uni")
     skw = str(tmp_path / "skw")
-    hot = sb._skew_pair(spark, uni, skw, base_sf="/root/testdata/sf0.001")
+    # The invariant (both twins inner-match every event) doesn't depend
+    # on the replica count, so run at a small factor instead of the
+    # bench's 120 (ADVICE r10 — 120 replicas per twin made this test
+    # rebuild ~10x more data than the invariant needs).
+    hot = sb._skew_pair(
+        spark, uni, skw, base_sf="/root/testdata/sf0.001", factor=12
+    )
     # design point ~0.5*(k-1)/k; the band is wide because the residue
     # class's share of a tiny fixture wobbles with its user histogram
     assert 0.40 <= hot <= 0.62, hot

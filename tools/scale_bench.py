@@ -224,9 +224,15 @@ def _scale3(spark, out_dir: str, base_sf: str | None = None) -> None:
     )
 
 
-def _skew_pair(spark, uni_dir: str, skew_dir: str, base_sf: str | None = None) -> float:
+def _skew_pair(
+    spark,
+    uni_dir: str,
+    skew_dir: str,
+    base_sf: str | None = None,
+    factor: int | None = None,
+) -> float:
     """Write the two same-size events replicas the skew instrument
-    compares: SKEW_FACTOR key-offset copies of the base events table
+    compares: ``factor`` (default SKEW_FACTOR) key-offset copies of the base events table
     (uniform twin), and the same union where replicas 1+ reassign the
     SKEW_HOT_MOD residue class of user_id to user 1 (skewed twin — one
     user ends up with ~45% of all events, every other user keeps a
@@ -238,6 +244,7 @@ def _skew_pair(spark, uni_dir: str, skew_dir: str, base_sf: str | None = None) -
     from distributed_causal_stream_processing_spark.io import load
 
     base_sf = BASE_SF if base_sf is None else base_sf
+    factor = SKEW_FACTOR if factor is None else factor
     ev = load(spark, base_sf, "events")
     cu = load(spark, base_sf, "customer")
     eid_off = ev.agg(F.max("event_id")).head()[0] + 1
@@ -256,7 +263,7 @@ def _skew_pair(spark, uni_dir: str, skew_dir: str, base_sf: str | None = None) -
 
     def build(skewed: bool):
         parts = [ev]
-        for k in range(1, SKEW_FACTOR):
+        for k in range(1, factor):
             p = ev.withColumn("event_id", F.col("event_id") + F.lit(k * eid_off))
             if skewed:
                 p = p.withColumn(
@@ -287,7 +294,7 @@ def _skew_pair(spark, uni_dir: str, skew_dir: str, base_sf: str | None = None) -
     # not differing match rates.
     cu_parts = [cu] + [
         cu.withColumn("c_custkey", F.col("c_custkey") + F.lit(k * uid_off))
-        for k in range(1, SKEW_FACTOR)
+        for k in range(1, factor)
     ]
     cu_all = cu_parts[0]
     for p in cu_parts[1:]:
