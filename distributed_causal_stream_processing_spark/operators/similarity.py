@@ -35,7 +35,11 @@ import hashlib
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from distributed_causal_stream_processing_spark.io import load
+from distributed_causal_stream_processing_spark.io import (
+    _fingerprint,
+    load,
+    table_path,
+)
 from distributed_causal_stream_processing_spark.plans.registry import query
 
 DIM = 64
@@ -1927,6 +1931,95 @@ def _q_win() -> Column:
     return (F.col("vec_id") >= PQ_Q_LO) & (F.col("vec_id") < PQ_Q_HI)
 
 
+def eval_window_seed_violations(
+    lo: int = PQ_Q_LO, hi: int = PQ_Q_HI
+) -> dict[str, set[int]]:
+    """Construction-seed ids inside the eval query window [lo, hi), per
+    seed family — the representativeness guard generalizing round 10's
+    flagship bug (VERDICT r10 item 8): the original window (vec_id < 20)
+    was 80% zero-residual construction vectors, BOTH engines shared the
+    bias, hash parity stayed green, and every published recall number
+    read 3-6x high. The families are derived from the SAME constants
+    the index constructions use, so adding cells/codewords or moving a
+    seed range moves the derived set and the property test re-checks
+    the window against it. Empty dict == clean. (INCR_CUT is not a
+    seed family: ids below it are ordinary training vectors, not
+    vectors the index geometry is BUILT FROM.)"""
+    families: dict[str, range] = {
+        # IVFADC coarse cells: centroids ARE vectors vec_id < N_CELLS,
+        # with identically-zero residuals — the round-9/10 bias class
+        "ivfadc_cells": range(N_CELLS),
+        # residual-PQ codebook seeds (seed_lo = N_CELLS, see
+        # _pq_codebook): Lloyd starts AT these residuals
+        "ivfadc_residual_codebook": range(N_CELLS, N_CELLS + PQ_K),
+        # raw-PQ codebook seeds: Lloyd starts AT these vectors
+        "pq_raw_codebook": range(PQ_K),
+        # clustered-corpus eval: cluster centers are the first
+        # N_CLUSTERS vectors (every window vector must be a MEMBER,
+        # never a center)
+        "clustered_centers": range(N_CLUSTERS),
+        # trained-centroid evals: Lloyd seeded from the same
+        # vec_id < N_CELLS vectors (converged cells drift from the
+        # seeds, but the seeds start exactly ON them)
+        "trained_cent_lloyd_seeds": range(N_CELLS),
+    }
+    out: dict[str, set[int]] = {}
+    for name, ids in families.items():
+        bad = {i for i in ids if lo <= i < hi}
+        if bad:
+            out[name] = bad
+    return out
+
+
+# --- per-(session, fixture) memo for index/eval artifacts ----------------
+#
+# VERDICT r10 item 1: the PQ/IVFADC eval family re-derived the same
+# corpus subvectors, codebooks, code tables, and exact-NN yardstick in
+# every registered row — 14 rows x (PQ_ITERS Lloyd rounds + a
+# PQ_NQ-query exact scan) was 34% of the bench suite, buying nothing:
+# every build is deterministic, so re-deriving it can only reproduce
+# the same rows. Memoize the shared artifacts the way io.load()
+# memoizes table handles — keyed by applicationId (a rebuilt session
+# can't serve stale handles) and the embeddings fixture fingerprint (a
+# regenerated-in-place parquet invalidates) — and cut each artifact's
+# lineage with an eager localCheckpoint so reuse replays materialized
+# partitions instead of the build. At 100 TB this memo IS the
+# architecture, not a bench trick: the index artifacts (cells,
+# codebook, code table) are built offline ONCE and served to every
+# query; rebuilding them per query was the unrealistic shape. Memoized
+# artifacts are bounded: codebooks/centroids are constants, the code
+# table is 4 bytes + keys per vector, the adc/exact tables are
+# PQ_NQ-bounded eval intermediates.
+_MEMO: dict[tuple, object] = {}
+
+
+def _memo_key(spark: SparkSession, sf_dir: str, tag: str) -> tuple | None:
+    try:
+        app_id = spark.sparkContext.applicationId
+    except Exception:  # session stopped / remote-only — skip memoization
+        return None
+    return (app_id, sf_dir, tag, _fingerprint(table_path(sf_dir, "embeddings")))
+
+
+def _memo_df(key: tuple | None, build) -> DataFrame:
+    """Memoize one DataFrame artifact: build, cut lineage, reuse."""
+    if key is not None and key in _MEMO:
+        return _MEMO[key]
+    df = build()
+    if key is not None:
+        df = df.localCheckpoint(eager=True)
+        _MEMO[key] = df
+    return df
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings corpus as (vec_id, emb double[]) — the input
+    every PQ/IVFADC artifact derives from."""
+    return load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("emb")
+    )
+
+
 def _pq_subvecs(e: DataFrame) -> DataFrame:
     """(vec_id, sub_no, sv): the M per-subspace slices of each vector."""
     return e.select(
@@ -2094,6 +2187,22 @@ def _fold_by_sub(val: str) -> Column:
     return F.aggregate(arr.getField("v"), F.lit(0.0), lambda a, x: a + x)
 
 
+def _pq_raw_parts(spark: SparkSession, sf_dir: str):
+    """(sub, cb_df): the raw-corpus PQ subvector table (checkpointed)
+    and trained codebook, memoized per (session, fixture) — q_sim_pq /
+    q_sim_pq_adc / q_sim_pq_recall all train the IDENTICAL codebook,
+    so only the first row of a run pays the PQ_ITERS Lloyd rounds."""
+    key = _memo_key(spark, sf_dir, "pq:raw")
+    if key is not None and key in _MEMO:
+        return _MEMO[key]
+    sub = _pq_subvecs(_emb(spark, sf_dir)).localCheckpoint(eager=True)
+    cb_df = _pq_codebook(spark, sub)
+    out = (sub, cb_df)
+    if key is not None:
+        _MEMO[key] = out
+    return out
+
+
 @query(
     "q_sim_pq",
     oracle=_pq_duck()
@@ -2116,11 +2225,7 @@ def q_sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     M*K*dsub doubles — constant. Encoding is one broadcast join; the
     output table (4 bytes of codes per vector) is what a 100 TB corpus
     actually stores and scans at search time."""
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double("embedding").alias("emb")
-    )
-    sub = _pq_subvecs(e).localCheckpoint(eager=True)
-    cb_df = _pq_codebook(spark, sub)
+    sub, cb_df = _pq_raw_parts(spark, sf_dir)
     return (
         _pq_assign(sub, cb_df)
         .groupBy("vec_id")
@@ -2173,30 +2278,37 @@ def q_sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     in sub_no order (_fold_by_sub — bit-equal to the oracle's ordered
     list_sum, ADVICE r07), so the 4-dp-rounded distance and the
     (distance, neighbor_id) ranking are identical on both engines."""
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double("embedding").alias("emb")
-    )
-    sub = _pq_subvecs(e).localCheckpoint(eager=True)
-    cb_df = _pq_codebook(spark, sub)
-    codes = _pq_assign(sub, cb_df).select("vec_id", "sub_no", "code")
-    lut = (
-        sub.filter(_q_win())
-        .withColumnRenamed("vec_id", "query_id")
-        .join(F.broadcast(cb_df), ["sub_no"])
-        .select("query_id", "sub_no", "code", _pq_d2("sv", "c").alias("d2"))
-    )
-    adc = (
-        codes.join(F.broadcast(lut), ["sub_no", "code"])
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
-        .agg(F.round(_fold_by_sub("d2"), 4).alias("adc_dist"))
-    )
-    w = W.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
-    return (
-        adc.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("query_id", "neighbor_id", "adc_dist")
-    )
+    return _pq_adc_top1(spark, sf_dir)
+
+
+def _pq_adc_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full-scan PQ ADC search's per-query top-1 table, memoized —
+    q_sim_pq_adc returns it and q_sim_pq_recall judges it, so the
+    6M-pair code scan runs once per session, not once per row."""
+
+    def build() -> DataFrame:
+        sub, cb_df = _pq_raw_parts(spark, sf_dir)
+        codes = _pq_assign(sub, cb_df).select("vec_id", "sub_no", "code")
+        lut = (
+            sub.filter(_q_win())
+            .withColumnRenamed("vec_id", "query_id")
+            .join(F.broadcast(cb_df), ["sub_no"])
+            .select("query_id", "sub_no", "code", _pq_d2("sv", "c").alias("d2"))
+        )
+        adc = (
+            codes.join(F.broadcast(lut), ["sub_no", "code"])
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+            .agg(F.round(_fold_by_sub("d2"), 4).alias("adc_dist"))
+        )
+        w = W.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+        return (
+            adc.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("query_id", "neighbor_id", "adc_dist")
+        )
+
+    return _memo_df(_memo_key(spark, sf_dir, "pq:adc_top1"), build)
 
 
 @query(
@@ -2268,16 +2380,13 @@ def q_sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the exact side is quadratic-in-queries-times-corpus — an
     EVAL, bounded by PQ_NQ, never a serving path; the ADC side is the
     serving path and stays code-table-only."""
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double("embedding").alias("emb")
-    )
-    adc1 = q_sim_pq_adc(spark, sf_dir).select(
+    adc1 = _pq_adc_top1(spark, sf_dir).select(
         "query_id", F.col("neighbor_id").alias("adc_nn")
     )
     # the ONE exact-NN yardstick definition (review find, round 9: an
     # inline copy here escaped the shared-definition guarantee the
-    # _EXACT1_CTE comment promises)
-    exact1 = _exact_nn1(e)
+    # _EXACT1_CTE comment promises), memoized across the eval family
+    exact1 = _exact1_raw(spark, sf_dir)
     return (
         adc1.join(exact1, ["query_id"])
         .agg(
@@ -2406,11 +2515,18 @@ def ivfadc_index(spark: SparkSession, sf_dir: str):
     cell-tagged 4-byte code table, the only corpus-sized artifact.
     This is the offline half of the serving stack; ivfadc_score probes
     it with any query-vector DataFrame (the registered batch queries
-    and the streaming probe share it)."""
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double("embedding").alias("emb")
-    )
-    return ivfadc_index_from(e)
+    and the streaming probe share it). Memoized per (session, fixture)
+    with the code table checkpointed (VERDICT r10 item 1): every
+    seeded-index eval row serves from ONE build, the production shape
+    — an index is built offline once, not per query."""
+    key = _memo_key(spark, sf_dir, "ivfadc:seeded")
+    if key is not None and key in _MEMO:
+        return _MEMO[key]
+    cent, cb_df, codes = ivfadc_index_from(_emb(spark, sf_dir))
+    if key is not None:
+        codes = codes.localCheckpoint(eager=True)
+        _MEMO[key] = (cent, cb_df, codes)
+    return cent, cb_df, codes
 
 
 def ivfadc_index_from(
@@ -2524,15 +2640,20 @@ def ivfadc_score(
 
 def _ivfadc_parts(spark: SparkSession, sf_dir: str):
     """Registered-query wiring: index over the corpus, queries =
-    vectors vec_id < PQ_NQ, per-(query, candidate) adc table."""
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double("embedding").alias("emb")
-    )
-    cent, cb_df, codes = ivfadc_index(spark, sf_dir)
-    queries_df = e.filter(_q_win()).select(
-        F.col("vec_id").alias("query_id"), "emb"
-    )
-    return e, ivfadc_score(queries_df, cent, cb_df, codes)
+    the eval window, per-(query, candidate) adc table. The adc table
+    is memoized too — it is the same PQ_NQ-bounded candidate set for
+    every seeded eval row (search, re-rank, sweeps), so scoring runs
+    once per session instead of once per row."""
+    e = _emb(spark, sf_dir)
+
+    def build() -> DataFrame:
+        cent, cb_df, codes = ivfadc_index(spark, sf_dir)
+        queries_df = e.filter(_q_win()).select(
+            F.col("vec_id").alias("query_id"), "emb"
+        )
+        return ivfadc_score(queries_df, cent, cb_df, codes)
+
+    return e, _memo_df(_memo_key(spark, sf_dir, "ivfadc:adc:seeded"), build)
 
 
 @query(
@@ -2646,14 +2767,15 @@ _IVFADC_RECALL_TAIL = f"""
     """
 
 
-@query(
-    "q_sim_ivfadc_recall",
-    oracle=_pq_duck(pre_ctes=_IVFADC_PRE, sub_cte=_IVFADC_SUB, seed_lo=N_CELLS)
-    + _IVFADC_SEARCH
-    + _IVFADC_RECALL_TAIL,
-)
 def q_sim_ivfadc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@1 AND measured candidate fraction of IVFADC against the
+    """[FOLDED into q_sim_ivfadc_probe_sweep, VERDICT r10 item 1: this
+    number IS the sweep's n_probe=N_PROBE row — recall_at_1 and
+    cand_frac both — so the standalone registered row re-derived a
+    curve point the sweep already publishes. Kept as an unregistered
+    eval helper: tests/test_properties.py's cross-query consistency
+    test pins sweep@N_PROBE == this row every session.]
+
+    Recall@1 AND measured candidate fraction of IVFADC against the
     exact L2 nearest neighbor — the cost/recall row beside PQ's
     (q_sim_pq_recall). cand_frac is the fraction of the corpus the
     code-only ADC actually scored per query (~N_PROBE/N_CELLS by
@@ -2683,7 +2805,7 @@ def q_sim_ivfadc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     raise N_PROBE, fall back to PQ full-scan, or add the exact
     re-rank (q_sim_ivfadc_rerank)."""
     e, adc = _ivfadc_parts(spark, sf_dir)
-    return _ivfadc_recall_table(e, adc)
+    return _ivfadc_recall_table(e, adc, exact1=_exact1_raw(spark, sf_dir))
 
 
 def _exact_nn1(e: DataFrame) -> DataFrame:
@@ -2703,8 +2825,15 @@ def _exact_nn1(e: DataFrame) -> DataFrame:
         4,
     )
     w2 = W.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    # Broadcast the PQ_NQ-bounded query side explicitly (VERDICT r10
+    # item 5): on a DERIVED corpus (clustered eval) the planner has no
+    # stats and previously chose CartesianProduct — the one cartesian
+    # in the registry. Forcing the broadcast pins the plan to a
+    # broadcast nested-loop with the bounded side built, on every
+    # corpus variant; tests/test_plans.py asserts no cartesian remains.
     return (
-        q.crossJoin(e.select(F.col("vec_id").alias("neighbor_id"), "emb"))
+        F.broadcast(q)
+        .crossJoin(e.select(F.col("vec_id").alias("neighbor_id"), "emb"))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", d2.alias("d2"))
         .withColumn("rn", F.row_number().over(w2))
@@ -2713,18 +2842,35 @@ def _exact_nn1(e: DataFrame) -> DataFrame:
     )
 
 
-def _ivfadc_recall_table(e: DataFrame, adc: DataFrame) -> DataFrame:
+def _exact1_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact-NN yardstick over the RAW corpus, memoized: every
+    recall eval on the unmodified fixture (seeded, trained,
+    incremental, PQ full-scan) judges against the identical 100-row
+    table, so the PQ_NQ x corpus exact scan runs once per session, not
+    once per eval row. Corpus-variant evals (clustered) compute their
+    own yardstick over their own corpus."""
+    return _memo_df(
+        _memo_key(spark, sf_dir, "ivfadc:exact1"),
+        lambda: _exact_nn1(_emb(spark, sf_dir)),
+    )
+
+
+def _ivfadc_recall_table(
+    e: DataFrame, adc: DataFrame, exact1: DataFrame | None = None
+) -> DataFrame:
     """Recall@1 + cand_frac of an adc candidate table against the exact
     L2 neighbor over corpus ``e`` — shared by the isotropic-fixture
     eval (q_sim_ivfadc_recall) and the clustered-corpus eval
-    (q_sim_ivfadc_clustered_recall)."""
+    (q_sim_ivfadc_clustered_recall). ``exact1`` substitutes a
+    precomputed (memoized) yardstick; default derives it from ``e``."""
     w1 = W.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
     adc1 = (
         adc.withColumn("rn", F.row_number().over(w1))
         .filter(F.col("rn") == 1)
         .select("query_id", F.col("neighbor_id").alias("adc_nn"))
     )
-    exact1 = _exact_nn1(e)
+    if exact1 is None:
+        exact1 = _exact_nn1(e)
     nc = adc.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_cand"))
     ntot = e.agg(F.count(F.lit(1)).alias("n"))
     return (
@@ -2857,13 +3003,16 @@ def _rerank_nn1(e: DataFrame, adc: DataFrame, r: int = PQ_RERANK) -> DataFrame:
     )
 
 
-def _recall_vs_exact1(e: DataFrame, nn: DataFrame) -> DataFrame:
+def _recall_vs_exact1(
+    e: DataFrame, nn: DataFrame, exact1: DataFrame | None = None
+) -> DataFrame:
     """(n_queries, n_match, recall_at_1) of a per-query NN table
     against the exact yardstick — shared by the rerank recall eval and
-    its trained variant."""
+    its trained variant. ``exact1`` substitutes a precomputed
+    (memoized) yardstick; default derives it from ``e``."""
     return (
         nn.select("query_id", F.col("neighbor_id").alias("rr_nn"))
-        .join(_exact_nn1(e), ["query_id"])
+        .join(_exact_nn1(e) if exact1 is None else exact1, ["query_id"])
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_queries"),
             F.sum(F.when(F.col("rr_nn") == F.col("exact_nn"), 1).otherwise(0))
@@ -2887,23 +3036,15 @@ def _ivfadc_rerank_parts(spark: SparkSession, sf_dir: str):
     return e, _rerank_nn1(e, adc)
 
 
-@query(
-    "q_sim_ivfadc_rerank_recall",
-    oracle=_pq_duck(pre_ctes=_IVFADC_PRE, sub_cte=_IVFADC_SUB, seed_lo=N_CELLS)
-    + _IVFADC_SEARCH
-    + _IVFADC_RERANK_CTES
-    + f"""
-    , {_EXACT1_CTE}
-    SELECT CAST(count(*) AS BIGINT) AS n_queries,
-           CAST(sum(CASE WHEN r.neighbor_id = x.neighbor_id
-                         THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
-           round(avg(CASE WHEN r.neighbor_id = x.neighbor_id
-                          THEN 1.0 ELSE 0.0 END), 4) AS recall_at_1
-    FROM rr1 r JOIN exact1 x USING (query_id)
-    """,
-)
 def q_sim_ivfadc_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@1 of the full two-stage IVFADC+re-rank search against the
+    """[FOLDED into q_sim_ivfadc_rerank_sweep, VERDICT r10 item 1: this
+    number IS the sweep's r_depth=PQ_RERANK row, and the sweep is the
+    registered value-hash surface (driver-green r10 for this row is
+    banked in CORRECTNESS_r10). Kept as an unregistered eval helper:
+    the cross-query consistency test pins sweep@PQ_RERANK == this row
+    every session.]
+
+    Recall@1 of the full two-stage IVFADC+re-rank search against the
     exact L2 neighbor — the deployed point on the serving ladder
     (sf0.01, representative window: ADC-only 0.04 / clustered 0.08 /
     PQ full-scan 0.10 / THIS row 0.11 at R={PQ_RERANK}, vs the 0.25
@@ -2916,7 +3057,7 @@ def q_sim_ivfadc_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     number is reproducible, not a docstring claim. The exact side is
     PQ_NQ-bounded — an eval, never a serving path."""
     e, nn = _ivfadc_rerank_parts(spark, sf_dir)
-    return _recall_vs_exact1(e, nn)
+    return _recall_vs_exact1(e, nn, exact1=_exact1_raw(spark, sf_dir))
 
 
 # Probe sweep (supports q_sim_ivfadc's SERVING RECOMMENDATION): the
@@ -2946,15 +3087,23 @@ PROBE_LEVELS = (1, 2, 4, 8, 16)
         SELECT n_probe, query_id, count(*) AS n_cand
         FROM cand GROUP BY 1, 2),
     {_EXACT1_CTE},
+    hits AS (
+        SELECT c.n_probe, c.query_id,
+               max(CASE WHEN c.neighbor_id = x.neighbor_id
+                        THEN 1 ELSE 0 END) AS hit
+        FROM cand c JOIN exact1 x USING (query_id)
+        GROUP BY 1, 2),
     ntot AS (SELECT count(*) AS n FROM embeddings)
     SELECT a.n_probe,
            CAST(count(*) AS BIGINT) AS n_queries,
            round(avg(CASE WHEN a.adc_nn = x.neighbor_id
                           THEN 1.0 ELSE 0.0 END), 4) AS recall_at_1,
            round(avg(CAST(nc.n_cand AS DOUBLE))
-                 / (SELECT n - 1 FROM ntot), 4) AS cand_frac
+                 / (SELECT n - 1 FROM ntot), 4) AS cand_frac,
+           round(avg(CAST(h.hit AS DOUBLE)), 4) AS ceiling_at_probe
     FROM adc1 a JOIN exact1 x USING (query_id)
     JOIN nc USING (n_probe, query_id)
+    JOIN hits h USING (n_probe, query_id)
     GROUP BY a.n_probe
     """,
 )
@@ -2977,39 +3126,60 @@ def q_sim_ivfadc_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly one cell, so rank is single-valued per candidate) — the
     derived levels cost an explode + re-aggregation of an
     already-small candidate table, never another code-table scan. The
-    exact side is PQ_NQ-bounded: an eval, never a serving path."""
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double("embedding").alias("emb")
+    exact side is PQ_NQ-bounded: an eval, never a serving path.
+
+    ceiling_at_probe (VERDICT r10 item 1 — folds the standalone
+    q_sim_ivfadc_ceiling row): the probe HIT-RATE per level — the
+    fraction of queries whose exact NN landed in a probed cell at all.
+    Every recall number at a level is bounded above by it; the
+    n_probe=N_PROBE row is the deployed configuration's ceiling (0.25
+    seeded at sf0.01), and the gap recall→ceiling at each level is
+    what re-rank depth (q_sim_ivfadc_rerank_sweep) can still buy."""
+    e = _emb(spark, sf_dir)
+
+    def build() -> DataFrame:
+        cent, cb_df, codes = ivfadc_index(spark, sf_dir)
+        q = e.filter(_q_win()).select(
+            F.col("vec_id").alias("query_id"), "emb"
+        )
+        return ivfadc_score(
+            q, cent, cb_df, codes, n_probe=max(PROBE_LEVELS), with_rank=True
+        )
+
+    adc = _memo_df(_memo_key(spark, sf_dir, "ivfadc:adc:probe_max"), build)
+    exact1 = _exact1_raw(spark, sf_dir)
+    cand = (
+        adc.withColumn(
+            "n_probe",
+            F.explode(F.array(*[F.lit(p) for p in PROBE_LEVELS])),
+        )
+        .filter(F.col("crank") <= F.col("n_probe"))
+        .join(F.broadcast(exact1), ["query_id"])
     )
-    cent, cb_df, codes = ivfadc_index(spark, sf_dir)
-    q = e.filter(_q_win()).select(
-        F.col("vec_id").alias("query_id"), "emb"
-    )
-    adc = ivfadc_score(
-        q, cent, cb_df, codes, n_probe=max(PROBE_LEVELS), with_rank=True
-    )
-    cand = adc.withColumn(
-        "n_probe",
-        F.explode(F.array(*[F.lit(p) for p in PROBE_LEVELS])),
-    ).filter(F.col("crank") <= F.col("n_probe"))
     per = (
         cand.groupBy("n_probe", "query_id")
         .agg(
             F.min(F.struct("adc_dist", "neighbor_id")).alias("bn"),
             F.count(F.lit(1)).alias("n_cand"),
+            # the probe hit-rate (folded q_sim_ivfadc_ceiling): did the
+            # true NN land among this level's candidates at all?
+            F.max(
+                F.when(F.col("neighbor_id") == F.col("exact_nn"), 1).otherwise(0)
+            ).alias("hit"),
+            F.first("exact_nn").alias("exact_nn"),
         )
         .select(
             "n_probe",
             "query_id",
             F.col("bn.neighbor_id").alias("adc_nn"),
             "n_cand",
+            "hit",
+            "exact_nn",
         )
     )
-    exact1 = _exact_nn1(e)
     ntot = e.agg(F.count(F.lit(1)).alias("n"))
     return (
-        per.join(exact1, ["query_id"])
-        .crossJoin(F.broadcast(ntot))
+        per.crossJoin(F.broadcast(ntot))
         .groupBy("n_probe")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_queries"),
@@ -3024,6 +3194,9 @@ def q_sim_ivfadc_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.first("n") - F.lit(1)),
                 4,
             ).alias("cand_frac"),
+            F.round(F.avg(F.col("hit").cast("double")), 4).alias(
+                "ceiling_at_probe"
+            ),
         )
         .orderBy("n_probe")
     )
@@ -3080,9 +3253,19 @@ def q_sim_ivfadc_clustered_recall(spark: SparkSession, sf_dir: str) -> DataFrame
     0.2×own-vector, centers = first N_CLUSTERS vectors) identically on
     both engines, so the row is value-hash checked end to end; the
     exact side stays PQ_NQ-bounded."""
-    raw = load(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double("embedding").alias("emb")
-    )
+    e, adc = _ivfadc_clustered_parts(spark, sf_dir)
+    return _ivfadc_recall_table(e, adc)
+
+
+def _ivfadc_clustered_parts(spark: SparkSession, sf_dir: str):
+    """Clustered-corpus twin of _ivfadc_parts: the derived corpus is
+    checkpointed (it feeds the index build, the search, AND the exact
+    yardstick) and the adc table memoized, same policy as the raw
+    variants — a corpus variant is its own offline index build."""
+    key = _memo_key(spark, sf_dir, "ivfadc:clustered")
+    if key is not None and key in _MEMO:
+        return _MEMO[key]
+    raw = _emb(spark, sf_dir)
     ctr = raw.filter(F.col("vec_id") < N_CLUSTERS).select(
         F.col("vec_id").alias("ctr_id"), F.col("emb").alias("cemb0")
     )
@@ -3096,12 +3279,17 @@ def q_sim_ivfadc_clustered_recall(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("emb"),
         )
     )
+    if key is not None:
+        e = e.localCheckpoint(eager=True)
     cent, cb_df, codes = ivfadc_index_from(e)
     q = e.filter(_q_win()).select(
         F.col("vec_id").alias("query_id"), "emb"
     )
     adc = ivfadc_score(q, cent, cb_df, codes)
-    return _ivfadc_recall_table(e, adc)
+    if key is not None:
+        adc = adc.localCheckpoint(eager=True)
+        _MEMO[key] = (e, adc)
+    return e, adc
 
 
 # Re-rank depth sweep (VERDICT r09 item 2): the dedicated re-rank row
@@ -3175,6 +3363,16 @@ def q_sim_ivfadc_rerank_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus on vec_id, parquet-prunable; the exact side stays
     PQ_NQ-bounded (an eval, never a serving path)."""
     e, adc = _ivfadc_parts(spark, sf_dir)
+    return _rerank_sweep_table(e, adc, exact1=_exact1_raw(spark, sf_dir))
+
+
+def _rerank_sweep_table(
+    e: DataFrame, adc: DataFrame, exact1: DataFrame | None = None
+) -> DataFrame:
+    """The recall@1-vs-shortlist-depth curve over RERANK_LEVELS for an
+    adc candidate table — ONE definition shared by the seeded sweep and
+    the trained-centroid sweep, so the curves differ only by the cent
+    table that produced ``adc``."""
     rl2 = _rerank_l2(e, adc, max(RERANK_LEVELS))
     per = (
         rl2.withColumn(
@@ -3185,7 +3383,8 @@ def q_sim_ivfadc_rerank_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min(F.struct("l2_dist", "neighbor_id")).alias("bn"))
         .select("r_depth", "query_id", F.col("bn.neighbor_id").alias("rr_nn"))
     )
-    exact1 = _exact_nn1(e)
+    if exact1 is None:
+        exact1 = _exact_nn1(e)
     return (
         per.join(exact1, ["query_id"])
         .groupBy("r_depth")
@@ -3291,6 +3490,38 @@ def _trained_cent(e: DataFrame, iters: int = IVF_TRAIN_ITERS) -> DataFrame:
     return spark.createDataFrame(cent, "cell_id bigint, cemb array<double>")
 
 
+def ivfadc_index_trained(spark: SparkSession, sf_dir: str):
+    """(e, cent, cb_df, codes): the IVFADC index with Lloyd-TRAINED
+    coarse centroids — the recommended serving configuration — memoized
+    per (session, fixture) like the seeded index: the trained recall
+    row, the trained re-rank row, and the trained re-rank sweep all
+    serve from ONE Lloyd run + ONE codebook training. ``e`` rides along
+    checkpointed because the trainer makes IVF_TRAIN_ITERS passes over
+    it and every consumer reuses the same materialization."""
+    key = _memo_key(spark, sf_dir, "ivfadc:trained")
+    if key is not None and key in _MEMO:
+        return _MEMO[key]
+    e = _emb(spark, sf_dir).localCheckpoint(eager=True)
+    cent = _trained_cent(e)
+    _, cb_df, codes = ivfadc_index_from(e, cent=cent)
+    out = (e, cent, cb_df, codes.localCheckpoint(eager=True))
+    if key is not None:
+        _MEMO[key] = out
+    return out
+
+
+def _ivfadc_trained_parts(spark: SparkSession, sf_dir: str):
+    """Trained-index twin of _ivfadc_parts: corpus + memoized
+    PQ_NQ-bounded adc candidate table over the trained index."""
+    e, cent, cb_df, codes = ivfadc_index_trained(spark, sf_dir)
+
+    def build() -> DataFrame:
+        q = e.filter(_q_win()).select(F.col("vec_id").alias("query_id"), "emb")
+        return ivfadc_score(q, cent, cb_df, codes)
+
+    return e, _memo_df(_memo_key(spark, sf_dir, "ivfadc:adc:trained"), build)
+
+
 @query(
     "q_sim_ivfadc_trained_recall",
     oracle=_pq_duck(
@@ -3317,45 +3548,22 @@ def q_sim_ivfadc_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ceiling 0.25→0.32. Scale: training collects N_CELLS*DIM doubles per
     round (constant); everything else inherits q_sim_ivfadc's shape.
     The exact side is PQ_NQ-bounded — an eval, never a serving path."""
-    e = (
-        load(spark, sf_dir, "embeddings")
-        .select("vec_id", as_double("embedding").alias("emb"))
-        .localCheckpoint(eager=True)
-    )
-    cent = _trained_cent(e)
-    _, cb_df, codes = ivfadc_index_from(e, cent=cent)
-    q = e.filter(_q_win()).select(
-        F.col("vec_id").alias("query_id"), "emb"
-    )
-    adc = ivfadc_score(q, cent, cb_df, codes)
-    return _ivfadc_recall_table(e, adc)
+    e, adc = _ivfadc_trained_parts(spark, sf_dir)
+    return _ivfadc_recall_table(e, adc, exact1=_exact1_raw(spark, sf_dir))
 
 
 # Probe hit-rate ceiling: the number every downstream stage is bounded
 # by — no shortlist depth, codebook, or re-rank recovers a true NN the
-# coarse probe never scored. Registered so the rerank sweep's "climbing
-# toward the ceiling" is a measured number, not prose.
-_IVFADC_CEILING_TAIL = f"""
-    , {_EXACT1_CTE}
-    SELECT CAST(count(*) AS BIGINT) AS n_queries,
-           CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL
-                         THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
-           round(avg(CASE WHEN a.neighbor_id IS NOT NULL
-                          THEN 1.0 ELSE 0.0 END), 4) AS ceiling_at_probe
-    FROM exact1 x
-    LEFT JOIN adc a
-      ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
-    """
-
-
-@query(
-    "q_sim_ivfadc_ceiling",
-    oracle=_pq_duck(pre_ctes=_IVFADC_PRE, sub_cte=_IVFADC_SUB, seed_lo=N_CELLS)
-    + _IVFADC_SEARCH
-    + _IVFADC_CEILING_TAIL,
-)
+# coarse probe never scored. Published per probe level as the probe
+# sweep's ceiling_at_probe column; this helper is the N_PROBE point.
 def q_sim_ivfadc_ceiling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The coarse probe's HIT-RATE CEILING: the fraction of queries
+    """[FOLDED into q_sim_ivfadc_probe_sweep, VERDICT r10 item 1: the
+    sweep now carries a ceiling_at_probe column — the probe hit-rate
+    per level — whose n_probe=N_PROBE row is exactly this number. Kept
+    as an unregistered eval helper: the cross-query consistency test
+    pins sweep@N_PROBE's ceiling == this row every session.]
+
+    The coarse probe's HIT-RATE CEILING: the fraction of queries
     whose exact L2 nearest neighbor lands among the ADC candidates at
     all (i.e. in one of the N_PROBE probed cells). Every recall number
     in the IVFADC family is bounded above by this row — ADC ranking,
@@ -3369,7 +3577,7 @@ def q_sim_ivfadc_ceiling(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the candidate table; the exact side stays PQ_NQ-bounded (an
     eval, never a serving path)."""
     e, adc = _ivfadc_parts(spark, sf_dir)
-    exact1 = _exact_nn1(e)
+    exact1 = _exact1_raw(spark, sf_dir)
     hit = adc.select(
         "query_id", F.col("neighbor_id").alias("exact_nn"), F.lit(1).alias("found")
     )
@@ -3424,18 +3632,39 @@ def q_sim_ivfadc_trained_rerank_recall(spark: SparkSession, sf_dir: str) -> Data
     q_sim_ivfadc_rerank_recall with the cent table swapped for
     _trained_cent's Lloyd output. The exact side stays PQ_NQ-bounded
     (an eval, never a serving path)."""
-    e = (
-        load(spark, sf_dir, "embeddings")
-        .select("vec_id", as_double("embedding").alias("emb"))
-        .localCheckpoint(eager=True)
+    e, adc = _ivfadc_trained_parts(spark, sf_dir)
+    return _recall_vs_exact1(
+        e, _rerank_nn1(e, adc), exact1=_exact1_raw(spark, sf_dir)
     )
-    cent = _trained_cent(e)
-    _, cb_df, codes = ivfadc_index_from(e, cent=cent)
-    q = e.filter(_q_win()).select(
-        F.col("vec_id").alias("query_id"), "emb"
+
+
+@query(
+    "q_sim_ivfadc_trained_rerank_sweep",
+    oracle=_pq_duck(
+        pre_ctes=_trained_cent_duck(IVF_TRAIN_ITERS) + _IVFADC_PRE[1:],
+        sub_cte=_IVFADC_SUB,
+        seed_lo=N_CELLS,
     )
-    adc = ivfadc_score(q, cent, cb_df, codes)
-    return _recall_vs_exact1(e, _rerank_nn1(e, adc))
+    + _IVFADC_SEARCH
+    + _RERANK_SWEEP_TAIL,
+)
+def q_sim_ivfadc_trained_rerank_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The re-rank depth curve on the TRAINED index (VERDICT r10 item
+    3): q_sim_ivfadc's serving recommendation deploys trained centroids
+    + exact re-rank, but round 10 measured the R-curve only on the
+    seeded index and the trained configuration at a single point
+    (R=10, recall 0.25) — a user tuning R on the RECOMMENDED config had
+    no curve. This row is q_sim_ivfadc_rerank_sweep with the cent table
+    swapped for _trained_cent's Lloyd output (the same one-ADC-pass /
+    filter-by-rank derivation, the same _rerank_sweep_table
+    definition), so its R=PQ_RERANK level must equal
+    q_sim_ivfadc_trained_rerank_recall by construction — pinned by the
+    cross-query consistency test. Read the deployment R off THIS curve,
+    stop where it flattens against the trained ceiling (0.32 at
+    sf0.01). The exact side stays PQ_NQ-bounded — an eval, never a
+    serving path."""
+    e, adc = _ivfadc_trained_parts(spark, sf_dir)
+    return _rerank_sweep_table(e, adc, exact1=_exact1_raw(spark, sf_dir))
 
 
 # Incremental index growth (round 10): at 100 TB the corpus grows in
@@ -3479,13 +3708,15 @@ def q_sim_ivfadc_incremental_recall(spark: SparkSession, sf_dir: str) -> DataFra
     Scale: identical serving shape to q_sim_ivfadc; the training
     restriction is one filter on the subvector table. The exact side
     stays PQ_NQ-bounded — an eval, never a serving path."""
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double("embedding").alias("emb")
-    )
-    train_pred = (F.col("vec_id") < INCR_CUT) | (F.col("vec_id") % 5 > 0)
-    cent, cb_df, codes = ivfadc_index_from(e, train_pred=train_pred)
-    q = e.filter(_q_win()).select(
-        F.col("vec_id").alias("query_id"), "emb"
-    )
-    adc = ivfadc_score(q, cent, cb_df, codes)
-    return _ivfadc_recall_table(e, adc)
+    e = _emb(spark, sf_dir)
+
+    def build() -> DataFrame:
+        train_pred = (F.col("vec_id") < INCR_CUT) | (F.col("vec_id") % 5 > 0)
+        cent, cb_df, codes = ivfadc_index_from(e, train_pred=train_pred)
+        q = e.filter(_q_win()).select(
+            F.col("vec_id").alias("query_id"), "emb"
+        )
+        return ivfadc_score(q, cent, cb_df, codes)
+
+    adc = _memo_df(_memo_key(spark, sf_dir, "ivfadc:adc:incr"), build)
+    return _ivfadc_recall_table(e, adc, exact1=_exact1_raw(spark, sf_dir))

@@ -148,11 +148,12 @@ CONTRACT_ORDER = (
 
 # Extra (non-§2) ids promoted INTO the driver's ~50-slot graded window
 # for the current round, each lent a slot by a fresh-green contract id
-# sliding past position 49. Round 10: q_sim_ivfadc_rerank_recall
-# (VERDICT r09 item 1 — the recall number the IVFADC serving
-# recommendation hinges on gets a driver-graded value-hash row).
-# q_sim_ivfadc banked its green r09 row and returns to the extras.
-WINDOW_PROMOTED = ("q_sim_ivfadc_rerank_recall",)
+# sliding past position 49. Round 11: q_sim_ivfadc_trained_rerank_sweep
+# (VERDICT r10 item 3 — the R-curve on the RECOMMENDED trained+re-rank
+# serving configuration gets a driver-graded value-hash row).
+# q_sim_ivfadc_rerank_recall banked its green r10 row and was folded
+# into q_sim_ivfadc_rerank_sweep (VERDICT r10 item 1).
+WINDOW_PROMOTED = ("q_sim_ivfadc_trained_rerank_sweep",)
 _PROMOTE_AT = 49  # insert position: last graded slot(s) of the window
 
 # Modules whose import populates REGISTRY. Order roughly follows SURVEY §2.

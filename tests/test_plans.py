@@ -144,15 +144,13 @@ CARTESIAN_OK = {
     "q_tpch_q22",  # 1-row avg-balance threshold broadcast crossed in
     "q_sim_pq_recall",  # bounded NQ-query exact-NN eval side crossed in
     "q_sim_ivfadc",  # broadcast 16-centroid coarse-assignment fan-out
-    "q_sim_ivfadc_recall",  # same fan-out + bounded exact-NN eval side
     "q_sim_ivfadc_rerank",  # same fan-out; re-rank itself is equi-join
     "q_sim_ivfadc_probe_sweep",  # same fan-out + bounded exact-NN eval side
     "q_sim_ivfadc_clustered_recall",  # same fan-out + bounded exact-NN eval side
-    "q_sim_ivfadc_rerank_recall",  # same fan-out + bounded exact-NN eval side
     "q_sim_ivfadc_rerank_sweep",  # same fan-out + bounded exact-NN eval side
     "q_sim_ivfadc_trained_recall",  # same fan-out (Lloyd rounds broadcast 16 cells)
-    "q_sim_ivfadc_ceiling",  # same fan-out + bounded exact-NN eval side
     "q_sim_ivfadc_trained_rerank_recall",  # same fan-out (trained cells + rerank)
+    "q_sim_ivfadc_trained_rerank_sweep",  # same fan-out (trained cells + rerank)
     "q_sim_ivfadc_incremental_recall",  # same fan-out + bounded exact-NN eval side
     "q_win_dist",  # 1-row N-total scalar broadcast crossed in
 }
@@ -675,12 +673,60 @@ def test_ivfadc_search_is_code_only_broadcast_joins(spark):
     """IVFADC's serving claims made physical: the LUT and codebook
     reach the candidate side as BROADCAST hash joins (constant-size
     model state), and no Python UDF appears anywhere — train, encode,
-    and ADC are all JVM-side expressions."""
-    df = _registry()["q_sim_ivfadc"].fn(spark, SF_SMOKE)
+    and ADC are all JVM-side expressions.
+
+    Audits the CONSTRUCTION plan (ivfadc_index_from + ivfadc_score
+    composed directly): the registered row serves the memoized,
+    checkpointed candidate table, whose final plan is an ExistingRDD
+    scan by design — the physical claims live in the build."""
+    from distributed_causal_stream_processing_spark.operators.similarity import (
+        _emb,
+        _q_win,
+        ivfadc_index_from,
+        ivfadc_score,
+    )
+    from pyspark.sql import functions as F
+
+    e = _emb(spark, SF_SMOKE)
+    cent, cb_df, codes = ivfadc_index_from(e)
+    q = e.filter(_q_win()).select(F.col("vec_id").alias("query_id"), "emb")
+    df = ivfadc_score(q, cent, cb_df, codes)
     df.collect()
     plan = _plan(df).split("== Initial Plan ==")[0]
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_clustered_recall_exact_side_is_bounded_broadcast(spark):
+    """VERDICT r10 item 5: the clustered-corpus recall eval planned the
+    registry's only CartesianProduct (the planner had no stats for the
+    derived corpus, so the PQ_NQ-bounded exact-NN side lost its
+    broadcast). _exact_nn1 now broadcasts the query side explicitly, so
+    the physical plan must build the bounded side as a
+    BroadcastNestedLoopJoin — never an unbounded CartesianProduct — on
+    EVERY corpus variant, and a future edit that drops the broadcast
+    fails here."""
+    df = _registry()["q_sim_ivfadc_clustered_recall"].fn(spark, SF_SMOKE)
+    df.collect()
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in phys, phys
+    assert "BroadcastNestedLoopJoin" in phys
+    # and the broadcast side really is the PQ_NQ-bounded query window
+    from distributed_causal_stream_processing_spark.operators.similarity import (
+        PQ_NQ,
+        _emb,
+        _exact_nn1,
+        _q_win,
+    )
+
+    n_q = _emb(spark, SF_SMOKE).filter(_q_win()).count()
+    assert n_q <= PQ_NQ
+    # the raw-corpus yardstick takes the same path
+    exact = _exact_nn1(_emb(spark, SF_SMOKE))
+    exact.collect()
+    p2 = exact._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p2, p2
+    assert "BroadcastNestedLoopJoin" in p2
 
 
 def test_join_lateral_decorrelates(spark):

@@ -1109,6 +1109,55 @@ def test_misra_gries_candidate_budget_never_exceeded():
     assert "hot" in counters.index  # and the bound costs no recall here
 
 
+def test_ann_eval_window_excludes_construction_seeds(spark):
+    """Round 10's flagship bug, generalized into a standing guard
+    (VERDICT r10 item 8): the ANN eval window must not contain any
+    vector the index geometry is BUILT FROM — coarse cells, codebook
+    seeds, cluster centers, Lloyd seeds. The original window
+    (vec_id < 20) was 80% zero-residual construction vectors; both
+    engines shared the bias, so hash parity stayed green while every
+    published recall number read 3-6x high. The seed sets are DERIVED
+    from the same constants the constructions use
+    (similarity.eval_window_seed_violations), so a new eval or a moved
+    seed range is re-checked automatically; the mutation cases prove
+    the guard actually fires when a window lands on a seed family."""
+    from distributed_causal_stream_processing_spark.operators.similarity import (
+        N_CELLS,
+        PQ_K,
+        PQ_Q_HI,
+        PQ_Q_LO,
+        _emb,
+        eval_window_seed_violations,
+    )
+
+    # the live window is clean
+    assert eval_window_seed_violations() == {}
+    # and POPULATED on every fixture (a window past the corpus would
+    # silently shrink the eval): the smallest fixture must cover it
+    n = _emb(spark, "/root/testdata/sf0.001").count()
+    assert n >= PQ_Q_HI, (n, PQ_Q_HI)
+    # mutation checks: shift the window onto each seed family and the
+    # guard must fire for exactly the families it lands on
+    v = eval_window_seed_violations(lo=0, hi=PQ_Q_HI)
+    assert set(v) == {
+        "ivfadc_cells",
+        "ivfadc_residual_codebook",
+        "pq_raw_codebook",
+        "clustered_centers",
+        "trained_cent_lloyd_seeds",
+    }, v
+    # round 10's actual bug: a window starting at 0 of width 20
+    v20 = eval_window_seed_violations(lo=0, hi=20)
+    assert "ivfadc_cells" in v20 and len(v20["ivfadc_cells"]) == N_CELLS
+    # a window clipping just the codebook seeds flags only seed
+    # families living there
+    vcb = eval_window_seed_violations(lo=N_CELLS + PQ_K - 1, hi=PQ_Q_HI)
+    assert set(vcb) == {"ivfadc_residual_codebook"}, vcb
+    # one id past the seeds is clean again — the boundary is exact
+    assert eval_window_seed_violations(lo=N_CELLS + PQ_K) == {}
+    assert PQ_Q_LO == N_CELLS + PQ_K
+
+
 def test_ivfadc_family_cross_query_consistency(spark):
     """The IVFADC eval rows are independent implementations over the
     same index — where they overlap they must agree exactly, or one of
@@ -1120,15 +1169,28 @@ def test_ivfadc_family_cross_query_consistency(spark):
     q_sim_ivfadc_recall's recall@1; (c) its R=PQ_RERANK level must
     equal q_sim_ivfadc_rerank_recall (the sweep derives levels by
     filtering ADC rank; the dedicated row re-ranks directly); (d) no
-    recall row may exceed the probe hit-rate ceiling."""
+    recall row may exceed the probe hit-rate ceiling.
+
+    Since the VERDICT r10 item 1 fold, q_sim_ivfadc_recall /
+    q_sim_ivfadc_rerank_recall / q_sim_ivfadc_ceiling are UNREGISTERED
+    helpers whose numbers the registered sweeps publish as curve
+    points — (b'), (c'), (e) pin that the fold preserved them: the
+    probe sweep's n_probe=N_PROBE row must carry exactly the helper's
+    recall/cand_frac, its ceiling_at_probe column exactly the ceiling
+    helper's number, and the TRAINED sweep's R=PQ_RERANK level exactly
+    q_sim_ivfadc_trained_rerank_recall (VERDICT r10 item 3)."""
     from distributed_causal_stream_processing_spark.operators.similarity import (
+        N_PROBE,
         PQ_NQ,
         PQ_RERANK,
         RERANK_LEVELS,
         q_sim_ivfadc_ceiling,
+        q_sim_ivfadc_probe_sweep,
         q_sim_ivfadc_recall,
         q_sim_ivfadc_rerank_recall,
         q_sim_ivfadc_rerank_sweep,
+        q_sim_ivfadc_trained_rerank_recall,
+        q_sim_ivfadc_trained_rerank_sweep,
     )
 
     sf = "/root/testdata/sf0.001"
@@ -1147,10 +1209,37 @@ def test_ivfadc_family_cross_query_consistency(spark):
     assert all(
         sweep[b] >= sweep[a] - tol for a, b in zip(levels, levels[1:])
     ), sweep
-    adc1 = q_sim_ivfadc_recall(spark, sf).head()["recall_at_1"]
+    recall_row = q_sim_ivfadc_recall(spark, sf).head()
+    adc1 = recall_row["recall_at_1"]
     assert sweep[1] == adc1, (sweep[1], adc1)
     rr = q_sim_ivfadc_rerank_recall(spark, sf).head()["recall_at_1"]
     assert sweep[PQ_RERANK] == rr, (sweep[PQ_RERANK], rr)
     ceiling = q_sim_ivfadc_ceiling(spark, sf).head()["ceiling_at_probe"]
     assert max(sweep.values()) <= ceiling + 1e-9, (sweep, ceiling)
     assert adc1 <= ceiling + 1e-9
+    # (b')/(e): the registered probe sweep's n_probe=N_PROBE row carries
+    # the folded helpers' numbers exactly
+    probe = {
+        r["n_probe"]: r for r in q_sim_ivfadc_probe_sweep(spark, sf).collect()
+    }
+    assert probe[N_PROBE]["recall_at_1"] == adc1, (probe[N_PROBE], adc1)
+    assert probe[N_PROBE]["cand_frac"] == recall_row["cand_frac"]
+    assert probe[N_PROBE]["ceiling_at_probe"] == ceiling, (
+        probe[N_PROBE],
+        ceiling,
+    )
+    # and per level, recall never exceeds that level's own ceiling
+    for r in probe.values():
+        assert r["recall_at_1"] <= r["ceiling_at_probe"] + 1e-9, r
+    # (c') on the TRAINED index: registered sweep vs dedicated row
+    tsweep = {
+        r["r_depth"]: r["recall_at_1"]
+        for r in q_sim_ivfadc_trained_rerank_sweep(spark, sf).collect()
+    }
+    assert sorted(tsweep) == sorted(RERANK_LEVELS)
+    trr = q_sim_ivfadc_trained_rerank_recall(spark, sf).head()["recall_at_1"]
+    assert tsweep[PQ_RERANK] == trr, (tsweep[PQ_RERANK], trr)
+    tlv = sorted(tsweep)
+    assert all(
+        tsweep[b] >= tsweep[a] - tol for a, b in zip(tlv, tlv[1:])
+    ), tsweep

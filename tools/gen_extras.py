@@ -34,13 +34,18 @@ def main() -> None:
         "ANN serving guidance (VERDICT r08 item 5; all numbers re-measured",
         "round 10 on the REPRESENTATIVE query window after finding the old",
         "20-query eval was dominated by the 16 zero-residual centroid",
-        "vectors and read 3-6x high — see similarity.py's PQ_Q_LO note):",
-        "deploy code-only IVFADC (`q_sim_ivfadc`) only when",
-        "`q_sim_ivfadc_recall` measured on the target corpus shows recall@1",
-        "within ~0.8x of `q_sim_pq_recall`'s full-scan number. On this",
-        "isotropic worst-case fixture (sf0.01, 100 queries) the measured",
-        "chain is: probe ceiling 0.25 (`q_sim_ivfadc_ceiling`) with a FLAT",
-        "probe curve (0.03-0.05 at depth 1-8, `q_sim_ivfadc_probe_sweep`);",
+        "vectors and read 3-6x high — see similarity.py's PQ_Q_LO note).",
+        "Round 11 folded the single-point rows (recall, rerank-recall,",
+        "ceiling) into the sweeps that publish them as curve points and",
+        "memoized the index builds per session (VERDICT r10 item 1);",
+        "the numbers below are unchanged and now read off",
+        "`q_sim_ivfadc_probe_sweep` (recall_at_1/cand_frac/ceiling_at_probe",
+        "per probe level) and the re-rank sweeps. Deploy code-only IVFADC",
+        "(`q_sim_ivfadc`) only when the probe sweep's n_probe=N_PROBE row",
+        "measured on the target corpus shows recall@1 within ~0.8x of",
+        "`q_sim_pq_recall`'s full-scan number. On this isotropic worst-case",
+        "fixture (sf0.01, 100 queries) the measured chain is: probe",
+        "ceiling 0.25 with a FLAT probe curve (0.03-0.05 at depth 1-8);",
         "code-only 0.04 @ cand_frac 0.126, PQ full-scan 0.10, clustered",
         "corpus 0.08; exact re-rank climbing the ceiling at",
         "0.04/0.05/0.06/0.11/0.17 for R = 1/2/5/10/20",
@@ -48,8 +53,10 @@ def main() -> None:
         "the whole chain — ceiling 0.25->0.32, code-only 0.04->0.08, and",
         "trained + re-rank@10 0.25 vs seeded + re-rank@10's 0.11",
         "(`q_sim_ivfadc_trained_rerank_recall`) — the best",
-        "recall-per-serving-dollar move measured (offline cost only). An",
-        "incrementally grown index (new batch encoded with the stale",
+        "recall-per-serving-dollar move measured (offline cost only);",
+        "tune R for the recommended trained config on its OWN measured",
+        "curve, `q_sim_ivfadc_trained_rerank_sweep` (VERDICT r10 item 3).",
+        "An incrementally grown index (new batch encoded with the stale",
         "codebook, `q_sim_ivfadc_incremental_recall`) matches the full",
         "rebuild exactly (0.04), so retraining can be deferred. Measure",
         "combinations end to end on the target corpus: on the old biased",
