@@ -15,6 +15,7 @@ chosen to also be the right call on a large cluster:
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -45,6 +46,47 @@ def enable_rocksdb_state(spark: SparkSession) -> None:
         "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
         "true",
     )
+
+
+# Stateful-streaming state partitions, the measured default (VERDICT r10
+# item 6): the stateful operator inherits spark.sql.shuffle.partitions at
+# FIRST start (pinned in the checkpoint after), and every partition pays a
+# state-store commit per micro-batch — at local/bench volumes the job is
+# commit-bound, and 16 partitions + RocksDB measured best across rounds
+# (r10 bench: 20.8k rows/s vs 15.7k at the 32-partition heap default).
+# On a real cluster size this to volume/parallelism instead; the conf is
+# per-job, not global.
+STREAMING_STATE_PARTITIONS = 16
+
+_STREAMING_STATE_CONFS = (
+    "spark.sql.shuffle.partitions",
+    "spark.sql.streaming.stateStore.providerClass",
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+)
+
+
+@contextmanager
+def recommended_streaming_state(
+    spark: SparkSession, state_partitions: int = STREAMING_STATE_PARTITIONS
+):
+    """Apply the measured-best stateful-streaming configuration —
+    RocksDB state store (changelog checkpointing on) + 16 state
+    partitions — for the duration of one streaming job, restoring every
+    conf after (stateful-streaming jobs read these at query start; batch
+    work on the session must not inherit them). The causal sequencer
+    job builders apply this by default (VERDICT r10 item 6); pass
+    ``tuned_state=False`` there to measure the untuned baseline."""
+    old = {k: spark.conf.get(k, None) for k in _STREAMING_STATE_CONFS}
+    try:
+        enable_rocksdb_state(spark)
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        yield spark
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 def get_spark(

@@ -429,7 +429,11 @@ def stage_events_split_sources(
 
 
 def run_multi_source_causal_stream(
-    spark: SparkSession, dir_a: str, dir_b: str, watermark: str = "35 days"
+    spark: SparkSession,
+    dir_a: str,
+    dir_b: str,
+    watermark: str = "35 days",
+    tuned_state: bool = True,
 ) -> list:
     """THE reference loop: N partitioned input streams → causal merge →
     per-key sequenced view.
@@ -442,32 +446,45 @@ def run_multi_source_causal_stream(
     (ts, event_id), i.e. happened-before, regardless of which source a
     row arrived on. The shuffle to `groupBy(user_id)` is the merge
     point; no global coordination, state O(keys).
+
+    Runs under the documented stateful-streaming default — RocksDB
+    state store + 16 state partitions, the configuration bench.py
+    measured best (session.recommended_streaming_state, VERDICT r10
+    item 6); ``tuned_state=False`` keeps the session's own confs (the
+    bench's untuned baseline rows).
     """
+    from contextlib import nullcontext
+
+    from distributed_causal_stream_processing_spark.session import (
+        recommended_streaming_state,
+    )
     from distributed_causal_stream_processing_spark.streaming.causal import (
         causal_sequence_stream,
     )
 
-    streams = [
-        events_stream(spark, d, watermark=watermark).select(
-            "event_id", "ts", "user_id"
+    ctx = recommended_streaming_state(spark) if tuned_state else nullcontext()
+    with ctx:
+        streams = [
+            events_stream(spark, d, watermark=watermark).select(
+                "event_id", "ts", "user_id"
+            )
+            for d in (dir_a, dir_b)
+        ]
+        merged = streams[0].unionByName(streams[1])
+        seq = causal_sequence_stream(merged)
+        q = (
+            seq.writeStream.format("memory")
+            .queryName("multi_causal_out")
+            .outputMode("append")
+            .start()
         )
-        for d in (dir_a, dir_b)
-    ]
-    merged = streams[0].unionByName(streams[1])
-    seq = causal_sequence_stream(merged)
-    q = (
-        seq.writeStream.format("memory")
-        .queryName("multi_causal_out")
-        .outputMode("append")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-        return spark.sql(
-            "SELECT user_id, event_id, ts, seq, late FROM multi_causal_out"
-        ).collect()
-    finally:
-        q.stop()
+        try:
+            q.processAllAvailable()
+            return spark.sql(
+                "SELECT user_id, event_id, ts, seq, late FROM multi_causal_out"
+            ).collect()
+        finally:
+            q.stop()
 
 
 def run_session_window_stream(
@@ -721,34 +738,47 @@ def run_stream_stream_join_outer(
 
 
 def run_chain_assign_stream(
-    spark: SparkSession, stream_dir: str, gap_us: int, watermark: str = "35 days"
+    spark: SparkSession,
+    stream_dir: str,
+    gap_us: int,
+    watermark: str = "35 days",
+    tuned_state: bool = True,
 ) -> list:
     """Streaming chain-root assignment (causal.chain_assign_stream)
     over the staged events log; memory-sink collect for tests.
     Sentinel rows (negative event_id), if staged, are excluded from
     the returned rows but still flow through state — harmless: they
-    use reserved user ids."""
+    use reserved user ids. Runs under the documented
+    stateful-streaming default (RocksDB + 16 state partitions,
+    session.recommended_streaming_state) unless ``tuned_state=False``."""
+    from contextlib import nullcontext
+
+    from distributed_causal_stream_processing_spark.session import (
+        recommended_streaming_state,
+    )
     from distributed_causal_stream_processing_spark.streaming.causal import (
         chain_assign_stream,
     )
 
-    chains = chain_assign_stream(
-        events_stream(spark, stream_dir, watermark=watermark), gap_us
-    )
-    q = (
-        chains.writeStream.format("memory")
-        .queryName("chain_assign_out")
-        .outputMode("append")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-        return spark.sql(
-            "SELECT user_id, event_id, root_id, depth FROM chain_assign_out "
-            "WHERE event_id >= 0"
-        ).collect()
-    finally:
-        q.stop()
+    ctx = recommended_streaming_state(spark) if tuned_state else nullcontext()
+    with ctx:
+        chains = chain_assign_stream(
+            events_stream(spark, stream_dir, watermark=watermark), gap_us
+        )
+        q = (
+            chains.writeStream.format("memory")
+            .queryName("chain_assign_out")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            return spark.sql(
+                "SELECT user_id, event_id, root_id, depth FROM chain_assign_out "
+                "WHERE event_id >= 0"
+            ).collect()
+        finally:
+            q.stop()
 
 
 def run_sliding_stream(spark: SparkSession, stream_dir: str) -> list:

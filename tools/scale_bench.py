@@ -126,6 +126,25 @@ JOIN_SKEW_CONFS = {
     "spark.sql.autoBroadcastJoinThreshold": "-1",
     "spark.sql.adaptive.skewJoin.enabled": "false",
 }
+
+# Third join row (VERDICT r10 item 7): the SAME plain SMJ twin with
+# AQE's runtime skew split FORCED ON, to establish whether hand-salting
+# is still required on Spark 4.x or the guidance becomes "let AQE split
+# it". Broadcast stays off (same regime as the pair). AQE's detection
+# thresholds are scaled to the fixture: the hot task here is ~12M
+# narrow rows — tens of MB — under the 256 MB production default that a
+# genuine 100 TB hot key would dwarf, so defaults would silently answer
+# "AQE didn't trigger" instead of "AQE can('t) heal it".
+AQE_SKEW_QUERY = "q_join_events_shuffle"
+AQE_SKEW_ROW = "q_join_events_shuffle_aqe_skewjoin"
+AQE_SKEW_CONFS = {
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16m",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16m",
+}
 # 40× sufficed for the WINDOW twins (per-row frame evaluation makes a
 # 2M-row single-task straggler obvious) but not for the JOIN pair: a
 # sort-merge join's hot task is just one radix sort of narrow rows, and
@@ -428,6 +447,45 @@ def main() -> int:
                     f"skew {name:27s} {klass:22s} {base:7.2f}s -> {big:7.2f}s "
                     f"ratio {ratio} {'OK' if ok else 'ALARM'}"
                 )
+            # third join row: plain SMJ twin under forced AQE skew
+            # split (VERDICT r10 item 7). Recorded unalarmed either
+            # way — the ratio vs the skewJoin-off twin and vs the
+            # manual salt IS the guidance.
+            saved_confs = {k: spark.conf.get(k) for k in AQE_SKEW_CONFS}
+            base = big = None
+            try:
+                for k, v in AQE_SKEW_CONFS.items():
+                    spark.conf.set(k, v)
+                for _ in range(RUNS):
+                    b1 = time_query_noop(queries, AQE_SKEW_QUERY, spark, uni_dir)
+                    b2 = time_query_noop(queries, AQE_SKEW_QUERY, spark, skew_dir)
+                    if b1 is not None:
+                        base = b1 if base is None else min(base, b1)
+                    if b2 is not None:
+                        big = b2 if big is None else min(big, b2)
+            finally:
+                for k, v in saved_confs.items():
+                    spark.conf.set(k, v)
+            if base is not None and big is not None:
+                base, big = round(base, 3), round(big, 3)
+                ratio = round(big / base, 2) if base > 0 else None
+                skew_rows[AQE_SKEW_ROW] = {
+                    "class": "plain_twin_aqe_skewjoin",
+                    "uniform_sec": base,
+                    "skewed_sec": big,
+                    "ratio": ratio,
+                    "ok": True,
+                }
+                print(
+                    f"skew {AQE_SKEW_ROW:27s} plain_twin_aqe_skewjoin "
+                    f"{base:7.2f}s -> {big:7.2f}s ratio {ratio}"
+                )
+            else:
+                skew_rows[AQE_SKEW_ROW] = {
+                    "class": "plain_twin_aqe_skewjoin",
+                    "error": "query failed",
+                }
+                print(f"skew {AQE_SKEW_ROW:27s} plain_twin_aqe_skewjoin FAILED")
         finally:
             shutil.rmtree(uni_dir, ignore_errors=True)
             shutil.rmtree(skew_dir, ignore_errors=True)
