@@ -611,11 +611,22 @@ def q_dedup_embedding(
     yardstick at small sf), or ``pred`` to substitute a caller's own
     restriction (the recall eval's path)."""
     if pred is None and not full_exact:
-        n = load(spark, sf_dir, "embeddings").count()
-        pred = F.concat(
-            F.lit("0"),
-            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8),
-        ) < F.lit(_yardstick_cutoff(n))
+        # the registered yardstick form is also the pair source for
+        # q_dedup_semantic_clusters — memoize it so the constant
+        # ~125k-pair exact scan runs once per session, not per consumer
+        def build() -> DataFrame:
+            n = load(spark, sf_dir, "embeddings").count()
+            p = F.concat(
+                F.lit("0"),
+                F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8),
+            ) < F.lit(_yardstick_cutoff(n))
+            return _blocked_cosine_pairs(spark, sf_dir, thresh=0.3, pred=p).select(
+                "vec_a", "vec_b", F.round("sim", 4).alias("cos_sim")
+            )
+
+        return _memo_df(
+            _memo_key(spark, sf_dir, "dedup_embedding:yardstick_pairs"), build
+        )
     return _blocked_cosine_pairs(spark, sf_dir, thresh=0.3, pred=pred).select(
         "vec_a", "vec_b", F.round("sim", 4).alias("cos_sim")
     )

@@ -1109,6 +1109,43 @@ def test_misra_gries_candidate_budget_never_exceeded():
     assert "hot" in counters.index  # and the bound costs no recall here
 
 
+def test_ivfadc_memo_serves_identical_rows_and_invalidates(spark):
+    """The round-11 artifact memo must be SEMANTICALLY INVISIBLE: a
+    cache hit returns the same materialized artifact, a cleared cache
+    rebuilds bit-identical rows (the memo can only ever change cost,
+    never results), and the key carries the fixture fingerprint so a
+    rewritten-in-place parquet misses instead of serving a stale
+    index — the same invalidation contract io.load() has."""
+    from distributed_causal_stream_processing_spark.operators import (
+        similarity as S,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    _, _, codes = S.ivfadc_index(spark, sf)
+    _, _, codes2 = S.ivfadc_index(spark, sf)
+    assert codes2 is codes  # cache hit: the same checkpointed frame
+    memo_rows = sorted(map(tuple, codes.collect()))
+    saved = dict(S._MEMO)
+    try:
+        S._MEMO.clear()
+        _, _, codes3 = S.ivfadc_index(spark, sf)
+        assert codes3 is not codes
+        assert sorted(map(tuple, codes3.collect())) == memo_rows
+    finally:
+        S._MEMO.clear()
+        S._MEMO.update(saved)
+    # fingerprint invalidation: same (session, dir, tag) but a changed
+    # file fingerprint must produce a DIFFERENT key
+    k1 = S._memo_key(spark, sf, "t")
+    orig = S._fingerprint
+    try:
+        S._fingerprint = lambda path: ("mutated", 0)
+        k2 = S._memo_key(spark, sf, "t")
+    finally:
+        S._fingerprint = orig
+    assert k1 is not None and k2 is not None and k1 != k2
+
+
 def test_ann_eval_window_excludes_construction_seeds(spark):
     """Round 10's flagship bug, generalized into a standing guard
     (VERDICT r10 item 8): the ANN eval window must not contain any
