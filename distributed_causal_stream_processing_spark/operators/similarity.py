@@ -1232,6 +1232,135 @@ def q_dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- diversity sampling: k-center greedy (farthest-first traversal) -----
+#
+# The standard coreset/diversity-selection primitive for curating
+# training data (Gonzalez 1985 farthest-point traversal; the k-center
+# coreset construction of Sener & Savarese, ICLR 2018): pick a seed,
+# then repeatedly select the vector FARTHEST from everything selected
+# so far — a 2-approximation of the optimal k-center cover, i.e. the K
+# exemplars that best spread over the corpus. Deterministic end to end
+# (seed = min vec_id, ties by vec_id), so the full selection is
+# value-hash-checked against the greedy loop unrolled in DuckDB.
+KC_K = 12  # exemplars selected
+
+
+def _kcenter_duck(k: int) -> str:
+    """The greedy loop unrolled as recursion-free DuckDB CTEs: m{t}
+    maintains each remaining vector's rounded min-distance to the
+    selected set, p{t} takes the argmax (farthest) with vec_id
+    tie-break — the _kmeans_duck/_pq_duck unroll pattern."""
+
+    def d2(a: str, b: str) -> str:
+        return (
+            f"round(list_sum([({a}.e[j] - {b}.e[j]) ** 2 "
+            f"for j in range(1, {DIM + 1})]), 4)"
+        )
+
+    # every m{t} is referenced twice (by p{t+1} and m{t+1}); left to its
+    # inlining heuristic DuckDB re-expands the chain and the oracle goes
+    # exponential in k (measured 417 s for 500 vectors) — MATERIALIZED
+    # pins each round to run once
+    ctes = [
+        f"""v AS MATERIALIZED (
+        SELECT vec_id,
+               [CAST(embedding[j] AS DOUBLE) for j in range(1, {DIM + 1})] AS e
+        FROM embeddings)""",
+        """s1 AS MATERIALIZED (
+        SELECT vec_id, e FROM v WHERE vec_id = (SELECT min(vec_id) FROM v))""",
+        f"""m1 AS MATERIALIZED (
+        SELECT v.vec_id, v.e, {d2('v', 's')} AS dmin
+        FROM v, s1 s WHERE v.vec_id <> s.vec_id)""",
+    ]
+    for t in range(2, k + 1):
+        ctes.append(
+            f"""p{t} AS MATERIALIZED (
+        SELECT vec_id, e, dmin FROM m{t - 1} ORDER BY dmin DESC, vec_id LIMIT 1)"""
+        )
+        if t < k:
+            ctes.append(
+                f"""m{t} AS MATERIALIZED (
+        SELECT m.vec_id, m.e, least(m.dmin, {d2('m', 'p')}) AS dmin
+        FROM m{t - 1} m, p{t} p WHERE m.vec_id <> p.vec_id)"""
+            )
+    sel = [
+        "SELECT CAST(1 AS BIGINT) AS rnk, vec_id,"
+        " CAST(NULL AS DOUBLE) AS d2_to_selected FROM s1"
+    ]
+    sel += [
+        f"SELECT CAST({t} AS BIGINT), vec_id, dmin FROM p{t}"
+        for t in range(2, k + 1)
+    ]
+    return "WITH " + ",\n    ".join(ctes) + "\n" + "\nUNION ALL\n".join(sel)
+
+
+@query("q_sample_diverse_kcenter", oracle=_kcenter_duck(KC_K))
+def q_sample_diverse_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIVERSITY SAMPLING: the KC_K most mutually-distant exemplars of
+    the embedding corpus by greedy farthest-first traversal — the
+    k-center coreset selection a curation pipeline uses to pick
+    maximally-diverse training examples (or dedup down to spread-out
+    representatives), the diversity-aware complement of the similarity
+    family's near-DUP removal. d2_to_selected is each exemplar's
+    distance to the set already selected when it was picked — i.e. the
+    k-center covering radius ladder, monotone non-increasing, NULL for
+    the seed.
+
+    Plan shape per round (K-1 rounds): the selected set is a constant
+    k x dim SQL literal (never a join side), each remaining vector's
+    min rounded distance to it folds inside whole-stage codegen
+    (array_min over a transform — no Python, no shuffle of vectors),
+    and the argmax is one min(struct(-dmin, vec_id)) hash agg with
+    map-side partial combine; the driver pulls exactly ONE (id,
+    vector) row per round, so driver state is O(K*dim) — the
+    q_sim_ivf_kmeans trainer contract. At 100 TB: K linear passes over
+    a broadcast-constant — embarrassingly parallel, nothing quadratic;
+    K passes is inherent to the greedy algorithm (each pick depends on
+    the last), and K is a small constant by the method's purpose."""
+    e = _emb(spark, sf_dir)
+    seed = e.orderBy("vec_id").select("vec_id", "emb").head()
+    out = [(1, int(seed.vec_id), None)]
+    sel_vecs = [list(seed.emb)]
+    sel_ids = [int(seed.vec_id)]
+    for t in range(2, KC_K + 1):
+        mat = _nested_double_literal(sel_vecs)
+        dmin = F.array_min(
+            F.transform(
+                mat,
+                lambda s: F.round(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("emb"), s, lambda x, y: (x - y) * (x - y)
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ),
+                    4,
+                ),
+            )
+        )
+        win = (
+            e.filter(~F.col("vec_id").isin(sel_ids))
+            .select("vec_id", "emb", dmin.alias("dmin"))
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("dmin")).alias("nd"),
+                        F.col("vec_id").alias("vec_id"),
+                        F.col("emb").alias("emb"),
+                    )
+                ).alias("w")
+            )
+            .head()["w"]
+        )
+        out.append((t, int(win.vec_id), -float(win.nd)))
+        sel_ids.append(int(win.vec_id))
+        sel_vecs.append(list(win.emb))
+    return spark.createDataFrame(
+        out, "rnk bigint, vec_id bigint, d2_to_selected double"
+    )
+
+
 N_QUANT_LEVELS = 256  # int8 codebook: 1 byte/dim vs 4 (float32)
 
 

@@ -1172,6 +1172,7 @@ def run_streaming_ivfadc(
     out_root: str,
     checkpoint_dir: str,
     k: int = 1,
+    trained: bool = False,
 ) -> IdempotentForeachBatchSink:
     """ANN SERVING as a streaming job: top-k IVFADC neighbors for an
     unbounded stream of query vectors, against an index built ONCE at
@@ -1184,6 +1185,12 @@ def run_streaming_ivfadc(
     protocol — a replayed batch after a crash cannot duplicate answers
     (both pytest-pinned in tests/test_streaming.py).
 
+    ``trained=True`` serves the RECOMMENDED configuration instead: the
+    Lloyd-trained coarse cells (ivfadc_index_trained — the config the
+    batch recall ladder measures best), same probe path, bit-identical
+    to the batch trained search. Training happens once at job start,
+    exactly where the offline/online split puts it.
+
     At 100 TB: the per-batch work is the query-side only — coarse
     assignment against broadcast centroids, one LUT per (query, probed
     cell), and an equi join into the cell-partitioned code table; the
@@ -1193,10 +1200,14 @@ def run_streaming_ivfadc(
     from distributed_causal_stream_processing_spark.operators.similarity import (
         as_double,
         ivfadc_index,
+        ivfadc_index_trained,
         ivfadc_score,
     )
 
-    cent, cb_df, codes = ivfadc_index(spark, sf_dir)
+    if trained:
+        _, cent, cb_df, codes = ivfadc_index_trained(spark, sf_dir)
+    else:
+        cent, cb_df, codes = ivfadc_index(spark, sf_dir)
     # materialize the encode ONCE; micro-batches only probe
     cent = cent.localCheckpoint(eager=True)
     codes = codes.localCheckpoint(eager=True)

@@ -1486,6 +1486,68 @@ def test_streaming_ivfadc_matches_batch(spark, tmp_path):
     assert sink.read_all(spark).count() == PQ_NQ
 
 
+def test_streaming_ivfadc_trained_matches_batch(spark, tmp_path):
+    """The streaming probe's trained=True path — the RECOMMENDED
+    serving configuration (Lloyd-trained coarse cells) — must be
+    bit-identical to the batch trained search over the same query
+    stream: train once at job start, probe per micro-batch. Built from
+    the same _ivfadc_trained_parts the registered trained rows use, so
+    a divergence here means the streaming path re-derived something
+    the offline/online split says it must not."""
+    import glob
+    import os
+    import time as _time
+
+    from pyspark.sql import Window as W
+
+    from distributed_causal_stream_processing_spark.io import load
+    from distributed_causal_stream_processing_spark.operators.similarity import (
+        PQ_NQ,
+        _ivfadc_trained_parts,
+        _q_win,
+    )
+    from distributed_causal_stream_processing_spark.streaming import jobs
+
+    qdir = str(tmp_path / "queries")
+    e = load(spark, SF_SMOKE, "embeddings").filter(_q_win())
+    mid = e.approxQuantile("vec_id", [0.5], 0)[0]
+    seen: set[str] = set()
+    for i, part in enumerate(
+        (e.filter(F.col("vec_id") < mid), e.filter(F.col("vec_id") >= mid))
+    ):
+        part.coalesce(1).write.mode("overwrite" if i == 0 else "append").parquet(qdir)
+        new = set(glob.glob(os.path.join(qdir, "part-*.parquet"))) - seen
+        seen |= new
+        t = _time.time() + 1000 * i
+        for f in new:
+            os.utime(f, (t, t))
+
+    sink = jobs.run_streaming_ivfadc(
+        spark,
+        qdir,
+        SF_SMOKE,
+        str(tmp_path / "results"),
+        str(tmp_path / "ck"),
+        k=1,
+        trained=True,
+    )
+    got = {
+        (r.query_id, r.neighbor_id, r.adc_dist)
+        for r in sink.read_all(spark).collect()
+    }
+    # batch twin: top-1 of the trained index's adc table
+    _, adc = _ivfadc_trained_parts(spark, SF_SMOKE)
+    w = W.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    want = {
+        (r.query_id, r.neighbor_id, r.adc_dist)
+        for r in adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "neighbor_id", "adc_dist")
+        .collect()
+    }
+    assert got == want and len(got) == PQ_NQ
+
+
 def test_missing_committed_batch_dir_fails_loudly(spark, tmp_path):
     """Same corruption class, other branch (ADVICE r07): a commit
     marker NEWER than the manifest's coverage whose batch dir is gone
