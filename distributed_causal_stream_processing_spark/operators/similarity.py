@@ -2983,7 +2983,12 @@ def q_sim_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
     only) lifts the whole chain: ceiling 0.25→0.32, code-only
     0.04→0.08, and trained + re-rank@10 0.25 vs seeded + re-rank@10's
     0.11 (q_sim_ivfadc_trained_rerank_recall) — the single best
-    recall-per-serving-dollar move measured here.
+    recall-per-serving-dollar move measured here;
+    (5) and UNLIKE the seeded index, the trained probe curve is not
+    flat: the trained ceiling climbs 0.21/0.32/0.54/0.79/1.00 at
+    depths 1/2/4/8/16 (q_sim_ivfadc_trained_probe_sweep), so once
+    cells are trained, probe depth buys real headroom for the re-rank
+    stage to cash — size N_PROBE to the recall target off that curve.
     So: run q_sim_ivfadc_recall and q_sim_ivfadc_ceiling on YOUR
     corpus; if recall@1 is below ~0.8× the PQ full-scan
     (q_sim_pq_recall) and the probe curve is flat, train the centroids
@@ -3338,11 +3343,7 @@ def q_sim_ivfadc_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # filtering on the probe rank of the cell each candidate came from.
 PROBE_LEVELS = (1, 2, 4, 8, 16)
 
-@query(
-    "q_sim_ivfadc_probe_sweep",
-    oracle=_pq_duck(pre_ctes=_IVFADC_PRE, sub_cte=_IVFADC_SUB, seed_lo=N_CELLS)
-    + _ivfadc_search_sql(n_probe=max(PROBE_LEVELS), with_rank=True)
-    + f"""
+_PROBE_SWEEP_TAIL = f"""
     , levels AS (SELECT unnest({list(PROBE_LEVELS)}) AS n_probe),
     cand AS (
         SELECT lv.n_probe, a.query_id, a.neighbor_id, a.adc_dist
@@ -3377,7 +3378,14 @@ PROBE_LEVELS = (1, 2, 4, 8, 16)
     JOIN nc USING (n_probe, query_id)
     JOIN hits h USING (n_probe, query_id)
     GROUP BY a.n_probe
-    """,
+    """
+
+
+@query(
+    "q_sim_ivfadc_probe_sweep",
+    oracle=_pq_duck(pre_ctes=_IVFADC_PRE, sub_cte=_IVFADC_SUB, seed_lo=N_CELLS)
+    + _ivfadc_search_sql(n_probe=max(PROBE_LEVELS), with_rank=True)
+    + _PROBE_SWEEP_TAIL,
 )
 def q_sim_ivfadc_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The IVFADC recall/cost CURVE across probe depths — the measured
@@ -3419,7 +3427,16 @@ def q_sim_ivfadc_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     adc = _memo_df(_memo_key(spark, sf_dir, "ivfadc:adc:probe_max"), build)
-    exact1 = _exact1_raw(spark, sf_dir)
+    return _probe_sweep_table(e, adc, _exact1_raw(spark, sf_dir))
+
+
+def _probe_sweep_table(
+    e: DataFrame, adc: DataFrame, exact1: DataFrame
+) -> DataFrame:
+    """The recall/cost/ceiling-vs-probe-depth curve over PROBE_LEVELS
+    for a crank-tagged adc candidate table — ONE definition shared by
+    the seeded sweep and the trained-centroid sweep, so the curves
+    differ only by the cent table that produced ``adc``."""
     cand = (
         adc.withColumn(
             "n_probe",
@@ -3937,6 +3954,50 @@ def q_sim_ivfadc_trained_rerank_sweep(spark: SparkSession, sf_dir: str) -> DataF
     serving path."""
     e, adc = _ivfadc_trained_parts(spark, sf_dir)
     return _rerank_sweep_table(e, adc, exact1=_exact1_raw(spark, sf_dir))
+
+
+@query(
+    "q_sim_ivfadc_trained_probe_sweep",
+    oracle=_pq_duck(
+        pre_ctes=_trained_cent_duck(IVF_TRAIN_ITERS) + _IVFADC_PRE[1:],
+        sub_cte=_IVFADC_SUB,
+        seed_lo=N_CELLS,
+    )
+    + _ivfadc_search_sql(n_probe=max(PROBE_LEVELS), with_rank=True)
+    + _PROBE_SWEEP_TAIL,
+)
+def q_sim_ivfadc_trained_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The probe-depth curve on the TRAINED index — completes the
+    serving matrix: both tunables (probe depth here, re-rank depth in
+    q_sim_ivfadc_trained_rerank_sweep) now have measured curves on
+    BOTH index configurations. The trained ceiling lift the single
+    N_PROBE=2 point showed (0.25 -> 0.32) is here a ceiling-vs-depth
+    CURVE beside the seeded sweep's, so "raise N_PROBE vs train vs
+    re-rank" is decided by comparing measured curves, not
+    extrapolating from two points. Measured (sf0.01): ceiling climbs
+    0.21/0.32/0.54/0.79/1.00 at depths 1/2/4/8/16 while code-only
+    recall crawls 0.04->0.12 — i.e. on TRAINED cells deeper probing
+    buys real headroom (the seeded curve is flat: its cells don't
+    separate neighbors), but only the re-rank stage can cash it; the
+    serving consequence is trained cells + probe depth sized to the
+    recall target + re-rank, exactly the recommendation's shape. Same
+    one-pass derivation as
+    q_sim_ivfadc_probe_sweep (_probe_sweep_table — score once at the
+    deepest level, filter by probe rank); only the cent table differs.
+    The exact side stays PQ_NQ-bounded — an eval, never a serving
+    path."""
+    e, cent, cb_df, codes = ivfadc_index_trained(spark, sf_dir)
+
+    def build() -> DataFrame:
+        q = e.filter(_q_win()).select(F.col("vec_id").alias("query_id"), "emb")
+        return ivfadc_score(
+            q, cent, cb_df, codes, n_probe=max(PROBE_LEVELS), with_rank=True
+        )
+
+    adc = _memo_df(
+        _memo_key(spark, sf_dir, "ivfadc:adc:trained_probe_max"), build
+    )
+    return _probe_sweep_table(e, adc, _exact1_raw(spark, sf_dir))
 
 
 # Incremental index growth (round 10): at 100 TB the corpus grows in

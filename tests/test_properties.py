@@ -1280,3 +1280,22 @@ def test_ivfadc_family_cross_query_consistency(spark):
     assert all(
         tsweep[b] >= tsweep[a] - tol for a, b in zip(tlv, tlv[1:])
     ), tsweep
+    # (b'') trained probe sweep @ N_PROBE must carry exactly
+    # q_sim_ivfadc_trained_recall's recall/cand_frac (independent
+    # implementations over the same trained index)
+    from distributed_causal_stream_processing_spark.operators.similarity import (
+        q_sim_ivfadc_trained_probe_sweep,
+        q_sim_ivfadc_trained_recall,
+    )
+
+    tprobe = {
+        r["n_probe"]: r
+        for r in q_sim_ivfadc_trained_probe_sweep(spark, sf).collect()
+    }
+    tr = q_sim_ivfadc_trained_recall(spark, sf).head()
+    assert tprobe[N_PROBE]["recall_at_1"] == tr["recall_at_1"]
+    assert tprobe[N_PROBE]["cand_frac"] == tr["cand_frac"]
+    for r in tprobe.values():
+        assert r["recall_at_1"] <= r["ceiling_at_probe"] + 1e-9, r
+    # and the trained re-rank ladder is bounded by the trained ceiling
+    assert max(tsweep.values()) <= tprobe[N_PROBE]["ceiling_at_probe"] + 1e-9

@@ -55,7 +55,11 @@ def main() -> None:
         "(`q_sim_ivfadc_trained_rerank_recall`) — the best",
         "recall-per-serving-dollar move measured (offline cost only);",
         "tune R for the recommended trained config on its OWN measured",
-        "curve, `q_sim_ivfadc_trained_rerank_sweep` (VERDICT r10 item 3).",
+        "curve, `q_sim_ivfadc_trained_rerank_sweep` (VERDICT r10 item 3),",
+        "and probe depth on `q_sim_ivfadc_trained_probe_sweep` — unlike",
+        "the seeded index's flat curve, the trained ceiling climbs",
+        "0.21/0.32/0.54/0.79/1.00 at depths 1/2/4/8/16, so trained cells",
+        "make probe depth a real knob again.",
         "An incrementally grown index (new batch encoded with the stale",
         "codebook, `q_sim_ivfadc_incremental_recall`) matches the full",
         "rebuild exactly (0.04), so retraining can be deferred. Measure",
