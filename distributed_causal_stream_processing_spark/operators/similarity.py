@@ -2259,13 +2259,31 @@ def eval_window_seed_violations(
 # architecture, not a bench trick: the index artifacts (cells,
 # codebook, code table) are built offline ONCE and served to every
 # query; rebuilding them per query was the unrealistic shape. Memoized
-# artifacts are bounded: codebooks/centroids are constants, the code
-# table is 4 bytes + keys per vector, the adc/exact tables are
-# PQ_NQ-bounded eval intermediates.
+# artifacts and their sizes, honestly (review r11 — an earlier version
+# of this comment claimed everything was constant-or-code-sized):
+# codebooks/centroids are constants and the adc/exact eval tables are
+# PQ_NQ-bounded, but the code table is corpus-sized (4-bit codes +
+# keys), the PQ subvector table and the trained/clustered corpus
+# checkpoints are corpus-sized DOUBLE tables (~dim doubles per
+# vector — tens of MB per fixture at sf0.1). All entries are bounded
+# per (session, fixture, variant), live in executor storage for the
+# session, and cannot be recomputed once lineage is cut — acceptable
+# at bench scales and the right trade for eval reuse, but a 100 TB
+# deployment would persist these artifacts to storage (the offline
+# index job) instead of block-manager checkpoints.
 _MEMO: dict[tuple, object] = {}
+
+# Testing seam (review r11): the registry-wide physical-plan audits
+# (no-Python, no-cartesian) must see the CONSTRUCTION plans, not the
+# post-checkpoint ExistingRDD scans a memo hit returns. With this flag
+# set, _memo_key returns None, so every build path runs uncached and
+# uncheckpointed — the plans are the real ones.
+_MEMO_DISABLED = False
 
 
 def _memo_key(spark: SparkSession, sf_dir: str, tag: str) -> tuple | None:
+    if _MEMO_DISABLED:
+        return None
     try:
         app_id = spark.sparkContext.applicationId
     except Exception:  # session stopped / remote-only — skip memoization
@@ -2910,6 +2928,32 @@ def ivfadc_score(
     )
 
 
+def _adc_memo(
+    spark: SparkSession,
+    sf_dir: str,
+    tag: str,
+    parts_fn,
+    n_probe: int = N_PROBE,
+    with_rank: bool = False,
+) -> DataFrame:
+    """Memoized eval-window adc candidate table over an index — ONE
+    definition of the query-side wiring shared by the seeded/trained
+    parts helpers, both probe sweeps, and the incremental eval (review
+    r11: three copy-paste build closures drifting apart is exactly how
+    the sweeps' "only the cent table differs" guarantee dies).
+    ``parts_fn`` returns (e, cent, cb_df, codes) and is called lazily,
+    so a memo hit skips the index getter entirely."""
+
+    def build() -> DataFrame:
+        e, cent, cb_df, codes = parts_fn()
+        q = e.filter(_q_win()).select(F.col("vec_id").alias("query_id"), "emb")
+        return ivfadc_score(
+            q, cent, cb_df, codes, n_probe=n_probe, with_rank=with_rank
+        )
+
+    return _memo_df(_memo_key(spark, sf_dir, tag), build)
+
+
 def _ivfadc_parts(spark: SparkSession, sf_dir: str):
     """Registered-query wiring: index over the corpus, queries =
     the eval window, per-(query, candidate) adc table. The adc table
@@ -2917,15 +2961,13 @@ def _ivfadc_parts(spark: SparkSession, sf_dir: str):
     every seeded eval row (search, re-rank, sweeps), so scoring runs
     once per session instead of once per row."""
     e = _emb(spark, sf_dir)
-
-    def build() -> DataFrame:
-        cent, cb_df, codes = ivfadc_index(spark, sf_dir)
-        queries_df = e.filter(_q_win()).select(
-            F.col("vec_id").alias("query_id"), "emb"
-        )
-        return ivfadc_score(queries_df, cent, cb_df, codes)
-
-    return e, _memo_df(_memo_key(spark, sf_dir, "ivfadc:adc:seeded"), build)
+    adc = _adc_memo(
+        spark,
+        sf_dir,
+        "ivfadc:adc:seeded",
+        lambda: (e, *ivfadc_index(spark, sf_dir)),
+    )
+    return e, adc
 
 
 @query(
@@ -3416,17 +3458,14 @@ def q_sim_ivfadc_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeded at sf0.01), and the gap recall→ceiling at each level is
     what re-rank depth (q_sim_ivfadc_rerank_sweep) can still buy."""
     e = _emb(spark, sf_dir)
-
-    def build() -> DataFrame:
-        cent, cb_df, codes = ivfadc_index(spark, sf_dir)
-        q = e.filter(_q_win()).select(
-            F.col("vec_id").alias("query_id"), "emb"
-        )
-        return ivfadc_score(
-            q, cent, cb_df, codes, n_probe=max(PROBE_LEVELS), with_rank=True
-        )
-
-    adc = _memo_df(_memo_key(spark, sf_dir, "ivfadc:adc:probe_max"), build)
+    adc = _adc_memo(
+        spark,
+        sf_dir,
+        "ivfadc:adc:probe_max",
+        lambda: (e, *ivfadc_index(spark, sf_dir)),
+        n_probe=max(PROBE_LEVELS),
+        with_rank=True,
+    )
     return _probe_sweep_table(e, adc, _exact1_raw(spark, sf_dir))
 
 
@@ -3790,10 +3829,14 @@ def ivfadc_index_trained(spark: SparkSession, sf_dir: str):
     key = _memo_key(spark, sf_dir, "ivfadc:trained")
     if key is not None and key in _MEMO:
         return _MEMO[key]
-    e = _emb(spark, sf_dir).localCheckpoint(eager=True)
+    e = _emb(spark, sf_dir)
+    if key is not None:
+        e = e.localCheckpoint(eager=True)
     cent = _trained_cent(e)
     _, cb_df, codes = ivfadc_index_from(e, cent=cent)
-    out = (e, cent, cb_df, codes.localCheckpoint(eager=True))
+    if key is not None:
+        codes = codes.localCheckpoint(eager=True)
+    out = (e, cent, cb_df, codes)
     if key is not None:
         _MEMO[key] = out
     return out
@@ -3802,13 +3845,8 @@ def ivfadc_index_trained(spark: SparkSession, sf_dir: str):
 def _ivfadc_trained_parts(spark: SparkSession, sf_dir: str):
     """Trained-index twin of _ivfadc_parts: corpus + memoized
     PQ_NQ-bounded adc candidate table over the trained index."""
-    e, cent, cb_df, codes = ivfadc_index_trained(spark, sf_dir)
-
-    def build() -> DataFrame:
-        q = e.filter(_q_win()).select(F.col("vec_id").alias("query_id"), "emb")
-        return ivfadc_score(q, cent, cb_df, codes)
-
-    return e, _memo_df(_memo_key(spark, sf_dir, "ivfadc:adc:trained"), build)
+    e, *_ = parts = ivfadc_index_trained(spark, sf_dir)
+    return e, _adc_memo(spark, sf_dir, "ivfadc:adc:trained", lambda: parts)
 
 
 @query(
@@ -3986,16 +4024,14 @@ def q_sim_ivfadc_trained_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFr
     deepest level, filter by probe rank); only the cent table differs.
     The exact side stays PQ_NQ-bounded — an eval, never a serving
     path."""
-    e, cent, cb_df, codes = ivfadc_index_trained(spark, sf_dir)
-
-    def build() -> DataFrame:
-        q = e.filter(_q_win()).select(F.col("vec_id").alias("query_id"), "emb")
-        return ivfadc_score(
-            q, cent, cb_df, codes, n_probe=max(PROBE_LEVELS), with_rank=True
-        )
-
-    adc = _memo_df(
-        _memo_key(spark, sf_dir, "ivfadc:adc:trained_probe_max"), build
+    e, *_ = parts = ivfadc_index_trained(spark, sf_dir)
+    adc = _adc_memo(
+        spark,
+        sf_dir,
+        "ivfadc:adc:trained_probe_max",
+        lambda: parts,
+        n_probe=max(PROBE_LEVELS),
+        with_rank=True,
     )
     return _probe_sweep_table(e, adc, _exact1_raw(spark, sf_dir))
 
@@ -4042,14 +4078,11 @@ def q_sim_ivfadc_incremental_recall(spark: SparkSession, sf_dir: str) -> DataFra
     restriction is one filter on the subvector table. The exact side
     stays PQ_NQ-bounded — an eval, never a serving path."""
     e = _emb(spark, sf_dir)
-
-    def build() -> DataFrame:
-        train_pred = (F.col("vec_id") < INCR_CUT) | (F.col("vec_id") % 5 > 0)
-        cent, cb_df, codes = ivfadc_index_from(e, train_pred=train_pred)
-        q = e.filter(_q_win()).select(
-            F.col("vec_id").alias("query_id"), "emb"
-        )
-        return ivfadc_score(q, cent, cb_df, codes)
-
-    adc = _memo_df(_memo_key(spark, sf_dir, "ivfadc:adc:incr"), build)
+    train_pred = (F.col("vec_id") < INCR_CUT) | (F.col("vec_id") % 5 > 0)
+    adc = _adc_memo(
+        spark,
+        sf_dir,
+        "ivfadc:adc:incr",
+        lambda: (e, *ivfadc_index_from(e, train_pred=train_pred)),
+    )
     return _ivfadc_recall_table(e, adc, exact1=_exact1_raw(spark, sf_dir))

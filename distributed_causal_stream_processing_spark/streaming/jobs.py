@@ -1208,9 +1208,14 @@ def run_streaming_ivfadc(
         _, cent, cb_df, codes = ivfadc_index_trained(spark, sf_dir)
     else:
         cent, cb_df, codes = ivfadc_index(spark, sf_dir)
-    # materialize the encode ONCE; micro-batches only probe
+    # the memoized index builders return `codes` already eagerly
+    # localCheckpointed (similarity._memo_key) — re-checkpointing it
+    # here paid an extra full pass and held a duplicate corpus-sized
+    # block set per job (review r11). cent is lazy-tiny for the seeded
+    # index (a 16-row filter) and local data for the trained one; one
+    # cheap checkpoint keeps micro-batches from re-reading the parquet
+    # footer per trigger.
     cent = cent.localCheckpoint(eager=True)
-    codes = codes.localCheckpoint(eager=True)
     sink = IdempotentForeachBatchSink(out_root)
 
     def probe(batch_df: DataFrame, batch_id: int) -> None:

@@ -3,7 +3,29 @@ the executed plan, not just in docstrings."""
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from tests.conftest import SF_SMOKE
+
+
+@contextmanager
+def _memo_disabled():
+    """Run registry builds un-memoized and un-checkpointed so the
+    registry-wide audits see the real CONSTRUCTION plans — a memo hit
+    returns a post-checkpoint ExistingRDD scan, which would blind the
+    no-Python / no-cartesian / no-global-window audits to the
+    PQ/IVFADC/dedup build pipelines (review r11: the exact shared
+    blind-spot class the round-9/10 postmortems warn about)."""
+    from distributed_causal_stream_processing_spark.operators import (
+        similarity as S,
+    )
+
+    old = S._MEMO_DISABLED
+    S._MEMO_DISABLED = True
+    try:
+        yield
+    finally:
+        S._MEMO_DISABLED = old
 
 
 def _plan(df) -> str:
@@ -163,11 +185,14 @@ def test_no_accidental_cartesian_products(spark):
     an equi join degrading to a product is the classic silent
     100 TB-killer."""
     bad = []
-    for name, spec in sorted(_registry().items()):
-        df = spec.fn(spark, SF_SMOKE)
-        plan = df._jdf.queryExecution().optimizedPlan().toString()
-        if ("Join Cross" in plan or "NestedLoop" in plan) and name not in CARTESIAN_OK:
-            bad.append(name)
+    with _memo_disabled():
+        for name, spec in sorted(_registry().items()):
+            df = spec.fn(spark, SF_SMOKE)
+            plan = df._jdf.queryExecution().optimizedPlan().toString()
+            if (
+                "Join Cross" in plan or "NestedLoop" in plan
+            ) and name not in CARTESIAN_OK:
+                bad.append(name)
     assert not bad, f"unexpected cartesian/NLJ in: {bad}"
 
 
@@ -603,11 +628,12 @@ def test_no_python_outside_declared_surfaces_registry_wide(spark):
     hot-path slowdown. (The manual audit VERDICT performs each round,
     made permanent.)"""
     bad = []
-    for name, spec in sorted(_registry().items()):
-        df = spec.fn(spark, SF_SMOKE)
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        if any(m in plan for m in _PY_MARKERS) and name not in PYTHON_EVAL_OK:
-            bad.append(name)
+    with _memo_disabled():
+        for name, spec in sorted(_registry().items()):
+            df = spec.fn(spark, SF_SMOKE)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            if any(m in plan for m in _PY_MARKERS) and name not in PYTHON_EVAL_OK:
+                bad.append(name)
     assert not bad, f"undeclared Python eval in: {bad}"
 
 
@@ -617,12 +643,15 @@ def test_no_unbounded_global_window_registry_wide(spark):
     future query against the single-partition-window trap without a
     per-query test."""
     bad = []
-    for name, spec in sorted(_registry().items()):
-        df = spec.fn(spark, SF_SMOKE)
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        unpart = [n for n in _window_nodes(plan) if not _is_partitioned_window(n)]
-        if unpart and name not in BOUNDED_GLOBAL_WINDOW_OK:
-            bad.append(name)
+    with _memo_disabled():
+        for name, spec in sorted(_registry().items()):
+            df = spec.fn(spark, SF_SMOKE)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            unpart = [
+                n for n in _window_nodes(plan) if not _is_partitioned_window(n)
+            ]
+            if unpart and name not in BOUNDED_GLOBAL_WINDOW_OK:
+                bad.append(name)
     assert not bad, f"unbounded global window in: {bad}"
 
 
