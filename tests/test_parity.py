@@ -278,6 +278,15 @@ def test_causal_audit_detects_inversions_and_concurrency(spark, tmp_path):
         # the second scale for the same tie-sensitivity reason.
         "q_embed_pca_power",
         "q_embed_abtt",
+        # round 12 (VERDICT r11 item 8): the rows new in r11 join the
+        # second-scale sweep — round-half ties are SCALE-DEPENDENT
+        # (round 6's lesson), and these were referenced from one scale
+        # only. The serving row (new this round) joins for the same
+        # reason.
+        "q_sample_diverse_kcenter",
+        "q_sample_diverse_coverage",
+        "q_sim_ivfadc_trained_probe_sweep",
+        "q_sim_ivfadc_serving",
     ],
 )
 def test_tie_prone_queries_parity_at_sf0001(tie_query, spark, duck_sf0001):

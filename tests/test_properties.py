@@ -1299,3 +1299,31 @@ def test_ivfadc_family_cross_query_consistency(spark):
         assert r["recall_at_1"] <= r["ceiling_at_probe"] + 1e-9, r
     # and the trained re-rank ladder is bounded by the trained ceiling
     assert max(tsweep.values()) <= tprobe[N_PROBE]["ceiling_at_probe"] + 1e-9
+    # (f) the RECOMMENDED serving row (VERDICT r11 item 4) agrees with
+    # the curves it was read off: its candidate set IS the trained
+    # index probed at SERVING_PROBE, so cand_frac must equal the
+    # trained probe sweep's row exactly; a hit requires the exact NN
+    # among the candidates, so recall is bounded by that row's ceiling;
+    # and re-ranking an R-deep shortlist can't do worse than the
+    # code-only top-1 beyond rounded-tie slack (R=1 re-rank IS the
+    # code-only answer; each deeper level risks one tie per step).
+    from distributed_causal_stream_processing_spark.operators.similarity import (
+        RERANK_LEVELS as _RL,
+        SERVING_PROBE,
+        q_sim_ivfadc_serving,
+    )
+
+    srows = q_sim_ivfadc_serving(spark, sf).collect()
+    assert len(srows) == PQ_NQ
+    srecall = {r["recall_at_1"] for r in srows}
+    scand = {r["cand_frac"] for r in srows}
+    assert len(srecall) == 1 and len(scand) == 1  # constant stat columns
+    srecall, scand = srecall.pop(), scand.pop()
+    assert scand == tprobe[SERVING_PROBE]["cand_frac"], (
+        scand,
+        tprobe[SERVING_PROBE],
+    )
+    assert srecall <= tprobe[SERVING_PROBE]["ceiling_at_probe"] + 1e-9
+    # the stat column is the mean of the per-row hit flags, rounded
+    assert srecall == round(sum(r["hit"] for r in srows) / len(srows), 4)
+    assert srecall >= tprobe[SERVING_PROBE]["recall_at_1"] - (len(_RL) - 1) * tol

@@ -35,6 +35,15 @@ def main() -> None:
         "round 10 on the REPRESENTATIVE query window after finding the old",
         "20-query eval was dominated by the 16 zero-residual centroid",
         "vectors and read 3-6x high — see similarity.py's PQ_Q_LO note).",
+        "START HERE: `q_sim_ivfadc_serving` is the RECOMMENDED configuration",
+        "assembled end to end (VERDICT r11 item 4) — trained centroids,",
+        "probe depth 4 (the knee of the trained probe curve: marginal",
+        "ceiling per marginal candidate holds ~1.7x chance through depth 4,",
+        "then collapses below 1.0), exact re-rank at R=10 (where the R-curve",
+        "flattens) — one row per query with the served neighbor plus the",
+        "config's measured recall@1 0.34 @ cand_frac 0.2528 (sf0.01,",
+        "driver value-hash row). The curves below are how those constants",
+        "were chosen and what to re-derive on YOUR corpus.",
         "Round 11 folded the single-point rows (recall, rerank-recall,",
         "ceiling) into the sweeps that publish them as curve points and",
         "memoized the index builds per session (VERDICT r10 item 1);",
