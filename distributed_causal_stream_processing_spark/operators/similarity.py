@@ -852,7 +852,7 @@ def _mt_candidates(
     if pred is not None:
         e = e.filter(pred)
 
-    sigs = mt_signature_frame(e, planes_per_table).localCheckpoint(eager=True)
+    sigs = _build_ckpt(mt_signature_frame(e, planes_per_table))
 
     # Candidate generation stays NARROW — (vec_id, bucket) rows only —
     # and pairs are made DISTINCT before any vector is touched: a pair
@@ -1431,8 +1431,46 @@ def _kcenter_selection(spark: SparkSession, sf_dir: str):
         sel_vecs.append(list(win.emb))
     result = (out, sel_vecs)
     if key is not None:
-        _MEMO[key] = result
+        _memo_put(key, result)
     return result
+
+
+def kcenter_selection_violations(
+    rows: list[tuple], corpus_min_id: int | None = None
+) -> dict:
+    """Structural audit of a k-center greedy selection — the
+    seed-exclusion guard extended to this family (VERDICT r11 item 7,
+    same discipline as eval_window_seed_violations): returns {} when
+    the (rnk, vec_id, d2_to_selected) rows satisfy everything
+    q_sample_diverse_kcenter's docstring claims, else a dict naming
+    each violated invariant. Checked invariants:
+
+    - ``duplicate_exemplar``: every exemplar distinct — the greedy
+      loop's ``~isin(sel_ids)`` exclusion at work (without it a
+      corpus of duplicates re-picks the same point forever);
+    - ``seed_has_distance`` / ``seed_not_min_vec_id``: the rnk-1 seed
+      is the deterministic min-vec_id pick with NULL distance (the
+      documented seed rule — a silently changed seed would shift
+      every downstream coverage number while staying hash-green,
+      the round-9 shared-design-bug class);
+    - ``ladder_not_monotone``: d2_to_selected is the covering-radius
+      ladder, monotone non-increasing (each pick maximizes distance
+      to a GROWING selected set, so the max can only shrink; 4-dp
+      rounding makes ties legal, never increases).
+    """
+    v: dict = {}
+    ids = [r[1] for r in rows]
+    dupes = sorted({i for i in ids if ids.count(i) > 1})
+    if dupes:
+        v["duplicate_exemplar"] = dupes
+    if rows[0][2] is not None:
+        v["seed_has_distance"] = rows[0][2]
+    if corpus_min_id is not None and rows[0][1] != corpus_min_id:
+        v["seed_not_min_vec_id"] = (rows[0][1], corpus_min_id)
+    ladder = [r[2] for r in rows[1:]]
+    if any(b > a + 1e-12 for a, b in zip(ladder, ladder[1:])):
+        v["ladder_not_monotone"] = ladder
+    return v
 
 
 @query("q_sample_diverse_coverage", oracle=_kcenter_coverage_duck(KC_K))
@@ -2134,7 +2172,7 @@ def q_dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     standard scalar shape), so no driver-side collect sits in the
     data path."""
     emb = load(spark, sf_dir, "embeddings")
-    sig_rows = mt_sig_rows_for(emb).localCheckpoint(eager=True)
+    sig_rows = _build_ckpt(mt_sig_rows_for(emb))
     bnd = emb.agg(F.floor(0.8 * F.max("vec_id")).cast("bigint").alias("b"))
     sr = sig_rows.crossJoin(F.broadcast(bnd))
     corpus = (
@@ -2277,7 +2315,10 @@ _MEMO: dict[tuple, object] = {}
 # (no-Python, no-cartesian) must see the CONSTRUCTION plans, not the
 # post-checkpoint ExistingRDD scans a memo hit returns. With this flag
 # set, _memo_key returns None, so every build path runs uncached and
-# uncheckpointed — the plans are the real ones.
+# uncheckpointed — the plans are the real ones. Mid-pipeline lineage
+# cuts (PQ subvector tables, LSH signature frames) honor the seam via
+# _build_ckpt (ADVICE r11: an unconditional localCheckpoint there kept
+# those stages invisible to the audits even with the seam on).
 _MEMO_DISABLED = False
 
 
@@ -2291,6 +2332,34 @@ def _memo_key(spark: SparkSession, sf_dir: str, tag: str) -> tuple | None:
     return (app_id, sf_dir, tag, _fingerprint(table_path(sf_dir, "embeddings")))
 
 
+def _memo_put(key: tuple, value) -> None:
+    """Insert a memo entry, evicting prior entries that share
+    (app_id, sf_dir, tag) but carry a DIFFERENT fixture fingerprint
+    (ADVICE r11): a parquet regenerated in place creates a new key, and
+    the old entry's eagerly-checkpointed corpus-sized blocks would
+    otherwise stay pinned in block-manager storage for the session
+    lifetime — a slow leak for long-lived sessions that rewrite
+    fixtures. Dropping the last Python reference is the release
+    mechanism: localCheckpoint blocks are freed asynchronously by
+    Spark's ContextCleaner once the RDD is unreachable (the same
+    lifecycle bench.py's rdd_storage_blocks_after_suite probe pins)."""
+    for k in [k for k in _MEMO if k[:3] == key[:3] and k != key]:
+        del _MEMO[k]
+    _MEMO[key] = value
+
+
+def _build_ckpt(df: DataFrame) -> DataFrame:
+    """Eager localCheckpoint INSIDE a build pipeline, skipped under the
+    _MEMO_DISABLED audit seam (ADVICE r11): the seam's contract is that
+    every build path runs uncheckpointed so the registry-wide
+    no-Python/no-cartesian plan audits see the full construction plan —
+    an unconditional checkpoint here left the _pq_subvecs stage
+    invisible to them. When the memo is merely unavailable (no
+    applicationId) the checkpoint still runs: there it is a performance
+    cut, not an audit blind spot."""
+    return df if _MEMO_DISABLED else df.localCheckpoint(eager=True)
+
+
 def _memo_df(key: tuple | None, build) -> DataFrame:
     """Memoize one DataFrame artifact: build, cut lineage, reuse."""
     if key is not None and key in _MEMO:
@@ -2298,7 +2367,7 @@ def _memo_df(key: tuple | None, build) -> DataFrame:
     df = build()
     if key is not None:
         df = df.localCheckpoint(eager=True)
-        _MEMO[key] = df
+        _memo_put(key, df)
     return df
 
 
@@ -2485,11 +2554,11 @@ def _pq_raw_parts(spark: SparkSession, sf_dir: str):
     key = _memo_key(spark, sf_dir, "pq:raw")
     if key is not None and key in _MEMO:
         return _MEMO[key]
-    sub = _pq_subvecs(_emb(spark, sf_dir)).localCheckpoint(eager=True)
+    sub = _build_ckpt(_pq_subvecs(_emb(spark, sf_dir)))
     cb_df = _pq_codebook(spark, sub)
     out = (sub, cb_df)
     if key is not None:
-        _MEMO[key] = out
+        _memo_put(key, out)
     return out
 
 
@@ -2815,7 +2884,7 @@ def ivfadc_index(spark: SparkSession, sf_dir: str):
     cent, cb_df, codes = ivfadc_index_from(_emb(spark, sf_dir))
     if key is not None:
         codes = codes.localCheckpoint(eager=True)
-        _MEMO[key] = (cent, cb_df, codes)
+        _memo_put(key, (cent, cb_df, codes))
     return cent, cb_df, codes
 
 
@@ -2857,7 +2926,7 @@ def ivfadc_index_from(
             F.zip_with(F.col("emb"), F.col("cemb"), lambda x, y: x - y).alias("emb"),
         )
     )
-    sub = _pq_subvecs(res.select("vec_id", "emb")).localCheckpoint(eager=True)
+    sub = _build_ckpt(_pq_subvecs(res.select("vec_id", "emb")))
     sub_train = sub.filter(train_pred) if train_pred is not None else sub
     cb_df = _pq_codebook(e.sparkSession, sub_train, seed_lo=N_CELLS)
     codes = (
@@ -3616,7 +3685,7 @@ def _ivfadc_clustered_parts(spark: SparkSession, sf_dir: str):
     adc = ivfadc_score(q, cent, cb_df, codes)
     if key is not None:
         adc = adc.localCheckpoint(eager=True)
-        _MEMO[key] = (e, adc)
+        _memo_put(key, (e, adc))
     return e, adc
 
 
@@ -3838,7 +3907,7 @@ def ivfadc_index_trained(spark: SparkSession, sf_dir: str):
         codes = codes.localCheckpoint(eager=True)
     out = (e, cent, cb_df, codes)
     if key is not None:
-        _MEMO[key] = out
+        _memo_put(key, out)
     return out
 
 

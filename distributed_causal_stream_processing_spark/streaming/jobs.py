@@ -1204,6 +1204,10 @@ def run_streaming_ivfadc(
         ivfadc_score,
     )
 
+    from distributed_causal_stream_processing_spark.operators import (
+        similarity as _sim,
+    )
+
     if trained:
         _, cent, cb_df, codes = ivfadc_index_trained(spark, sf_dir)
     else:
@@ -1211,10 +1215,17 @@ def run_streaming_ivfadc(
     # the memoized index builders return `codes` already eagerly
     # localCheckpointed (similarity._memo_key) — re-checkpointing it
     # here paid an extra full pass and held a duplicate corpus-sized
-    # block set per job (review r11). cent is lazy-tiny for the seeded
-    # index (a 16-row filter) and local data for the trained one; one
-    # cheap checkpoint keeps micro-batches from re-reading the parquet
-    # footer per trigger.
+    # block set per job (review r11). But the builders only checkpoint
+    # when the memo key resolves (memo enabled + applicationId
+    # reachable); with the memo off, lazy `codes` would re-run the full
+    # encode — and Lloyd training on the trained path — EVERY
+    # micro-batch, so checkpoint defensively in exactly that case
+    # (ADVICE r11).
+    if _sim._memo_key(spark, sf_dir, "ivfadc:trained" if trained else "ivfadc:seeded") is None:
+        codes = codes.localCheckpoint(eager=True)
+    # cent is lazy-tiny for the seeded index (a 16-row filter) and
+    # local data for the trained one; one cheap checkpoint keeps
+    # micro-batches from re-reading the parquet footer per trigger.
     cent = cent.localCheckpoint(eager=True)
     sink = IdempotentForeachBatchSink(out_root)
 

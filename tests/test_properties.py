@@ -1327,3 +1327,65 @@ def test_ivfadc_family_cross_query_consistency(spark):
     # the stat column is the mean of the per-row hit flags, rounded
     assert srecall == round(sum(r["hit"] for r in srows) / len(srows), 4)
     assert srecall >= tprobe[SERVING_PROBE]["recall_at_1"] - (len(_RL) - 1) * tol
+
+
+def test_kcenter_selection_guard_and_coverage_scoring_set(spark):
+    """The seed-exclusion guard extended to the k-center family
+    (VERDICT r11 item 7): the greedy selection's structural invariants
+    are audited by similarity.kcenter_selection_violations (clean on
+    the live selection, and the mutation cases prove each check
+    fires), and the coverage eval's scoring set is pinned to what the
+    docstring claims — "max over the corpus", i.e. ALL vectors
+    INCLUDING the selected exemplars: the registered row's numbers
+    must equal a full-corpus recomputation, and EXCLUDING the
+    exemplars must move the mean (they contribute exact zeros) while
+    leaving the max invariant — so the assertion has teeth in both
+    directions."""
+    import pyspark.sql.functions as F
+
+    from distributed_causal_stream_processing_spark.operators import (
+        similarity as S,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows, sel_vecs = S._kcenter_selection(spark, sf)
+    e = S._emb(spark, sf)
+    min_id = e.agg(F.min("vec_id")).head()[0]
+    assert S.kcenter_selection_violations(rows, corpus_min_id=min_id) == {}
+    assert len(rows) == S.KC_K
+
+    # mutation checks: each doctored selection trips exactly its check
+    dup = [rows[0], rows[1], (3, rows[1][1], rows[1][2])]
+    assert "duplicate_exemplar" in S.kcenter_selection_violations(dup)
+    seeded = [(1, rows[0][1], 0.5)] + rows[1:]
+    assert "seed_has_distance" in S.kcenter_selection_violations(seeded)
+    assert "seed_not_min_vec_id" in S.kcenter_selection_violations(
+        rows, corpus_min_id=min_id + 1
+    )
+    riser = [rows[0], (2, rows[1][1], 1.0), (3, rows[2][1], 2.0)]
+    assert "ladder_not_monotone" in S.kcenter_selection_violations(riser)
+
+    # scoring-set pin: registered row == full-corpus recomputation
+    def cov_stats(frame):
+        c = frame.select(
+            F.round(S._kcenter_min_d2(sel_vecs) * 10000)
+            .cast("bigint")
+            .alias("dg")
+        )
+        return c.agg(
+            F.round(F.max("dg") / F.lit(10000.0), 4).alias("mx"),
+            F.round(
+                F.sum("dg") / (F.count(F.lit(1)) * F.lit(10000.0)), 4
+            ).alias("mean"),
+        ).head()
+
+    reg = S.q_sample_diverse_coverage(spark, sf).head()
+    full = cov_stats(e)
+    assert reg["max_d2_greedy"] == full["mx"]
+    assert reg["mean_d2_greedy"] == full["mean"]
+    # the exemplars really are IN the scoring set: dropping them moves
+    # the mean (12 exact zeros leave) but never the covering radius
+    sel_ids = [r[1] for r in rows]
+    excl = cov_stats(e.filter(~F.col("vec_id").isin(sel_ids)))
+    assert excl["mean"] != full["mean"], (excl, full)
+    assert excl["mx"] == full["mx"]
