@@ -359,6 +359,31 @@ def main() -> None:
         log=lambda m: print(m, file=sys.stderr),
     )
 
+    # Index-build block (VERDICT r11 item 2): the artifact memo
+    # (correctly) moved the corpus-sized PQ/IVFADC builds out of the
+    # per-query wall, and the family's references were re-recorded from
+    # warm runs — so a build-pipeline cost regression healed itself via
+    # the warm retry and was invisible to the 2x band. These rows time
+    # the builds COLD (memo cleared per run, production checkpoints on;
+    # benchlib.time_index_builds) and get the same band-retry policy as
+    # queries. Runs AFTER adjudication: clearing the memo mid-suite
+    # would make a query retime pay a rebuild and read as a regression.
+    index_build: dict = {}
+    try:
+        from distributed_causal_stream_processing_spark.benchlib import (
+            time_index_builds,
+        )
+
+        index_build = time_index_builds(spark, sf_dir)
+        base_builds = (ref or {}).get("index_build", {}) if ref and ref.get("sf") == sf else {}
+        for name in sorted(index_build):
+            base = base_builds.get(name)
+            if base is not None and past_band(index_build[name], base):
+                retimed = time_index_builds(spark, sf_dir, names=[name])
+                index_build[name] = min(index_build[name], retimed[name])
+    except Exception as exc:  # noqa: BLE001 — probe is best-effort
+        index_build = {"error": f"{type(exc).__name__}: {exc}"[:200]}
+
     # Stop the JVM BEFORE printing: Spark's log4j console appender also
     # writes to stdout, and a straggling WARN line printed after (or
     # interleaved with) the JSON would corrupt "the last stdout line is
@@ -391,6 +416,7 @@ def main() -> None:
         "iterative": iterative,
         "streaming": streaming,
         "scaling": scaling,
+        "index_build": index_build,
         "sf": sf,
     }
     with open(os.path.join(REPO_DIR, "BENCH_DETAIL.json"), "w") as f:
@@ -411,6 +437,7 @@ def main() -> None:
                 "failed": sorted(failures)[:10],
                 "queries": slowest,
                 "streaming": streaming,
+                "index_build": index_build,
                 "scaling_ratios_3x": (
                     {n: r["ratio"] for n, r in scaling["queries"].items()}
                     if scaling

@@ -97,3 +97,85 @@ def adjudicate_against_reference(
             continue
         out[name] = round(t, 3)
     return out
+
+
+# The offline index builds the artifact memo (similarity._MEMO) hides
+# from the per-query wall (VERDICT r11 item 2): round 11 memoized the
+# PQ/IVFADC builds per session — the right serving shape — but
+# BENCH_REFERENCE for the family was re-recorded warm, so a build-cost
+# regression would heal itself via the warm retry and never trip the
+# band. These rows measure the builds themselves, cold.
+INDEX_BUILDS = (
+    "build_pq_codebook",
+    "build_ivfadc_seeded",
+    "build_ivfadc_trained",
+    "build_lsh_signatures",
+)
+
+
+def time_index_builds(spark, sf_dir: str, names=None, runs: int = 1) -> dict:
+    """Cold wall time of each offline index build, MIN over ``runs``.
+
+    Cold means the artifact memo is CLEARED before every run, so each
+    build pays its full pipeline — Lloyd rounds, residual encode,
+    lineage-cut checkpoints — exactly as a production index refresh
+    would. The memo stays ENABLED (we clear, not disable): the
+    _MEMO_DISABLED audit seam also strips the mid-pipeline
+    localCheckpoints, which would measure an artificial
+    never-deployed path. The builders' eager checkpoints double as the
+    materialization, so no extra action is needed beyond the call for
+    the memoized builds; the (unmemoized) LSH signature frame is
+    materialized through the noop sink like every bench row.
+
+    Shared by bench.py's index_build block and the regression
+    tripwire's re-measurement — one definition, same drift rule as
+    time_query_noop."""
+    import pyspark.sql.functions as F
+
+    from distributed_causal_stream_processing_spark.operators import (
+        similarity as S,
+    )
+
+    def _noop(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    builds = {
+        # sub-table checkpoint + PQ_ITERS Lloyd rounds (driver collects
+        # run inside the call; cb_df is local data afterwards)
+        "build_pq_codebook": lambda: S._pq_raw_parts(spark, sf_dir),
+        # coarse assign + residual encode + codebook train; the memo
+        # path eagerly checkpoints the corpus-sized code table
+        "build_ivfadc_seeded": lambda: S.ivfadc_index(spark, sf_dir),
+        # adds IVF_TRAIN_ITERS Lloyd rounds over the full corpus for
+        # the coarse cells before the same residual-PQ pipeline
+        "build_ivfadc_trained": lambda: S.ivfadc_index_trained(spark, sf_dir),
+        # multi-table hyperplane signatures over the corpus (rebuilt
+        # per query in the suite — benched cold here for completeness
+        # of the build family)
+        "build_lsh_signatures": lambda: _noop(
+            S.mt_signature_frame(
+                S.load(spark, sf_dir, "embeddings").select(
+                    "vec_id", S.as_double("embedding").alias("emb")
+                )
+            )
+        ),
+    }
+    out: dict = {}
+    saved = dict(S._MEMO)
+    try:
+        for name in names if names is not None else INDEX_BUILDS:
+            best = None
+            for _ in range(runs):
+                S._MEMO.clear()
+                t0 = time.perf_counter()
+                builds[name]()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            out[name] = round(best, 3)
+    finally:
+        # the suite's warm artifacts survive the probe: restore the
+        # pre-existing entries (identical content — builds are
+        # deterministic), drop the probe's own
+        S._MEMO.clear()
+        S._MEMO.update(saved)
+    return out

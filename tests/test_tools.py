@@ -208,3 +208,65 @@ def test_committed_detail_is_healthy_against_reference():
     flagged, _, n = cbr.candidates(ref, det, 2.0)
     assert n > 100
     assert flagged == []
+
+
+def test_index_build_regression_trips_and_heals(monkeypatch, capsys):
+    """Mutation proof for VERDICT r11 item 2: a slowed cold index build
+    IS caught by the tripwire's band (previously invisible — the memo
+    meant no bench row measured builds, and query references recorded
+    warm healed themselves via the retry). A build at 3x its reference
+    with a warm re-measurement still slow must exit 1 with a REGRESSION
+    line; the same detail with a healthy build flags nothing and never
+    spins up Spark."""
+    ref = _ref({"q_a": 1.0})
+    ref["index_build"] = {"build_pq_codebook": 3.0}
+    # healthy: inside the band -> no candidates, no retime
+    det = _detail({"q_a": 1.1})
+    det["index_build"] = {"build_pq_codebook": 3.4}
+    flagged, new, n = cbr.candidates(ref, det, 2.0)
+    assert flagged == [] and new == [] and n == 2
+    # mutation: the build runs 3x slow and reproduces on the re-measure
+    det_bad = _detail({"q_a": 1.1})
+    det_bad["index_build"] = {"build_pq_codebook": 9.0}
+    flagged, _, _ = cbr.candidates(ref, det_bad, 2.0)
+    assert [f[0] for f in flagged] == ["build_pq_codebook"]
+    monkeypatch.setattr(
+        cbr.json, "load", lambda f: ref if "REFERENCE" in f.name else det_bad
+    )
+    monkeypatch.setattr(cbr, "persist_adjudication", lambda *a, **k: None)
+    monkeypatch.setattr(
+        cbr, "retime", lambda names, sf, runs=2: {"build_pq_codebook": 8.8}
+    )
+    assert cbr.main([]) == 1
+    assert "REGRESSION build_pq_codebook" in capsys.readouterr().out
+
+
+def test_index_build_host_jitter_cleared_by_retime(monkeypatch, capsys):
+    """The flip side: a build inflated by a host window clears on the
+    warm cold-rebuild re-measurement (same false-positive policy as
+    queries) and exits 0."""
+    ref = _ref({"q_a": 1.0})
+    ref["index_build"] = {"build_ivfadc_trained": 8.0}
+    det = _detail({"q_a": 1.1})
+    det["index_build"] = {"build_ivfadc_trained": 25.0}
+    monkeypatch.setattr(
+        cbr.json, "load", lambda f: ref if "REFERENCE" in f.name else det
+    )
+    monkeypatch.setattr(cbr, "persist_adjudication", lambda *a, **k: None)
+    monkeypatch.setattr(
+        cbr, "retime", lambda names, sf, runs=2: {"build_ivfadc_trained": 8.6}
+    )
+    assert cbr.main([]) == 0
+    out = capsys.readouterr().out
+    assert "cleared by warm re-run" in out and "REGRESSION" not in out
+
+
+def test_index_build_reference_rows_exist():
+    """BENCH_REFERENCE must carry a reference for every build the bench
+    times — a build missing from the reference is only ever listed as
+    'new', i.e. unprotected, which is exactly the blind spot this block
+    closes."""
+    from distributed_causal_stream_processing_spark.benchlib import INDEX_BUILDS
+
+    ref = json.load(open("/root/repo/BENCH_REFERENCE.json"))
+    assert set(ref.get("index_build", {})) == set(INDEX_BUILDS)

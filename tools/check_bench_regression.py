@@ -63,7 +63,11 @@ def candidates(
     """Pure comparison step: (flagged, new_names, n_checked).
 
     flagged rows are (name, base_s, current_s, ratio) where current is
-    already the min over bench.py's own retry/warm passes.
+    already the min over bench.py's own retry/warm passes. Index-build
+    rows (VERDICT r11 item 2: the cold PQ/IVFADC/LSH build walls the
+    artifact memo hides from the per-query times) ride the same band —
+    their ``build_*`` names are disjoint from query ids by construction
+    and their reference lives under ref["index_build"].
     """
     warm = det.get("iterative", {}).get("warm", {}) or {}
     adjudicated = det.get("adjudicated", {}) or {}
@@ -71,9 +75,15 @@ def candidates(
         name: min(t, warm.get(name, t), adjudicated.get(name, t))
         for name, t in det.get("queries", {}).items()
     }
+    det_builds = det.get("index_build", {}) or {}
+    base_builds = ref.get("index_build", {}) or {}
+    for name, t in det_builds.items():
+        if name == "error" or not isinstance(t, (int, float)):
+            continue
+        cur[name] = min(t, adjudicated.get(name, t))
     flagged, new = [], []
     for name, t in sorted(cur.items()):
-        base = ref["queries"].get(name)
+        base = (base_builds if name.startswith("build_") else ref["queries"]).get(name)
         if base is None:
             new.append(name)
         elif past_band(t, base, threshold):
@@ -101,10 +111,25 @@ def retime(names: list[str], sf: float, runs: int = 2) -> dict[str, float]:
     out: dict[str, float] = {}
     try:
         warm_session(spark, queries, sf_dir)
-        for name in names:
+        build_names = [n for n in names if n.startswith("build_")]
+        for name in [n for n in names if not n.startswith("build_")]:
             best = time_query_noop(queries, name, spark, sf_dir, runs=runs)
             if best is not None:
                 out[name] = round(best, 3)
+        if build_names:
+            # cold index-build rows re-measure through the same shared
+            # helper bench.py used (memo cleared per run); a build that
+            # raises stays flagged, mirroring the query policy
+            from distributed_causal_stream_processing_spark.benchlib import (
+                time_index_builds,
+            )
+
+            try:
+                out.update(
+                    time_index_builds(spark, sf_dir, names=build_names, runs=runs)
+                )
+            except Exception as exc:  # noqa: BLE001
+                print(f"build retime failed ({exc}); leaving flagged")
     finally:
         spark.stop()
     return out
