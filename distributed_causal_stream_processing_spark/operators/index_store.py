@@ -1,0 +1,196 @@
+"""Offline ANN index persistence — the 100 TB serving layout made
+physical.
+
+The artifact memo (similarity._MEMO) is the right shape for a bench
+session, but its own docstring states the production contract: at
+100 TB the index artifacts are built ONCE by an offline job and
+PERSISTED TO STORAGE, then every serving query opens them — nobody
+holds a corpus-sized code table in block-manager checkpoints across a
+fleet. This module is that offline job and its serving-side reader:
+
+- ``ivfadc_index_save``: builds (or reuses the memoized) IVFADC index
+  and writes it as parquet — the corpus-sized code table PARTITIONED
+  BY cell_id, so the on-disk layout IS the inverted file: one
+  directory per coarse cell, 4-bit codes + keys inside. The constant
+  artifacts (centroids, codebook) ride along as single-file tables,
+  plus a JSON manifest pinning the build constants (a reader joining
+  codes against the wrong-K codebook must fail loudly, not rank
+  garbage).
+- ``ivfadc_index_open``: reopens (cent, cb_df, codes) from a saved
+  directory, validating the manifest against this build's constants.
+- ``ivfadc_search_saved``: the end-to-end serving call — probe, prune,
+  score, top-k — where cell pruning is STATIC partition pruning: the
+  probed-cell union of the query batch (bounded by min(NQ*n_probe,
+  N_CELLS) ids — model-sized driver state, the q_sim_ivf_kmeans
+  contract) lands in the scan's PartitionFilters, so Spark lists and
+  reads ONLY the probed cells' files. That is the scan-cost claim
+  every IVFADC docstring makes ("a query reads ~N_PROBE/N_CELLS of
+  the code table"), enforced by the storage layout instead of a
+  shuffle: tests/test_index_store.py asserts both the PartitionFilters
+  and that the pruned scan's input files are a strict subset.
+
+Bit-equality contract: a saved-then-reopened index must serve the
+IDENTICAL adc table the in-memory index serves (codes and centroids
+are exact integers/rounded doubles — parquet round-trips them
+losslessly); pinned by test_saved_index_serves_identical_rows.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from distributed_causal_stream_processing_spark.operators.similarity import (
+    N_CELLS,
+    N_PROBE,
+    PQ_DSUB,
+    PQ_ITERS,
+    PQ_K,
+    PQ_M,
+    _coarse_d2,
+    ivfadc_index,
+    ivfadc_index_trained,
+    ivfadc_score,
+)
+
+_MANIFEST = "ivfadc_manifest.json"
+
+
+def _constants() -> dict:
+    return {
+        "format": "ivfadc-parquet-v1",
+        "n_cells": N_CELLS,
+        "pq_m": PQ_M,
+        "pq_k": PQ_K,
+        "pq_dsub": PQ_DSUB,
+        "pq_iters": PQ_ITERS,
+    }
+
+
+def ivfadc_index_save(
+    spark: SparkSession, sf_dir: str, out_dir: str, trained: bool = False
+) -> dict:
+    """The OFFLINE INDEX JOB: build the IVFADC index over the
+    embeddings corpus (reusing the session memo when warm — builds are
+    deterministic, so memo vs fresh cannot change bytes) and persist
+    it under ``out_dir``. Returns the manifest written.
+
+    Layout (= the serving read pattern):
+      codes/cell_id=<c>/*.parquet   corpus-sized, the inverted file
+      cent/*.parquet                N_CELLS x DIM doubles (constant)
+      codebook/*.parquet            M*K x dsub doubles (constant)
+      ivfadc_manifest.json          build constants + variant
+
+    Scale: the one corpus-sized write streams through the executors
+    (no driver collect); partitionBy(cell_id) makes each cell its own
+    directory so a probe lists only probed directories. With far more
+    cells than this fixture's 16, the same call distributes the
+    directory fan-out across the final write tasks — the layout cost
+    is one shuffle-free pass over the code table."""
+    if trained:
+        _, cent, cb_df, codes = ivfadc_index_trained(spark, sf_dir)
+    else:
+        cent, cb_df, codes = ivfadc_index(spark, sf_dir)
+    codes.write.partitionBy("cell_id").mode("overwrite").parquet(
+        os.path.join(out_dir, "codes")
+    )
+    cent.write.mode("overwrite").parquet(os.path.join(out_dir, "cent"))
+    cb_df.write.mode("overwrite").parquet(os.path.join(out_dir, "codebook"))
+    manifest = {**_constants(), "trained": trained, "source": sf_dir}
+    # control-plane metadata, not data: a small driver-side JSON write
+    with open(os.path.join(out_dir, _MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    return manifest
+
+
+def ivfadc_index_open(spark: SparkSession, index_dir: str):
+    """Reopen a saved index as (cent, cb_df, codes). The manifest's
+    build constants must match this build's — codes encoded under a
+    different K/M/dsub would join against the wrong codebook and rank
+    garbage while staying schema-valid, so fail loudly instead."""
+    with open(os.path.join(index_dir, _MANIFEST)) as f:
+        manifest = json.load(f)
+    mismatches = {
+        k: (v, manifest.get(k))
+        for k, v in _constants().items()
+        if manifest.get(k) != v
+    }
+    if mismatches:
+        raise ValueError(f"saved index incompatible with this build: {mismatches}")
+    # NOTE: cell_id comes back as the inferred partition-column type;
+    # deliberately NOT cast here — wrapping the partition attribute in
+    # a cast can keep a downstream filter out of PartitionFilters, and
+    # the score join coerces int vs bigint keys itself.
+    codes = spark.read.parquet(os.path.join(index_dir, "codes")).select(
+        "vec_id", "sub_no", "code", "cell_id"
+    )
+    cent = spark.read.parquet(os.path.join(index_dir, "cent"))
+    cb_df = spark.read.parquet(os.path.join(index_dir, "codebook"))
+    return cent, cb_df, codes
+
+
+def probed_cells(
+    queries_df: DataFrame, cent: DataFrame, n_probe: int = N_PROBE
+) -> list[int]:
+    """The union of cells the query batch probes — bounded by
+    min(n_queries * n_probe, N_CELLS) ids, i.e. model-sized driver
+    state (the same contract as collecting k-means centroids), never
+    corpus data. This list IS the static partition filter the serving
+    scan pushes into the cell-partitioned code table."""
+    from pyspark.sql import Window as W
+
+    qcd = (
+        queries_df.select("query_id", "emb")
+        .crossJoin(F.broadcast(cent))
+        .select("query_id", "cell_id", _coarse_d2().alias("cd2"))
+    )
+    wq = W.partitionBy("query_id").orderBy("cd2", "cell_id")
+    rows = (
+        qcd.withColumn("crank", F.row_number().over(wq))
+        .filter(F.col("crank") <= n_probe)
+        .select("cell_id")
+        .distinct()
+        .collect()
+    )
+    return sorted(int(r.cell_id) for r in rows)
+
+
+def ivfadc_search_saved(
+    spark: SparkSession,
+    index_dir: str,
+    queries_df: DataFrame,
+    n_probe: int = N_PROBE,
+    k: int = 1,
+) -> DataFrame:
+    """Serve a query batch from a SAVED index: open, compute the
+    batch's probed-cell union, statically prune the code scan to those
+    partitions, then run the standard ivfadc_score + per-query top-k.
+    Results are bit-identical to the in-memory search (the isin filter
+    only removes cells no query probes — candidates come exclusively
+    from probed cells by the LUT equi-join's construction).
+
+    Scale: the filter is a partition filter on the scan (asserted in
+    tests/test_index_store.py) — Spark never lists the unprobed cells'
+    directories, so the scan cost is proportional to the probed
+    fraction of the corpus, which is the entire point of the IVF
+    layout."""
+    from pyspark.sql import Window as W
+
+    cent, cb_df, codes = ivfadc_index_open(spark, index_dir)
+    cells = probed_cells(queries_df, cent, n_probe)
+    codes = codes.filter(F.col("cell_id").isin(cells))
+    adc = ivfadc_score(queries_df, cent, cb_df, codes, n_probe=n_probe)
+    w = W.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "adc_dist",
+            F.col("rn").cast("bigint").alias("rnk"),
+        )
+    )

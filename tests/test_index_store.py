@@ -1,0 +1,133 @@
+"""Offline IVFADC index persistence (operators/index_store.py): the
+saved cell-partitioned layout must serve bit-identical results to the
+in-memory index, refuse incompatible manifests, and — the point of the
+layout — prune the code scan to the probed cells' partitions."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from distributed_causal_stream_processing_spark.operators import index_store as ix
+from distributed_causal_stream_processing_spark.operators import similarity as S
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def saved_index(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("ivfadc_idx"))
+    manifest = ix.ivfadc_index_save(spark, SF, d)
+    return d, manifest
+
+
+def _eval_queries(spark):
+    return S._emb(spark, SF).filter(S._q_win()).select(
+        F.col("vec_id").alias("query_id"), "emb"
+    )
+
+
+def test_saved_layout_and_manifest(saved_index, spark):
+    d, manifest = saved_index
+    assert manifest["format"] == "ivfadc-parquet-v1"
+    assert manifest["trained"] is False
+    # one directory per coarse cell — the on-disk inverted file
+    cells = sorted(
+        p for p in os.listdir(os.path.join(d, "codes")) if p.startswith("cell_id=")
+    )
+    # every cell that holds at least one vector gets a directory; on
+    # this fixture all N_CELLS cells are populated
+    assert len(cells) == S.N_CELLS, cells
+    cent, cb_df, codes = ix.ivfadc_index_open(spark, d)
+    assert cent.count() == S.N_CELLS
+    assert cb_df.count() == S.PQ_M * S.PQ_K
+    # code table: M rows per vector, every cell non-empty
+    n_vec = S._emb(spark, SF).count()
+    assert codes.count() == n_vec * S.PQ_M
+
+
+def test_saved_index_serves_identical_rows(saved_index, spark):
+    """Bit-equality: adc candidates served from disk == served from
+    the in-memory (memoized) index, on the full eval window."""
+    d, _ = saved_index
+    q = _eval_queries(spark)
+    cent, cb_df, codes = S.ivfadc_index(spark, SF)
+    mem = S.ivfadc_score(q, cent, cb_df, codes)
+    dcent, dcb, dcodes = ix.ivfadc_index_open(spark, d)
+    dsk = S.ivfadc_score(q, dcent, dcb, dcodes)
+    mem_rows = sorted(map(tuple, mem.collect()))
+    dsk_rows = sorted(map(tuple, dsk.collect()))
+    assert mem_rows == dsk_rows
+    # and the end-to-end saved-search top-1 equals the registered
+    # q_sim_ivfadc row (same index, same tie-break)
+    top1 = {
+        r.query_id: (r.neighbor_id, r.adc_dist)
+        for r in ix.ivfadc_search_saved(spark, d, q, k=1).collect()
+    }
+    reg = {
+        r.query_id: (r.neighbor_id, r.adc_dist)
+        for r in S.q_sim_ivfadc(spark, SF).collect()
+    }
+    assert top1 == reg
+
+
+def test_saved_search_prunes_partitions(saved_index, spark):
+    """The layout's scale claim, enforced: a single query's search must
+    push its probed-cell set into the code scan's PartitionFilters and
+    read strictly fewer files than the full code table."""
+    d, _ = saved_index
+    one_q = _eval_queries(spark).limit(1)
+    cent, _, codes_all = ix.ivfadc_index_open(spark, d)
+    cells = ix.probed_cells(one_q, cent, n_probe=S.N_PROBE)
+    assert len(cells) == S.N_PROBE  # one query probes exactly N_PROBE cells
+    pruned = codes_all.filter(F.col("cell_id").isin(cells))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell_id" in plan
+    # the filter really prunes at LISTING time, not per-row: the scan's
+    # own numFiles metric counts only probed cells' files.
+    # inputFiles() would lie here (it reads the unfiltered relation),
+    # and the metric must be read after the FIRST collect only — the
+    # scan caches its partition listing, so re-executions never re-set
+    # numFiles (it reads 0 the second time).
+    def scan_num_files(df):
+        df.collect()
+        leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
+        return int(leaves.apply(0).metrics().apply("numFiles").value())
+
+    n_pruned = scan_num_files(pruned)
+    n_all = scan_num_files(codes_all)
+    assert 0 < n_pruned < n_all, (n_pruned, n_all)
+    # and the fraction matches the layout promise (~n_probe/N_CELLS;
+    # one file per cell directory at this scale)
+    assert n_pruned <= n_all * S.N_PROBE / S.N_CELLS, (n_pruned, n_all)
+
+
+def test_incompatible_manifest_refused(saved_index, spark, tmp_path):
+    d, _ = saved_index
+    import shutil
+
+    d2 = str(tmp_path / "bad_idx")
+    shutil.copytree(d, d2)
+    mpath = os.path.join(d2, ix._MANIFEST)
+    m = json.load(open(mpath))
+    m["pq_k"] = m["pq_k"] * 2
+    json.dump(m, open(mpath, "w"))
+    with pytest.raises(ValueError, match="incompatible"):
+        ix.ivfadc_index_open(spark, d2)
+
+
+def test_trained_variant_round_trips(spark, tmp_path):
+    """The trained index (the recommended serving config's coarse
+    layer) persists and serves identically too."""
+    d = str(tmp_path / "trained_idx")
+    manifest = ix.ivfadc_index_save(spark, SF, d, trained=True)
+    assert manifest["trained"] is True
+    q = _eval_queries(spark)
+    _, cent, cb_df, codes = S.ivfadc_index_trained(spark, SF)
+    mem = sorted(map(tuple, S.ivfadc_score(q, cent, cb_df, codes).collect()))
+    dcent, dcb, dcodes = ix.ivfadc_index_open(spark, d)
+    dsk = sorted(map(tuple, S.ivfadc_score(q, dcent, dcb, dcodes).collect()))
+    assert mem == dsk
