@@ -51,6 +51,8 @@ from distributed_causal_stream_processing_spark.operators.similarity import (
     PQ_K,
     PQ_M,
     _coarse_d2,
+    _pq_assign,
+    _pq_subvecs,
     ivfadc_index,
     ivfadc_index_trained,
     ivfadc_score,
@@ -130,6 +132,59 @@ def ivfadc_index_open(spark: SparkSession, index_dir: str):
     cent = spark.read.parquet(os.path.join(index_dir, "cent"))
     cb_df = spark.read.parquet(os.path.join(index_dir, "codebook"))
     return cent, cb_df, codes
+
+
+def ivfadc_index_append(
+    spark: SparkSession, index_dir: str, new_embeddings: DataFrame
+) -> None:
+    """The PRODUCTION INGEST PATH: encode a new vector batch with the
+    saved index's EXISTING cells and codebook and append it to the
+    cell-partitioned code table — assignment and encoding are per-row
+    map work over broadcast constants (no training, no corpus
+    rescan), which is exactly why a 100 TB corpus can grow per batch
+    while retraining stays a scheduled offline job. The measured price
+    of serving stale-codebook codes is q_sim_ivfadc_incremental_recall
+    (zero recall delta vs a full rebuild on this fixture), and
+    tests/test_index_store.py pins that an appended store serves
+    BIT-IDENTICAL results to that eval's in-memory construction.
+
+    ``new_embeddings`` must be (vec_id, emb array<double>) rows with
+    vec_ids not already in the store — the caller's dedup contract
+    (an idempotent ingest would route through q_stream_dedup /
+    exactly-once sink machinery first; re-appending a vec_id would
+    double its rows in every probed scan, same as any append-only
+    table).
+
+    Scale: one narrow append of M rows x (key, sub_no, code) per new
+    vector, partitioned into the probed layout on write; unchanged
+    cells' directories are untouched."""
+    cent, cb_df, codes_path = (
+        *ivfadc_index_open(spark, index_dir)[:2],
+        os.path.join(index_dir, "codes"),
+    )
+    e = new_embeddings.select("vec_id", "emb")
+    cd = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "cell_id", "emb", "cemb", _coarse_d2().alias("cd2")
+    )
+    best = (
+        cd.groupBy("vec_id")
+        .agg(F.min(F.struct("cd2", "cell_id")).alias("bc"), F.first("emb").alias("emb"))
+        .select("vec_id", F.col("bc.cell_id").alias("cell_id"), "emb")
+    )
+    res = best.join(F.broadcast(cent), ["cell_id"]).select(
+        "vec_id",
+        "cell_id",
+        F.zip_with(F.col("emb"), F.col("cemb"), lambda x, y: x - y).alias("emb"),
+    )
+    new_codes = (
+        _pq_assign(_pq_subvecs(res.select("vec_id", "emb")), cb_df)
+        .select("vec_id", "sub_no", "code")
+        .join(
+            res.select("vec_id", F.col("cell_id").cast("bigint").alias("cell_id")),
+            ["vec_id"],
+        )
+    )
+    new_codes.write.partitionBy("cell_id").mode("append").parquet(codes_path)
 
 
 def probed_cells(

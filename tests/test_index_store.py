@@ -131,3 +131,37 @@ def test_trained_variant_round_trips(spark, tmp_path):
     dcent, dcb, dcodes = ix.ivfadc_index_open(spark, d)
     dsk = sorted(map(tuple, S.ivfadc_score(q, dcent, dcb, dcodes).collect()))
     assert mem == dsk
+
+
+def test_append_matches_incremental_rebuild(spark, tmp_path):
+    """The ingest path: an index SAVED from the pre-existing corpus and
+    APPENDED with a new batch (stale cells + stale codebook — pure map
+    work) must serve bit-identical adc rows to the in-memory
+    incremental construction q_sim_ivfadc_incremental_recall measures
+    (ivfadc_index_from with the codebook trained on the pre-corpus
+    only — identical semantics: the codebook never sees the batch, the
+    batch is encoded with it)."""
+    pre_pred = (F.col("vec_id") < S.INCR_CUT) | (F.col("vec_id") % 5 > 0)
+    e_all = S._emb(spark, SF)
+    # stage the pre-corpus as its own fixture dir so the saved index is
+    # built from exactly what existed before the batch arrived
+    pre_dir = str(tmp_path / "pre_sf")
+    os.makedirs(pre_dir)
+    from distributed_causal_stream_processing_spark.io import load
+
+    load(spark, SF, "embeddings").filter(pre_pred).write.parquet(
+        os.path.join(pre_dir, "embeddings.parquet")
+    )
+    d = str(tmp_path / "grow_idx")
+    ix.ivfadc_index_save(spark, pre_dir, d)
+    ix.ivfadc_index_append(spark, d, e_all.filter(~pre_pred))
+
+    q = _eval_queries(spark)
+    dcent, dcb, dcodes = ix.ivfadc_index_open(spark, d)
+    # the grown store holds every vector exactly once
+    assert dcodes.count() == e_all.count() * S.PQ_M
+    assert dcodes.select("vec_id").distinct().count() == e_all.count()
+    got = sorted(map(tuple, S.ivfadc_score(q, dcent, dcb, dcodes).collect()))
+    cent, cb_df, codes = S.ivfadc_index_from(e_all, train_pred=pre_pred)
+    want = sorted(map(tuple, S.ivfadc_score(q, cent, cb_df, codes).collect()))
+    assert got == want
