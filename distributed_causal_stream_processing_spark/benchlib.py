@@ -130,8 +130,6 @@ def time_index_builds(spark, sf_dir: str, names=None, runs: int = 1) -> dict:
     Shared by bench.py's index_build block and the regression
     tripwire's re-measurement — one definition, same drift rule as
     time_query_noop."""
-    import pyspark.sql.functions as F
-
     from distributed_causal_stream_processing_spark.operators import (
         similarity as S,
     )

@@ -108,11 +108,15 @@ def ivfadc_index_save(
     return manifest
 
 
-def ivfadc_index_open(spark: SparkSession, index_dir: str):
-    """Reopen a saved index as (cent, cb_df, codes). The manifest's
-    build constants must match this build's — codes encoded under a
-    different K/M/dsub would join against the wrong codebook and rank
-    garbage while staying schema-valid, so fail loudly instead."""
+def _open_constants(spark: SparkSession, index_dir: str):
+    """Validate the manifest and open the CONSTANT artifacts only
+    (cent, cb_df) — the ingest path needs no codes relation, and
+    opening one would pay partition discovery over every cell
+    directory, exactly the listing cost the layout exists to avoid.
+    The manifest's build constants must match this build's — codes
+    encoded under a different K/M/dsub would join against the wrong
+    codebook and rank garbage while staying schema-valid, so fail
+    loudly instead."""
     with open(os.path.join(index_dir, _MANIFEST)) as f:
         manifest = json.load(f)
     mismatches = {
@@ -122,6 +126,14 @@ def ivfadc_index_open(spark: SparkSession, index_dir: str):
     }
     if mismatches:
         raise ValueError(f"saved index incompatible with this build: {mismatches}")
+    cent = spark.read.parquet(os.path.join(index_dir, "cent"))
+    cb_df = spark.read.parquet(os.path.join(index_dir, "codebook"))
+    return cent, cb_df
+
+
+def ivfadc_index_open(spark: SparkSession, index_dir: str):
+    """Reopen a saved index as (cent, cb_df, codes), manifest-validated."""
+    cent, cb_df = _open_constants(spark, index_dir)
     # NOTE: cell_id comes back as the inferred partition-column type;
     # deliberately NOT cast here — wrapping the partition attribute in
     # a cast can keep a downstream filter out of PartitionFilters, and
@@ -129,8 +141,6 @@ def ivfadc_index_open(spark: SparkSession, index_dir: str):
     codes = spark.read.parquet(os.path.join(index_dir, "codes")).select(
         "vec_id", "sub_no", "code", "cell_id"
     )
-    cent = spark.read.parquet(os.path.join(index_dir, "cent"))
-    cb_df = spark.read.parquet(os.path.join(index_dir, "codebook"))
     return cent, cb_df, codes
 
 
@@ -158,10 +168,8 @@ def ivfadc_index_append(
     Scale: one narrow append of M rows x (key, sub_no, code) per new
     vector, partitioned into the probed layout on write; unchanged
     cells' directories are untouched."""
-    cent, cb_df, codes_path = (
-        *ivfadc_index_open(spark, index_dir)[:2],
-        os.path.join(index_dir, "codes"),
-    )
+    cent, cb_df = _open_constants(spark, index_dir)
+    codes_path = os.path.join(index_dir, "codes")
     e = new_embeddings.select("vec_id", "emb")
     cd = e.crossJoin(F.broadcast(cent)).select(
         "vec_id", "cell_id", "emb", "cemb", _coarse_d2().alias("cd2")
@@ -235,6 +243,13 @@ def ivfadc_search_saved(
     from pyspark.sql import Window as W
 
     cent, cb_df, codes = ivfadc_index_open(spark, index_dir)
+    # The query batch is executed TWICE (probed_cells' collect, then
+    # the score join) — pin it first, or a non-deterministic source
+    # (.limit without order, .sample, a fresh stream batch) could be
+    # probed as one row set and scored as another, silently pruning
+    # cells the scored queries legitimately probe (review r12). The
+    # batch is serving-sized, so the checkpoint is small by contract.
+    queries_df = queries_df.select("query_id", "emb").localCheckpoint(eager=True)
     cells = probed_cells(queries_df, cent, n_probe)
     codes = codes.filter(F.col("cell_id").isin(cells))
     adc = ivfadc_score(queries_df, cent, cb_df, codes, n_probe=n_probe)

@@ -1459,6 +1459,10 @@ def kcenter_selection_violations(
       rounding makes ties legal, never increases).
     """
     v: dict = {}
+    if not rows:
+        # an audit that CRASHES on a broken selection defeats its
+        # purpose (review r12): degenerate shapes are violations too
+        return {"empty_selection": True}
     ids = [r[1] for r in rows]
     dupes = sorted({i for i in ids if ids.count(i) > 1})
     if dupes:
@@ -1468,7 +1472,9 @@ def kcenter_selection_violations(
     if corpus_min_id is not None and rows[0][1] != corpus_min_id:
         v["seed_not_min_vec_id"] = (rows[0][1], corpus_min_id)
     ladder = [r[2] for r in rows[1:]]
-    if any(b > a + 1e-12 for a, b in zip(ladder, ladder[1:])):
+    if any(d is None for d in ladder):
+        v["missing_distance"] = ladder
+    elif any(b > a + 1e-12 for a, b in zip(ladder, ladder[1:])):
         v["ladder_not_monotone"] = ladder
     return v
 

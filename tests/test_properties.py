@@ -1364,6 +1364,10 @@ def test_kcenter_selection_guard_and_coverage_scoring_set(spark):
     )
     riser = [rows[0], (2, rows[1][1], 1.0), (3, rows[2][1], 2.0)]
     assert "ladder_not_monotone" in S.kcenter_selection_violations(riser)
+    # degenerate shapes are VIOLATIONS, not crashes (review r12)
+    assert S.kcenter_selection_violations([]) == {"empty_selection": True}
+    holey = [rows[0], (2, rows[1][1], None), rows[2]]
+    assert "missing_distance" in S.kcenter_selection_violations(holey)
 
     # scoring-set pin: registered row == full-corpus recomputation
     def cov_stats(frame):

@@ -270,3 +270,23 @@ def test_index_build_reference_rows_exist():
 
     ref = json.load(open("/root/repo/BENCH_REFERENCE.json"))
     assert set(ref.get("index_build", {})) == set(INDEX_BUILDS)
+
+
+def test_dead_build_probe_fails_loudly(monkeypatch, capsys):
+    """A bench whose index_build probe errored (or silently vanished)
+    must NOT read as healthy (review r12): the reference carries build
+    rows, the detail doesn't — that is the build family UNVERIFIED,
+    the very blind spot the block closes — so main() exits 1 and says
+    so. No Spark spin-up: the queries themselves are in-band."""
+    ref = _ref({"q_a": 1.0})
+    ref["index_build"] = {"build_pq_codebook": 3.0}
+    det = _detail({"q_a": 1.1})
+    det["index_build"] = {"error": "RuntimeError: boom"}
+    monkeypatch.setattr(
+        cbr.json, "load", lambda f: ref if "REFERENCE" in f.name else det
+    )
+    monkeypatch.setattr(
+        cbr, "retime", lambda *a, **k: (_ for _ in ()).throw(AssertionError("retime"))
+    )
+    assert cbr.main([]) == 1
+    assert "UNVERIFIED" in capsys.readouterr().out

@@ -158,6 +158,22 @@ def main(argv: list[str] | None = None) -> int:
             f"sf={ref.get('sf')} — per-query comparison is meaningless; skipping"
         )
         return 0
+    # A dead build probe must not look healthy (review r12): if the
+    # reference carries index_build rows but the detail's are missing
+    # or error-valued, the build family is UNVERIFIED this run — the
+    # exact blind spot the block exists to close — so fail, loudly.
+    det_builds = det.get("index_build", {}) or {}
+    unverified_builds = [
+        n
+        for n in sorted(ref.get("index_build", {}))
+        if not isinstance(det_builds.get(n), (int, float))
+    ]
+    if unverified_builds:
+        print(
+            "index_build rows missing or errored in detail: "
+            f"{', '.join(unverified_builds)} "
+            f"(probe error: {det_builds.get('error')!r}) — build family UNVERIFIED"
+        )
     flagged, new, n_checked = candidates(ref, det, threshold)
 
     confirmed = []
@@ -185,7 +201,7 @@ def main(argv: list[str] | None = None) -> int:
         f"checked {n_checked} queries vs reference: {n_ok} within "
         f"{threshold}x, {len(confirmed)} regressed, {len(new)} new"
     )
-    return 1 if confirmed else 0
+    return 1 if confirmed or unverified_builds else 0
 
 
 if __name__ == "__main__":
