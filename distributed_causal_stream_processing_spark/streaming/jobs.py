@@ -1173,6 +1173,7 @@ def run_streaming_ivfadc(
     checkpoint_dir: str,
     k: int = 1,
     trained: bool = False,
+    index_dir: str | None = None,
 ) -> IdempotentForeachBatchSink:
     """ANN SERVING as a streaming job: top-k IVFADC neighbors for an
     unbounded stream of query vectors, against an index built ONCE at
@@ -1191,6 +1192,17 @@ def run_streaming_ivfadc(
     to the batch trained search. Training happens once at job start,
     exactly where the offline/online split puts it.
 
+    ``index_dir`` serves from a PERSISTED index instead of building
+    one (operators/index_store.py — the production fleet shape: the
+    offline job wrote the store, serving processes only open it). Each
+    micro-batch then computes its probed-cell union and statically
+    prunes the cell-partitioned code scan to those directories, so a
+    batch reads ~n_probe/N_CELLS of the code table from storage —
+    bit-identical to the built-index path, pinned in
+    tests/test_streaming.py. ``trained`` is ignored in this mode: the
+    variant is whatever the store was built as (its manifest records
+    which).
+
     At 100 TB: the per-batch work is the query-side only — coarse
     assignment against broadcast centroids, one LUT per (query, probed
     cell), and an equi join into the cell-partitioned code table; the
@@ -1208,7 +1220,14 @@ def run_streaming_ivfadc(
         similarity as _sim,
     )
 
-    if trained:
+    from_store = index_dir is not None
+    if from_store:
+        from distributed_causal_stream_processing_spark.operators.index_store import (
+            ivfadc_index_open,
+        )
+
+        cent, cb_df, codes = ivfadc_index_open(spark, index_dir)
+    elif trained:
         _, cent, cb_df, codes = ivfadc_index_trained(spark, sf_dir)
     else:
         cent, cb_df, codes = ivfadc_index(spark, sf_dir)
@@ -1220,8 +1239,11 @@ def run_streaming_ivfadc(
     # reachable); with the memo off, lazy `codes` would re-run the full
     # encode — and Lloyd training on the trained path — EVERY
     # micro-batch, so checkpoint defensively in exactly that case
-    # (ADVICE r11).
-    if _sim._memo_key(spark, sf_dir, "ivfadc:trained" if trained else "ivfadc:seeded") is None:
+    # (ADVICE r11). A saved store needs neither: its codes ARE a
+    # parquet scan, pruned per batch below.
+    if not from_store and _sim._memo_key(
+        spark, sf_dir, "ivfadc:trained" if trained else "ivfadc:seeded"
+    ) is None:
         codes = codes.localCheckpoint(eager=True)
     # cent is lazy-tiny for the seeded index (a 16-row filter) and
     # local data for the trained one; one cheap checkpoint keeps
@@ -1234,7 +1256,19 @@ def run_streaming_ivfadc(
             F.col("vec_id").alias("query_id"),
             as_double("embedding").alias("emb"),
         )
-        adc = ivfadc_score(q, cent, cb_df, codes)
+        batch_codes = codes
+        if from_store:
+            from distributed_causal_stream_processing_spark.operators.index_store import (
+                probed_cells,
+            )
+
+            # the batch executes twice (probe + score) — pin it, same
+            # rationale as ivfadc_search_saved; serving-batch-sized
+            q = q.localCheckpoint(eager=True)
+            batch_codes = codes.filter(
+                F.col("cell_id").isin(probed_cells(q, cent))
+            )
+        adc = ivfadc_score(q, cent, cb_df, batch_codes)
         w = W.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
         top = (
             adc.withColumn("rn", F.row_number().over(w))

@@ -1431,28 +1431,21 @@ def test_missing_manifested_dir_fails_loudly(spark, tmp_path):
         sink._committed_index(spark)
 
 
-def test_streaming_ivfadc_matches_batch(spark, tmp_path):
-    """ANN serving as a stream: IVFADC top-1 results for query vectors
-    arriving across TWO micro-batches must be bit-identical to the
-    registered batch q_sim_ivfadc over the same query set — the index
-    is built once, micro-batches only probe it."""
+def _stage_eval_query_stream(spark, tmp_path) -> str:
+    """Stage the PQ_NQ eval-window query vectors as two mtime-ordered
+    parquet files so the file source replays them as two micro-batches
+    (the window predicate is the batch query's own — one definition).
+    Shared by every streaming-ANN-vs-batch test."""
     import glob
+    import os
     import time as _time
 
     from distributed_causal_stream_processing_spark.io import load
     from distributed_causal_stream_processing_spark.operators.similarity import (
-        PQ_NQ,
         _q_win,
     )
-    from distributed_causal_stream_processing_spark.plans.registry import (
-        all_queries,
-    )
-    from distributed_causal_stream_processing_spark.streaming import jobs
 
     qdir = str(tmp_path / "queries")
-    # stage the PQ_NQ eval-window query vectors as two mtime-ordered
-    # files so the file source replays them as two micro-batches (the
-    # window predicate is the batch query's own — one definition)
     e = load(spark, SF_SMOKE, "embeddings").filter(_q_win())
     mid = e.approxQuantile("vec_id", [0.5], 0)[0]
     seen: set[str] = set()
@@ -1465,6 +1458,23 @@ def test_streaming_ivfadc_matches_batch(spark, tmp_path):
         t = _time.time() + 1000 * i
         for f in new:
             os.utime(f, (t, t))
+    return qdir
+
+
+def test_streaming_ivfadc_matches_batch(spark, tmp_path):
+    """ANN serving as a stream: IVFADC top-1 results for query vectors
+    arriving across TWO micro-batches must be bit-identical to the
+    registered batch q_sim_ivfadc over the same query set — the index
+    is built once, micro-batches only probe it."""
+    from distributed_causal_stream_processing_spark.operators.similarity import (
+        PQ_NQ,
+    )
+    from distributed_causal_stream_processing_spark.plans.registry import (
+        all_queries,
+    )
+    from distributed_causal_stream_processing_spark.streaming import jobs
+
+    qdir = _stage_eval_query_stream(spark, tmp_path)
 
     out = str(tmp_path / "results")
     sink = jobs.run_streaming_ivfadc(
@@ -1494,33 +1504,15 @@ def test_streaming_ivfadc_trained_matches_batch(spark, tmp_path):
     the same _ivfadc_trained_parts the registered trained rows use, so
     a divergence here means the streaming path re-derived something
     the offline/online split says it must not."""
-    import glob
-    import os
-    import time as _time
-
     from pyspark.sql import Window as W
 
-    from distributed_causal_stream_processing_spark.io import load
     from distributed_causal_stream_processing_spark.operators.similarity import (
         PQ_NQ,
         _ivfadc_trained_parts,
-        _q_win,
     )
     from distributed_causal_stream_processing_spark.streaming import jobs
 
-    qdir = str(tmp_path / "queries")
-    e = load(spark, SF_SMOKE, "embeddings").filter(_q_win())
-    mid = e.approxQuantile("vec_id", [0.5], 0)[0]
-    seen: set[str] = set()
-    for i, part in enumerate(
-        (e.filter(F.col("vec_id") < mid), e.filter(F.col("vec_id") >= mid))
-    ):
-        part.coalesce(1).write.mode("overwrite" if i == 0 else "append").parquet(qdir)
-        new = set(glob.glob(os.path.join(qdir, "part-*.parquet"))) - seen
-        seen |= new
-        t = _time.time() + 1000 * i
-        for f in new:
-            os.utime(f, (t, t))
+    qdir = _stage_eval_query_stream(spark, tmp_path)
 
     sink = jobs.run_streaming_ivfadc(
         spark,
@@ -1544,6 +1536,47 @@ def test_streaming_ivfadc_trained_matches_batch(spark, tmp_path):
         .filter(F.col("rn") == 1)
         .select("query_id", "neighbor_id", "adc_dist")
         .collect()
+    }
+    assert got == want and len(got) == PQ_NQ
+
+
+def test_streaming_ivfadc_from_saved_store_matches_batch(spark, tmp_path):
+    """The production fleet shape (round 12): the offline job persisted
+    the index (operators/index_store.py) and the streaming server only
+    OPENS it — no build, no training, per-batch probed-cell partition
+    pruning against the cell-partitioned parquet store. Results must
+    be bit-identical to the registered batch q_sim_ivfadc (and hence
+    to the built-index streaming run) over the same query stream."""
+    from distributed_causal_stream_processing_spark.operators import (
+        index_store as ix,
+    )
+    from distributed_causal_stream_processing_spark.operators.similarity import (
+        PQ_NQ,
+    )
+    from distributed_causal_stream_processing_spark.plans.registry import (
+        all_queries,
+    )
+    from distributed_causal_stream_processing_spark.streaming import jobs
+
+    idx = str(tmp_path / "store")
+    ix.ivfadc_index_save(spark, SF_SMOKE, idx)
+    qdir = _stage_eval_query_stream(spark, tmp_path)
+    sink = jobs.run_streaming_ivfadc(
+        spark,
+        qdir,
+        SF_SMOKE,
+        str(tmp_path / "results"),
+        str(tmp_path / "ck"),
+        k=1,
+        index_dir=idx,
+    )
+    got = {
+        (r.query_id, r.neighbor_id, r.adc_dist)
+        for r in sink.read_all(spark).collect()
+    }
+    want = {
+        (r.query_id, r.neighbor_id, r.adc_dist)
+        for r in all_queries()["q_sim_ivfadc"](spark, SF_SMOKE).collect()
     }
     assert got == want and len(got) == PQ_NQ
 
