@@ -264,3 +264,138 @@ def ivfadc_search_saved(
             F.col("rn").cast("bigint").alias("rnk"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash band store — the dedup family's persisted index.
+#
+# q_dedup_incremental's docstring states the deployment contract this
+# module makes physical for dedup: "on a real deployment the corpus
+# band table is the persisted output of yesterday's run"; a day's
+# ingest batch probes that table, it never re-signatures the corpus.
+# The store holds the corpus's DISTINCT (band_no, band_key) bucket set
+# — the smallest artifact that answers "does this batch doc collide
+# with ANY corpus doc" — partitioned by band_no so each of the
+# LSH_BANDS bands is its own directory (a probe restricted to a band
+# subset prunes at listing time, the same layout argument as the
+# IVFADC code table).
+
+_BAND_MANIFEST = "band_manifest.json"
+
+
+def _band_constants() -> dict:
+    from distributed_causal_stream_processing_spark.functions.hashing import (
+        LSH_BANDS,
+        MINHASH_P,
+        N_MINHASH,
+    )
+
+    return {
+        "format": "minhash-bands-parquet-v1",
+        "n_minhash": N_MINHASH,
+        "lsh_bands": LSH_BANDS,
+        "minhash_p": MINHASH_P,
+    }
+
+
+def band_index_save(spark: SparkSession, docs: DataFrame, out_dir: str) -> dict:
+    """Persist the corpus's band-bucket index from a documents-shaped
+    frame (doc_id, text). Signatures run through band_rows_for — the
+    ONE pipeline the batch queries and the streaming content-dedup job
+    share — so a saved store probes identically to the in-memory
+    corpus side of q_dedup_incremental. The manifest pins the MinHash
+    constants: buckets built under different permutations would
+    compare hash garbage while staying schema-valid."""
+    from distributed_causal_stream_processing_spark.operators.dedup import (
+        band_rows_for,
+    )
+
+    (
+        band_rows_for(docs)
+        .select("band_no", "band_key")
+        .distinct()
+        .write.partitionBy("band_no")
+        .mode("overwrite")
+        .parquet(os.path.join(out_dir, "buckets"))
+    )
+    manifest = _band_constants()
+    with open(os.path.join(out_dir, _BAND_MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    return manifest
+
+
+def band_index_open(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Reopen the bucket set as (band_no, band_key), manifest-validated.
+    DISTINCT on read: append-mode growth may leave duplicate bucket
+    rows, and a duplicated corpus bucket would MULTIPLY probe rows in
+    the left join instead of flagging once."""
+    with open(os.path.join(index_dir, _BAND_MANIFEST)) as f:
+        manifest = json.load(f)
+    mismatches = {
+        k: (v, manifest.get(k))
+        for k, v in _band_constants().items()
+        if manifest.get(k) != v
+    }
+    if mismatches:
+        raise ValueError(f"saved band index incompatible: {mismatches}")
+    return (
+        spark.read.parquet(os.path.join(index_dir, "buckets"))
+        .select("band_no", "band_key")
+        .distinct()
+    )
+
+
+def band_index_probe(
+    spark: SparkSession, index_dir: str, batch_docs: DataFrame
+) -> DataFrame:
+    """The daily-ingest probe against a SAVED corpus index:
+    (doc_id, n_hit_bands, is_near_dup) per batch document — the exact
+    output shape of q_dedup_incremental, whose in-memory corpus side
+    this store replaces. Cost: O(batch signatures) + one hash-equi
+    join against the bucket set; the corpus documents are never read."""
+    from distributed_causal_stream_processing_spark.operators.dedup import (
+        band_rows_for,
+    )
+
+    corpus = band_index_open(spark, index_dir).withColumn("hit", F.lit(1))
+    batch = band_rows_for(batch_docs)
+    return (
+        batch.join(F.broadcast(corpus), ["band_no", "band_key"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_hit_bands"),
+            (F.sum(F.coalesce(F.col("hit"), F.lit(0))) > 0).alias("is_near_dup"),
+        )
+    )
+
+
+def band_index_append(
+    spark: SparkSession, index_dir: str, new_docs: DataFrame
+) -> None:
+    """Fold an accepted ingest batch into the store (the batch becomes
+    corpus for tomorrow's probe): signature the new docs and append
+    only the buckets NOT already present — an anti join against the
+    current set keeps the store minimal, and band_index_open's
+    DISTINCT guards correctness even if two concurrent appends race
+    the same bucket in."""
+    from distributed_causal_stream_processing_spark.operators.dedup import (
+        band_rows_for,
+    )
+
+    current = band_index_open(spark, index_dir)
+    fresh = (
+        band_rows_for(new_docs)
+        .select("band_no", "band_key")
+        .distinct()
+        .join(current, ["band_no", "band_key"], "left_anti")
+        # materialize BEFORE the append opens the same directory for
+        # writing — Spark refuses (or worse, mis-reads) a scan of the
+        # path it is overwriting; the fresh-bucket set is index-sized,
+        # not corpus-sized
+        .localCheckpoint(eager=True)
+    )
+    fresh.write.partitionBy("band_no").mode("append").parquet(
+        os.path.join(index_dir, "buckets")
+    )

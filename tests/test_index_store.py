@@ -165,3 +165,76 @@ def test_append_matches_incremental_rebuild(spark, tmp_path):
     cent, cb_df, codes = S.ivfadc_index_from(e_all, train_pred=pre_pred)
     want = sorted(map(tuple, S.ivfadc_score(q, cent, cb_df, codes).collect()))
     assert got == want
+
+
+def _doc_split(spark):
+    """The same corpus/batch boundary q_dedup_incremental derives:
+    corpus = first 80% of the doc_id range, batch = the rest."""
+    from distributed_causal_stream_processing_spark.io import load
+
+    docs = load(spark, SF, "documents").select("doc_id", "text")
+    b = docs.agg(
+        F.floor(0.8 * F.max("doc_id")).cast("bigint").alias("b")
+    ).head()["b"]
+    return docs.filter(F.col("doc_id") < b), docs.filter(F.col("doc_id") >= b)
+
+
+def test_band_store_probe_matches_incremental_query(spark, tmp_path):
+    """A batch probed against the SAVED corpus bucket set must produce
+    exactly q_dedup_incremental's rows (same signatures via
+    band_rows_for, same left-join/count semantics) — the store swaps
+    in for the in-memory corpus side without moving a single number."""
+    corpus, batch = _doc_split(spark)
+    d = str(tmp_path / "bands")
+    manifest = ix.band_index_save(spark, corpus, d)
+    assert manifest["format"] == "minhash-bands-parquet-v1"
+    got = {
+        (r.doc_id, r.n_hit_bands, r.is_near_dup)
+        for r in ix.band_index_probe(spark, d, batch).collect()
+    }
+    from distributed_causal_stream_processing_spark.plans.registry import (
+        all_queries,
+    )
+
+    want = {
+        (r.doc_id, r.n_hit_bands, r.is_near_dup)
+        for r in all_queries()["q_dedup_incremental"](spark, SF).collect()
+    }
+    assert got == want and len(got) == batch.count()
+
+
+def test_band_store_append_and_manifest(spark, tmp_path):
+    """Folding the accepted batch into the store makes tomorrow's
+    re-probe of the same docs all-hit (their own buckets now exist),
+    the anti-join append never duplicates a bucket row, and a store
+    written under different MinHash constants is refused."""
+    from distributed_causal_stream_processing_spark.functions.hashing import (
+        LSH_BANDS,
+    )
+    from distributed_causal_stream_processing_spark.operators.dedup import (
+        band_rows_for,
+    )
+
+    corpus, batch = _doc_split(spark)
+    d = str(tmp_path / "bands")
+    ix.band_index_save(spark, corpus, d)
+    n0 = spark.read.parquet(os.path.join(d, "buckets")).count()
+    ix.band_index_append(spark, d, batch)
+    # physical rows = distinct buckets of the union: no duplicates
+    union_buckets = (
+        band_rows_for(corpus.unionByName(batch))
+        .select("band_no", "band_key")
+        .distinct()
+        .count()
+    )
+    n1 = spark.read.parquet(os.path.join(d, "buckets")).count()
+    assert n1 == union_buckets >= n0
+    rows = ix.band_index_probe(spark, d, batch).collect()
+    assert rows and all(r.is_near_dup and r.n_hit_bands == LSH_BANDS for r in rows)
+    # manifest refusal
+    mpath = os.path.join(d, ix._BAND_MANIFEST)
+    m = json.load(open(mpath))
+    m["n_minhash"] = 64
+    json.dump(m, open(mpath, "w"))
+    with pytest.raises(ValueError, match="incompatible"):
+        ix.band_index_open(spark, d)
