@@ -110,6 +110,7 @@ INDEX_BUILDS = (
     "build_ivfadc_seeded",
     "build_ivfadc_trained",
     "build_lsh_signatures",
+    "build_ivfadc_store_write",
 )
 
 
@@ -127,9 +128,20 @@ def time_index_builds(spark, sf_dir: str, names=None, runs: int = 1) -> dict:
     the memoized builds; the (unmemoized) LSH signature frame is
     materialized through the noop sink like every bench row.
 
+    ``build_ivfadc_store_write`` isolates the OTHER half of the
+    offline job — persisting the built index as the cell-partitioned
+    parquet store (operators/index_store.py): its prepare step primes
+    the memo so the timer covers the write alone, not a rebuild.
+
     Shared by bench.py's index_build block and the regression
     tripwire's re-measurement — one definition, same drift rule as
     time_query_noop."""
+    import shutil
+    import tempfile
+
+    from distributed_causal_stream_processing_spark.operators import (
+        index_store as ix,
+    )
     from distributed_causal_stream_processing_spark.operators import (
         similarity as S,
     )
@@ -137,37 +149,68 @@ def time_index_builds(spark, sf_dir: str, names=None, runs: int = 1) -> dict:
     def _noop(df) -> None:
         df.write.format("noop").mode("overwrite").save()
 
+    store_dir: list = []
+
+    def _store_prepare() -> None:
+        S.ivfadc_index(spark, sf_dir)  # prime: the BUILD is its own row
+        store_dir.append(tempfile.mkdtemp(prefix="bench_store_"))
+
+    def _store_cleanup() -> None:
+        shutil.rmtree(store_dir.pop(), ignore_errors=True)
+
+    # name -> (prepare, run, cleanup); prepare/cleanup run OUTSIDE the
+    # timer (dir creation/removal and memo priming are not build cost)
     builds = {
         # sub-table checkpoint + PQ_ITERS Lloyd rounds (driver collects
         # run inside the call; cb_df is local data afterwards)
-        "build_pq_codebook": lambda: S._pq_raw_parts(spark, sf_dir),
+        "build_pq_codebook": (None, lambda: S._pq_raw_parts(spark, sf_dir), None),
         # coarse assign + residual encode + codebook train; the memo
         # path eagerly checkpoints the corpus-sized code table
-        "build_ivfadc_seeded": lambda: S.ivfadc_index(spark, sf_dir),
+        "build_ivfadc_seeded": (None, lambda: S.ivfadc_index(spark, sf_dir), None),
         # adds IVF_TRAIN_ITERS Lloyd rounds over the full corpus for
         # the coarse cells before the same residual-PQ pipeline
-        "build_ivfadc_trained": lambda: S.ivfadc_index_trained(spark, sf_dir),
+        "build_ivfadc_trained": (
+            None,
+            lambda: S.ivfadc_index_trained(spark, sf_dir),
+            None,
+        ),
         # multi-table hyperplane signatures over the corpus (rebuilt
         # per query in the suite — benched cold here for completeness
         # of the build family)
-        "build_lsh_signatures": lambda: _noop(
-            S.mt_signature_frame(
-                S.load(spark, sf_dir, "embeddings").select(
-                    "vec_id", S.as_double("embedding").alias("emb")
+        "build_lsh_signatures": (
+            None,
+            lambda: _noop(
+                S.mt_signature_frame(
+                    S.load(spark, sf_dir, "embeddings").select(
+                        "vec_id", S.as_double("embedding").alias("emb")
+                    )
                 )
-            )
+            ),
+            None,
+        ),
+        # persist the (pre-built) index as the cell-partitioned store:
+        # one shuffle-free pass over the code table + constant tables
+        "build_ivfadc_store_write": (
+            _store_prepare,
+            lambda: ix.ivfadc_index_save(spark, sf_dir, store_dir[-1]),
+            _store_cleanup,
         ),
     }
     out: dict = {}
     saved = dict(S._MEMO)
     try:
         for name in names if names is not None else INDEX_BUILDS:
+            prepare, run, cleanup = builds[name]
             best = None
             for _ in range(runs):
                 S._MEMO.clear()
+                if prepare is not None:
+                    prepare()
                 t0 = time.perf_counter()
-                builds[name]()
+                run()
                 dt = time.perf_counter() - t0
+                if cleanup is not None:
+                    cleanup()
                 best = dt if best is None else min(best, dt)
             out[name] = round(best, 3)
     finally:
