@@ -206,11 +206,14 @@ def time_index_builds(spark, sf_dir: str, names=None, runs: int = 1) -> dict:
                 S._MEMO.clear()
                 if prepare is not None:
                     prepare()
-                t0 = time.perf_counter()
-                run()
-                dt = time.perf_counter() - t0
-                if cleanup is not None:
-                    cleanup()
+                try:
+                    t0 = time.perf_counter()
+                    run()
+                    dt = time.perf_counter() - t0
+                finally:
+                    # a raising build must not leak its staged dir
+                    if cleanup is not None:
+                        cleanup()
                 best = dt if best is None else min(best, dt)
             out[name] = round(best, 3)
     finally:
