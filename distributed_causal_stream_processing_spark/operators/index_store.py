@@ -399,3 +399,77 @@ def band_index_append(
     fresh.write.partitionBy("band_no").mode("append").parquet(
         os.path.join(index_dir, "buckets")
     )
+
+
+# ---------------------------------------------------------------------------
+# Store compaction — the maintenance half of an append-only layout.
+#
+# Every ivfadc_index_append / band_index_append adds one file per
+# written partition directory, so a store ingesting B batches reads
+# O(B) files per probed cell: listing and footer overhead grows with
+# ingest history even though the DATA per cell barely moves. Real
+# deployments compact on a schedule; these helpers are that job —
+# rewrite each store to one file per populated partition, swap the
+# directory in, serve identical rows (pinned in
+# tests/test_index_store.py).
+
+
+def _swap_in(new_dir: str, live_dir: str) -> None:
+    """Replace ``live_dir`` with ``new_dir`` via two same-filesystem
+    renames — the closest a directory store gets to atomic: readers
+    opening mid-swap see either the old or the new complete directory,
+    never a half-written one (the new data is fully written BEFORE the
+    first rename). A crash between the renames leaves the old data
+    intact under ``<live>.old-*``; at 100 TB the same job writes a new
+    versioned prefix and flips a manifest pointer instead."""
+    import shutil
+    import uuid
+
+    trash = f"{live_dir}.old-{uuid.uuid4().hex}"
+    os.rename(live_dir, trash)
+    os.rename(new_dir, live_dir)
+    shutil.rmtree(trash, ignore_errors=True)
+
+
+def _compact_partitioned(
+    df: DataFrame, live_dir: str, partition_col: str
+) -> None:
+    """Rewrite a partitioned parquet store to ONE file per populated
+    partition: repartition on the partition column puts each value's
+    rows in exactly one task, so each directory gets a single file.
+    (With more partition values than shuffle partitions several values
+    share a task — still one file per value per task, i.e. ≤1 file per
+    directory from each task that holds it; for this engine's stores
+    the value counts are small constants.)"""
+    import uuid
+
+    new_dir = f"{live_dir}.compact-{uuid.uuid4().hex}"
+    df.repartition(F.col(partition_col)).write.partitionBy(
+        partition_col
+    ).mode("overwrite").parquet(new_dir)
+    _swap_in(new_dir, live_dir)
+
+
+def ivfadc_index_compact(spark: SparkSession, index_dir: str) -> None:
+    """Compact the code table to one file per cell directory. Codes
+    are read fully and localCheckpointed before the swap (append-only
+    rows, index-sized narrow columns) so the rewrite never reads the
+    directory it is replacing."""
+    _open_constants(spark, index_dir)  # manifest-validate before touching data
+    codes_path = os.path.join(index_dir, "codes")
+    codes = (
+        spark.read.parquet(codes_path)
+        .select("vec_id", "sub_no", "code", "cell_id")
+        .localCheckpoint(eager=True)
+    )
+    _compact_partitioned(codes, codes_path, "cell_id")
+
+
+def band_index_compact(spark: SparkSession, index_dir: str) -> None:
+    """Compact the bucket set to one file per band directory, folding
+    any append-duplicated buckets out of the physical store (open()
+    already DISTINCTs on read; after compaction the stored rows ARE
+    distinct)."""
+    buckets_path = os.path.join(index_dir, "buckets")
+    buckets = band_index_open(spark, index_dir).localCheckpoint(eager=True)
+    _compact_partitioned(buckets, buckets_path, "band_no")

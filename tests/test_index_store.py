@@ -238,3 +238,59 @@ def test_band_store_append_and_manifest(spark, tmp_path):
     json.dump(m, open(mpath, "w"))
     with pytest.raises(ValueError, match="incompatible"):
         ix.band_index_open(spark, d)
+
+
+def test_compaction_one_file_per_partition_same_rows(spark, tmp_path):
+    """Append-only growth leaves one file per (batch, partition);
+    compaction rewrites each store to one file per populated directory
+    and must not move a single row — pinned on both stores after a
+    save + two appends."""
+    from distributed_causal_stream_processing_spark.io import load
+
+    # --- IVFADC store: save from a reduced corpus, append twice ------
+    e_all = S._emb(spark, SF)
+    pre_dir = str(tmp_path / "pre_sf")
+    os.makedirs(pre_dir)
+    load(spark, SF, "embeddings").filter(F.col("vec_id") % 5 > 0).write.parquet(
+        os.path.join(pre_dir, "embeddings.parquet")
+    )
+    d = str(tmp_path / "cidx")
+    ix.ivfadc_index_save(spark, pre_dir, d)
+    batch = e_all.filter(F.col("vec_id") % 5 == 0)
+    ix.ivfadc_index_append(spark, d, batch.filter(F.col("vec_id") % 2 == 0))
+    ix.ivfadc_index_append(spark, d, batch.filter(F.col("vec_id") % 2 == 1))
+
+    def files_per_dir(root):
+        out = {}
+        for part in os.listdir(root):
+            p = os.path.join(root, part)
+            if os.path.isdir(p):
+                out[part] = len(
+                    [f for f in os.listdir(p) if f.endswith(".parquet")]
+                )
+        return out
+
+    before = sorted(map(tuple, ix.ivfadc_index_open(spark, d)[2].collect()))
+    fpd = files_per_dir(os.path.join(d, "codes"))
+    assert max(fpd.values()) > 1  # the appends really did fragment
+    ix.ivfadc_index_compact(spark, d)
+    fpd2 = files_per_dir(os.path.join(d, "codes"))
+    assert set(fpd2) == set(fpd) and max(fpd2.values()) == 1, fpd2
+    after = sorted(map(tuple, ix.ivfadc_index_open(spark, d)[2].collect()))
+    assert after == before
+
+    # --- band store: same contract ----------------------------------
+    corpus, batch_docs = _doc_split(spark)
+    bd = str(tmp_path / "bidx")
+    ix.band_index_save(spark, corpus, bd)
+    ix.band_index_append(spark, bd, batch_docs)
+    bb = os.path.join(bd, "buckets")
+    bfpd = files_per_dir(bb)
+    assert max(bfpd.values()) > 1
+    want = sorted(map(tuple, ix.band_index_open(spark, bd).collect()))
+    ix.band_index_compact(spark, bd)
+    bfpd2 = files_per_dir(bb)
+    assert set(bfpd2) == set(bfpd) and max(bfpd2.values()) == 1, bfpd2
+    # physical rows now distinct: raw count == logical count
+    assert spark.read.parquet(bb).count() == len(want)
+    assert sorted(map(tuple, ix.band_index_open(spark, bd).collect())) == want
