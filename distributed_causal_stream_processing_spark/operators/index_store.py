@@ -108,27 +108,41 @@ def ivfadc_index_save(
     return manifest
 
 
+def _validate_manifest(index_dir: str, fname: str, expected: dict, label: str) -> dict:
+    """Load a store manifest and fail loudly when any of this build's
+    constants disagree — data written under different constants would
+    join against the wrong tables and produce garbage while staying
+    schema-valid. ONE definition for both stores (review r12: two
+    copy-pasted validation blocks must evolve together). Returns the
+    manifest so callers can check store-variant fields too."""
+    with open(os.path.join(index_dir, fname)) as f:
+        manifest = json.load(f)
+    mismatches = {
+        k: (v, manifest.get(k)) for k, v in expected.items() if manifest.get(k) != v
+    }
+    if mismatches:
+        raise ValueError(f"saved {label} incompatible with this build: {mismatches}")
+    return manifest
+
+
 def _open_constants(spark: SparkSession, index_dir: str):
     """Validate the manifest and open the CONSTANT artifacts only
     (cent, cb_df) — the ingest path needs no codes relation, and
     opening one would pay partition discovery over every cell
-    directory, exactly the listing cost the layout exists to avoid.
-    The manifest's build constants must match this build's — codes
-    encoded under a different K/M/dsub would join against the wrong
-    codebook and rank garbage while staying schema-valid, so fail
-    loudly instead."""
-    with open(os.path.join(index_dir, _MANIFEST)) as f:
-        manifest = json.load(f)
-    mismatches = {
-        k: (v, manifest.get(k))
-        for k, v in _constants().items()
-        if manifest.get(k) != v
-    }
-    if mismatches:
-        raise ValueError(f"saved index incompatible with this build: {mismatches}")
+    directory, exactly the listing cost the layout exists to avoid."""
+    _validate_manifest(index_dir, _MANIFEST, _constants(), "index")
     cent = spark.read.parquet(os.path.join(index_dir, "cent"))
     cb_df = spark.read.parquet(os.path.join(index_dir, "codebook"))
     return cent, cb_df
+
+
+def ivfadc_store_manifest(index_dir: str) -> dict:
+    """The validated manifest of a saved IVFADC store — callers that
+    must know the VARIANT (seeded vs trained) read it here instead of
+    trusting their own flags (review r12: a fleet configured for the
+    trained config pointed at a seeded store must fail loudly, not
+    silently serve lower-recall answers)."""
+    return _validate_manifest(index_dir, _MANIFEST, _constants(), "index")
 
 
 def ivfadc_index_open(spark: SparkSession, index_dir: str):
@@ -328,16 +342,8 @@ def band_index_open(spark: SparkSession, index_dir: str) -> DataFrame:
     """Reopen the bucket set as (band_no, band_key), manifest-validated.
     DISTINCT on read: append-mode growth may leave duplicate bucket
     rows, and a duplicated corpus bucket would MULTIPLY probe rows in
-    the left join instead of flagging once."""
-    with open(os.path.join(index_dir, _BAND_MANIFEST)) as f:
-        manifest = json.load(f)
-    mismatches = {
-        k: (v, manifest.get(k))
-        for k, v in _band_constants().items()
-        if manifest.get(k) != v
-    }
-    if mismatches:
-        raise ValueError(f"saved band index incompatible: {mismatches}")
+    the hit join instead of flagging once."""
+    _validate_manifest(index_dir, _BAND_MANIFEST, _band_constants(), "band index")
     return (
         spark.read.parquet(os.path.join(index_dir, "buckets"))
         .select("band_no", "band_key")
@@ -352,21 +358,35 @@ def band_index_probe(
     (doc_id, n_hit_bands, is_near_dup) per batch document — the exact
     output shape of q_dedup_incremental, whose in-memory corpus side
     this store replaces. Cost: O(batch signatures) + one hash-equi
-    join against the bucket set; the corpus documents are never read."""
+    join against the bucket set; the corpus documents are never read.
+
+    Join shape (review r12): hits come from an INNER join on the
+    bucket keys — the bucket set GROWS WITH THE CORPUS, so it must
+    never be the broadcast side (LSH_BANDS x corpus buckets at a
+    billion docs is not driver-collectable); inner-join hits let
+    Catalyst/AQE pick a shuffled hash join on (band_no, band_key) —
+    or broadcast the BATCH side when it is the small one — and the
+    per-doc left join that restores zero-hit docs runs on two
+    batch-doc-sized aggregates."""
     from distributed_causal_stream_processing_spark.operators.dedup import (
         band_rows_for,
     )
 
-    corpus = band_index_open(spark, index_dir).withColumn("hit", F.lit(1))
+    corpus = band_index_open(spark, index_dir)
     batch = band_rows_for(batch_docs)
-    return (
-        batch.join(F.broadcast(corpus), ["band_no", "band_key"], "left")
+    hits = (
+        batch.join(corpus, ["band_no", "band_key"])
         .groupBy("doc_id")
-        .agg(
-            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
-            .cast("bigint")
-            .alias("n_hit_bands"),
-            (F.sum(F.coalesce(F.col("hit"), F.lit(0))) > 0).alias("is_near_dup"),
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hit_bands"))
+    )
+    return (
+        batch.select("doc_id")
+        .distinct()
+        .join(hits, ["doc_id"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hit_bands", F.lit(0)).cast("bigint").alias("n_hit_bands"),
+            (F.coalesce("n_hit_bands", F.lit(0)) > 0).alias("is_near_dup"),
         )
     )
 
@@ -379,7 +399,8 @@ def band_index_append(
     only the buckets NOT already present — an anti join against the
     current set keeps the store minimal, and band_index_open's
     DISTINCT guards correctness even if two concurrent appends race
-    the same bucket in."""
+    the same bucket in. (Appends tolerate racing each other — NOT a
+    concurrent compaction; see the CONCURRENCY CONTRACT above.)"""
     from distributed_causal_stream_processing_spark.operators.dedup import (
         band_rows_for,
     )
@@ -412,16 +433,32 @@ def band_index_append(
 # rewrite each store to one file per populated partition, swap the
 # directory in, serve identical rows (pinned in
 # tests/test_index_store.py).
+#
+# CONCURRENCY CONTRACT (review r12): compaction is a SINGLE-WRITER
+# maintenance window — an append committing between compaction's read
+# and its swap would be deleted with the old directory (its files were
+# never in the rewritten frame). Appends may race each other (the
+# worst case is a duplicated bucket row, which open()'s DISTINCT
+# absorbs), but never a concurrent compaction. _swap_in's docstring
+# covers the reader-side caveats and the versioned-prefix design that
+# removes them at 100 TB.
 
 
 def _swap_in(new_dir: str, live_dir: str) -> None:
     """Replace ``live_dir`` with ``new_dir`` via two same-filesystem
-    renames — the closest a directory store gets to atomic: readers
-    opening mid-swap see either the old or the new complete directory,
-    never a half-written one (the new data is fully written BEFORE the
-    first rename). A crash between the renames leaves the old data
-    intact under ``<live>.old-*``; at 100 TB the same job writes a new
-    versioned prefix and flips a manifest pointer instead."""
+    renames. Honest contract (review r12): this is NOT atomic — a
+    reader opening in the instant between the renames sees no
+    directory at all (path-not-found, a clean retryable error — never
+    a half-written store, since the new data is fully written before
+    the first rename); a crash between the renames leaves the data
+    recoverable under ``<live>.old-*`` but needs a manual rename back;
+    and a long-running scan opened BEFORE the swap holds the old
+    file listing and will fail once those files are removed.
+    Maintenance therefore runs under the same single-writer,
+    readers-quiesced window any non-transactional directory store
+    requires; a 100 TB deployment writes a new versioned prefix and
+    flips a manifest pointer instead, which removes all three caveats
+    (old readers keep their prefix until retired)."""
     import shutil
     import uuid
 

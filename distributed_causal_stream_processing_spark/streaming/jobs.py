@@ -1199,9 +1199,11 @@ def run_streaming_ivfadc(
     prunes the cell-partitioned code scan to those directories, so a
     batch reads ~n_probe/N_CELLS of the code table from storage —
     bit-identical to the built-index path, pinned in
-    tests/test_streaming.py. ``trained`` is ignored in this mode: the
-    variant is whatever the store was built as (its manifest records
-    which).
+    tests/test_streaming.py. ``trained`` must MATCH the store's
+    manifest in this mode (review r12): a fleet configured for the
+    recommended trained config pointed at a seeded store would
+    silently serve lower-recall answers, so the mismatch raises
+    instead.
 
     At 100 TB: the per-batch work is the query-side only — coarse
     assignment against broadcast centroids, one LUT per (query, probed
@@ -1224,8 +1226,16 @@ def run_streaming_ivfadc(
     if from_store:
         from distributed_causal_stream_processing_spark.operators.index_store import (
             ivfadc_index_open,
+            ivfadc_store_manifest,
         )
 
+        stored = bool(ivfadc_store_manifest(index_dir).get("trained"))
+        if stored != trained:
+            raise ValueError(
+                f"store at {index_dir} was built trained={stored}, caller "
+                f"requested trained={trained} — refusing to silently serve "
+                "the wrong index variant"
+            )
         cent, cb_df, codes = ivfadc_index_open(spark, index_dir)
     elif trained:
         _, cent, cb_df, codes = ivfadc_index_trained(spark, sf_dir)

@@ -294,3 +294,23 @@ def test_compaction_one_file_per_partition_same_rows(spark, tmp_path):
     # physical rows now distinct: raw count == logical count
     assert spark.read.parquet(bb).count() == len(want)
     assert sorted(map(tuple, ix.band_index_open(spark, bd).collect())) == want
+
+
+def test_streaming_refuses_store_variant_mismatch(spark, tmp_path, saved_index):
+    """A serving job configured for the trained variant pointed at a
+    seeded store must refuse, not silently serve lower-recall answers
+    (review r12): the manifest records the variant precisely so this
+    mismatch is detectable."""
+    from distributed_causal_stream_processing_spark.streaming import jobs
+
+    d, _ = saved_index  # seeded store
+    with pytest.raises(ValueError, match="trained"):
+        jobs.run_streaming_ivfadc(
+            spark,
+            str(tmp_path / "unused_q"),
+            SF,
+            str(tmp_path / "unused_out"),
+            str(tmp_path / "unused_ck"),
+            trained=True,
+            index_dir=d,
+        )
