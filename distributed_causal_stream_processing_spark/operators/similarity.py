@@ -3660,19 +3660,16 @@ def q_sim_ivfadc_clustered_recall(spark: SparkSession, sf_dir: str) -> DataFrame
     return _ivfadc_recall_table(e, adc)
 
 
-def _ivfadc_clustered_parts(spark: SparkSession, sf_dir: str):
-    """Clustered-corpus twin of _ivfadc_parts: the derived corpus is
-    checkpointed (it feeds the index build, the search, AND the exact
-    yardstick) and the adc table memoized, same policy as the raw
-    variants — a corpus variant is its own offline index build."""
-    key = _memo_key(spark, sf_dir, "ivfadc:clustered")
-    if key is not None and key in _MEMO:
-        return _MEMO[key]
+def _clustered_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The derived CLUSTERED corpus (member = center + 0.2×own-vector,
+    centers = the first N_CLUSTERS vectors) — one definition shared by
+    the clustered recall eval and the clustered serving row, mirroring
+    the oracle's embeddings-shadowing CTE exactly."""
     raw = _emb(spark, sf_dir)
     ctr = raw.filter(F.col("vec_id") < N_CLUSTERS).select(
         F.col("vec_id").alias("ctr_id"), F.col("emb").alias("cemb0")
     )
-    e = (
+    return (
         raw.withColumn("ctr_id", F.col("vec_id") % N_CLUSTERS)
         .join(F.broadcast(ctr), ["ctr_id"])
         .select(
@@ -3682,6 +3679,17 @@ def _ivfadc_clustered_parts(spark: SparkSession, sf_dir: str):
             ).alias("emb"),
         )
     )
+
+
+def _ivfadc_clustered_parts(spark: SparkSession, sf_dir: str):
+    """Clustered-corpus twin of _ivfadc_parts: the derived corpus is
+    checkpointed (it feeds the index build, the search, AND the exact
+    yardstick) and the adc table memoized, same policy as the raw
+    variants — a corpus variant is its own offline index build."""
+    key = _memo_key(spark, sf_dir, "ivfadc:clustered")
+    if key is not None and key in _MEMO:
+        return _MEMO[key]
+    e = _clustered_corpus(spark, sf_dir)
     if key is not None:
         e = e.localCheckpoint(eager=True)
     cent, cb_df, codes = ivfadc_index_from(e)
@@ -4189,8 +4197,16 @@ def q_sim_ivfadc_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: parts,
         n_probe=SERVING_PROBE,
     )
+    return _serving_table(e, adc, _exact1_raw(spark, sf_dir))
+
+
+def _serving_table(e: DataFrame, adc: DataFrame, exact1: DataFrame) -> DataFrame:
+    """The serving row's output: per-query served neighbor + exact
+    distance, hit flag, and the config's aggregate recall@1/cand_frac
+    as constant columns — ONE definition shared by the isotropic and
+    clustered serving rows, so the two differ only by the corpus and
+    adc table that produced them."""
     nn = _rerank_nn1(e, adc, r=SERVING_R)
-    exact1 = _exact1_raw(spark, sf_dir)
     per = (
         nn.join(exact1, ["query_id"])
         .select(
@@ -4217,6 +4233,62 @@ def q_sim_ivfadc_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per.crossJoin(F.broadcast(stats))
+
+
+@query(
+    "q_sim_ivfadc_serving_clustered",
+    oracle=_pq_duck(
+        pre_ctes=_CLUSTERED_CTES
+        + _trained_cent_duck(IVF_TRAIN_ITERS)
+        + _IVFADC_PRE[1:],
+        sub_cte=_IVFADC_SUB,
+        seed_lo=N_CELLS,
+    )
+    + _ivfadc_search_sql(n_probe=SERVING_PROBE)
+    + _IVFADC_RERANK_CTES
+    + _SERVING_TAIL,
+)
+def q_sim_ivfadc_serving_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RECOMMENDED serving config (trained cells, probe
+    SERVING_PROBE, re-rank SERVING_R — q_sim_ivfadc_serving's exact
+    machinery via _serving_table) measured on the CLUSTERED corpus —
+    the other end of the corpus spectrum, where the coarse layer has
+    real structure to find. q_sim_ivfadc_serving's 0.34 on the
+    isotropic worst case is the recommendation's FLOOR; this row is
+    what the same deployment achieves when the corpus actually
+    clusters — measured (sf0.01, representative window): recall@1
+    0.77 at cand_frac 0.2485, vs the clustered seeded/probe-2/
+    code-only 0.08 — and a user places their corpus between the two
+    rows. The derived corpus, the Lloyd trainer, the residual PQ, the
+    probe, and the exact side all run on the clustered table
+    identically on both engines (the oracle's clustered CTE shadows
+    ``embeddings``, so every downstream stage — trainer included —
+    sees the derived corpus), so the row is value-hash checked end to
+    end. Scale shape: identical to q_sim_ivfadc_serving; the exact
+    side stays PQ_NQ-bounded (an eval, never a serving path)."""
+    e, adc = _ivfadc_clustered_trained_parts(spark, sf_dir)
+    return _serving_table(e, adc, _exact_nn1(e))
+
+
+def _ivfadc_clustered_trained_parts(spark: SparkSession, sf_dir: str):
+    """Clustered-corpus twin of the SERVING wiring: trained centroids
+    over the derived corpus, adc at SERVING_PROBE, everything memoized
+    per (session, fixture) — the clustered serving row is its own
+    offline index build."""
+    key = _memo_key(spark, sf_dir, "ivfadc:clustered_trained_serving")
+    if key is not None and key in _MEMO:
+        return _MEMO[key]
+    e = _clustered_corpus(spark, sf_dir)
+    if key is not None:
+        e = e.localCheckpoint(eager=True)
+    cent = _trained_cent(e)
+    _, cb_df, codes = ivfadc_index_from(e, cent=cent)
+    q = e.filter(_q_win()).select(F.col("vec_id").alias("query_id"), "emb")
+    adc = ivfadc_score(q, cent, cb_df, codes, n_probe=SERVING_PROBE)
+    if key is not None:
+        adc = adc.localCheckpoint(eager=True)
+        _memo_put(key, (e, adc))
+    return e, adc
 
 
 # Incremental index growth (round 10): at 100 TB the corpus grows in

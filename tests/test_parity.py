@@ -287,6 +287,7 @@ def test_causal_audit_detects_inversions_and_concurrency(spark, tmp_path):
         "q_sample_diverse_coverage",
         "q_sim_ivfadc_trained_probe_sweep",
         "q_sim_ivfadc_serving",
+        "q_sim_ivfadc_serving_clustered",
     ],
 )
 def test_tie_prone_queries_parity_at_sf0001(tie_query, spark, duck_sf0001):

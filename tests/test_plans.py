@@ -176,6 +176,7 @@ CARTESIAN_OK = {
     "q_sim_ivfadc_trained_probe_sweep",  # same fan-out (trained cells, probe curve)
     "q_sim_ivfadc_incremental_recall",  # same fan-out + bounded exact-NN eval side
     "q_sim_ivfadc_serving",  # same fan-out + 1-row stats broadcast crossed in
+    "q_sim_ivfadc_serving_clustered",  # same + bounded exact-NN eval side
     "q_win_dist",  # 1-row N-total scalar broadcast crossed in
 }
 

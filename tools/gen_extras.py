@@ -42,8 +42,12 @@ def main() -> None:
         "then collapses below 1.0), exact re-rank at R=10 (where the R-curve",
         "flattens) — one row per query with the served neighbor plus the",
         "config's measured recall@1 0.34 @ cand_frac 0.2528 (sf0.01,",
-        "driver value-hash row). The curves below are how those constants",
-        "were chosen and what to re-derive on YOUR corpus.",
+        "driver value-hash row). That isotropic number is the FLOOR:",
+        "`q_sim_ivfadc_serving_clustered` runs the identical deployment on",
+        "the clustered corpus and reads recall@1 0.77 @ cand_frac 0.2485",
+        "(vs 0.08 clustered code-only) — place your corpus between the two",
+        "rows. The curves below are how those constants were chosen and",
+        "what to re-derive on YOUR corpus.",
         "Round 11 folded the single-point rows (recall, rerank-recall,",
         "ceiling) into the sweeps that publish them as curve points and",
         "memoized the index builds per session (VERDICT r10 item 1);",
