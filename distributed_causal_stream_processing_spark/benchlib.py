@@ -111,6 +111,7 @@ INDEX_BUILDS = (
     "build_ivfadc_trained",
     "build_lsh_signatures",
     "build_ivfadc_store_write",
+    "build_postings_store_write",
 )
 
 
@@ -139,6 +140,7 @@ def time_index_builds(spark, sf_dir: str, names=None, runs: int = 1) -> dict:
     import shutil
     import tempfile
 
+    from distributed_causal_stream_processing_spark.io import load
     from distributed_causal_stream_processing_spark.operators import (
         index_store as ix,
     )
@@ -153,6 +155,9 @@ def time_index_builds(spark, sf_dir: str, names=None, runs: int = 1) -> dict:
 
     def _store_prepare() -> None:
         S.ivfadc_index(spark, sf_dir)  # prime: the BUILD is its own row
+        store_dir.append(tempfile.mkdtemp(prefix="bench_store_"))
+
+    def _postings_prepare() -> None:  # no memo to prime; dir only
         store_dir.append(tempfile.mkdtemp(prefix="bench_store_"))
 
     def _store_cleanup() -> None:
@@ -193,6 +198,17 @@ def time_index_builds(spark, sf_dir: str, names=None, runs: int = 1) -> dict:
         "build_ivfadc_store_write": (
             _store_prepare,
             lambda: ix.ivfadc_index_save(spark, sf_dir, store_dir[-1]),
+            _store_cleanup,
+        ),
+        # the retrieval family's offline job: tokenize + (tok, doc_id)
+        # aggregation + the bucket-partitioned postings/lexicon/
+        # docstats writes (no memo to prime — postings builds are not
+        # memoized; the whole pipeline IS the cost being measured)
+        "build_postings_store_write": (
+            _postings_prepare,
+            lambda: ix.postings_store_save(
+                spark, load(spark, sf_dir, "documents"), store_dir[-1]
+            ),
             _store_cleanup,
         ),
     }

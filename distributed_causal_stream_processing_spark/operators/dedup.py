@@ -1018,3 +1018,125 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("part_a") < F.col("part_b"))
         .select("part_a", "part_b", "edit_dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter ingest pre-screen — rung 0 of the incremental dedup
+# ladder: before a new batch pays the LSH probe (q_dedup_incremental /
+# band_index_probe) or even an exact-hash join, a bloom filter over the
+# corpus's exact fingerprints answers "definitely new" from
+# model-sized state. BLOOM_M bits, BLOOM_K hashes — the three hash
+# positions are disjoint 32-bit slices of ONE md5, so both engines
+# compute the identical filter.
+
+BLOOM_M = 4096  # filter size in bits
+BLOOM_K = 3  # hash functions per key
+
+
+def _bloom_pos_sql(i: int, hex_col: str = "h") -> str:
+    """Bloom position ``i`` from an md5 hex column: 32-bit slice ``i``
+    of the digest, mod the filter size. Identical SQL text for Spark
+    (F.expr) and DuckDB."""
+    return f"({hex_u32_sql(f'substring({hex_col}, {1 + 8 * i}, 8)')} % {BLOOM_M})"
+
+
+def _bloom_oracle() -> str:
+    cpos = "\n        UNION ALL ".join(
+        f"SELECT {_bloom_pos_sql(i)} AS p FROM corpus" for i in range(BLOOM_K)
+    )
+    bpos = "\n        UNION ALL ".join(
+        f"SELECT doc_id, {_bloom_pos_sql(i)} AS p FROM batch" for i in range(BLOOM_K)
+    )
+    return f"""
+    WITH cut AS (
+        SELECT CAST(floor(0.8 * max(doc_id)) AS BIGINT) AS b FROM documents
+    ),
+    hashed AS (SELECT doc_id, md5(text) AS h FROM documents),
+    corpus AS (SELECT h FROM hashed CROSS JOIN cut WHERE doc_id < b),
+    batch AS (SELECT doc_id, h FROM hashed CROSS JOIN cut WHERE doc_id >= b),
+    bits AS (SELECT DISTINCT p FROM ({cpos})),
+    probe AS ({bpos}),
+    hits AS (
+        SELECT doc_id, count(*) AS n_hit
+        FROM probe JOIN bits USING (p)
+        GROUP BY doc_id
+    ),
+    exact AS (SELECT DISTINCT h FROM corpus)
+    SELECT b.doc_id,
+           coalesce(hits.n_hit, 0) = {BLOOM_K} AS bloom_maybe,
+           exact.h IS NOT NULL AS exact_dup
+    FROM batch b
+    LEFT JOIN hits ON b.doc_id = hits.doc_id
+    LEFT JOIN exact ON b.h = exact.h
+    """
+
+
+def bloom_prescreen(docs: DataFrame) -> DataFrame:
+    """(doc_id, bloom_maybe, exact_dup) for the ingest batch of a
+    documents-shaped frame (doc_id, text), split at floor(0.8·max) —
+    the reusable core of q_dedup_bloom, separated so tests can feed a
+    synthetic frame with REAL cross-split duplicates (the fixture has
+    none) and prove the no-false-negative property non-vacuously."""
+    hashed = docs.select("doc_id", F.expr("md5(text)").alias("h"))
+    cut = hashed.agg(F.floor(0.8 * F.max("doc_id")).cast("bigint").alias("b"))
+    labeled = hashed.crossJoin(F.broadcast(cut))
+    corpus = labeled.filter(F.col("doc_id") < F.col("b")).select("h")
+    batch = labeled.filter(F.col("doc_id") >= F.col("b")).select("doc_id", "h")
+    pos_arr = F.array(*[F.expr(_bloom_pos_sql(i)) for i in range(BLOOM_K)])
+    bits = corpus.select(F.explode(pos_arr).alias("p")).distinct()
+    hits = (
+        batch.select("doc_id", F.explode(pos_arr).alias("p"))
+        .join(F.broadcast(bits), ["p"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    exact = corpus.distinct().withColumn("e", F.lit(True))
+    return (
+        batch.join(hits, ["doc_id"], "left")
+        .join(F.broadcast(exact), ["h"], "left")
+        .select(
+            "doc_id",
+            (F.coalesce("n_hit", F.lit(0)) == BLOOM_K).alias("bloom_maybe"),
+            F.coalesce("e", F.lit(False)).alias("exact_dup"),
+        )
+    )
+
+
+def bloom_violations(rows) -> dict:
+    """Audit a bloom-prescreen result for the structural guarantee the
+    filter sells: NO FALSE NEGATIVES — a row marked exact_dup must
+    also be bloom_maybe (a bloom filter can only over-approximate its
+    key set). Returns {} when clean, offending doc_ids otherwise; the
+    accompanying test corrupts a result to prove the detector fires
+    (the k-center / seed-exclusion guard pattern)."""
+    bad = [r.doc_id for r in rows if r.exact_dup and not r.bloom_maybe]
+    return {"false_negative": sorted(bad)} if bad else {}
+
+
+@query("q_dedup_bloom", oracle=_bloom_oracle())
+def q_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter ingest pre-screen: the new batch (doc_id >=
+    floor(0.8·max) — the q_dedup_incremental split) probes a bloom
+    filter built over the EXISTING corpus's exact text fingerprints,
+    emitting per batch doc (bloom_maybe, exact_dup). bloom_maybe is
+    ONE-SIDED: a false negative is structurally impossible (every
+    corpus key set all its positions), so bloom_maybe >= exact_dup on
+    every row — pinned in tests/test_retrieval.py with a mutation
+    check; the gap rows are the filter's false positives, the price of
+    answering from BLOOM_M bits instead of a corpus-sized hash set.
+
+    Scale shape: the filter here is realized RELATIONALLY as the
+    corpus's DISTINCT position set — at most BLOOM_M rows, i.e.
+    model-sized state broadcast into the probe join, with positions
+    computed from one md5 per document (slice arithmetic, no extra
+    hashing). A production build aggregates the same positions into
+    per-partition long[] bitmaps OR-merged on the driver (what Spark's
+    native bloom_filter_agg and the AQE runtime-bloom-join rewrite do
+    JVM-side); the position-set formulation is semantics-identical —
+    and therefore exactly value-checkable — while the probe stays
+    O(batch) with no corpus rescan. Sizing: BLOOM_M=4096/K=3 targets
+    this fixture's ~corpus-thousand keys; production sizes m ≈
+    -n·ln(fp)/ln(2)² and re-derives K = m/n·ln(2).
+    (Logic lives in bloom_prescreen, the reusable API; this query
+    binds it to the documents table.)"""
+    return bloom_prescreen(load(spark, sf_dir, "documents"))

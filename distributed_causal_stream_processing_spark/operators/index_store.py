@@ -510,3 +510,254 @@ def band_index_compact(spark: SparkSession, index_dir: str) -> None:
     buckets_path = os.path.join(index_dir, "buckets")
     buckets = band_index_open(spark, index_dir).localCheckpoint(eager=True)
     _compact_partitioned(buckets, buckets_path, "band_no")
+
+
+# ---------------------------------------------------------------------------
+# Postings store — the retrieval family's persisted index (BM25 serving).
+#
+# q_text_bm25 computes corpus statistics inline; a serving deployment
+# stores them. The layout mirrors the other two stores: the one
+# corpus-sized relation (postings: tok, doc_id, tf) PARTITIONED BY a
+# token hash bucket so a query's terms list only their buckets'
+# directories (static partition pruning — the inverted-index access
+# path realized as storage layout); the vocabulary-sized lexicon
+# (tok, df, total_tf) and the narrow per-doc length table ride along;
+# the two corpus SCALARS (doc count, total token count) live in the
+# manifest as exact integers. Unlike the ANN store — whose codebook
+# goes stale on append and defers retraining — every BM25 statistic
+# is a count or a sum, so appends maintain the index EXACTLY:
+# test_postings_append_equals_rebuild pins bit-equality between an
+# appended store and a full rebuild.
+
+_POSTINGS_MANIFEST = "postings_manifest.json"
+POSTINGS_BUCKETS = 16
+
+
+def _postings_constants() -> dict:
+    from distributed_causal_stream_processing_spark.operators.retrieval import (
+        BM25_B,
+        BM25_K1,
+    )
+
+    return {
+        "format": "postings-parquet-v1",
+        "n_buckets": POSTINGS_BUCKETS,
+        "bm25_k1": BM25_K1,
+        "bm25_b": BM25_B,
+    }
+
+
+def _tok_bucket_sql() -> str:
+    from distributed_causal_stream_processing_spark.functions.hashing import (
+        md5_u32_sql,
+    )
+
+    return f"({md5_u32_sql('tok')} % {POSTINGS_BUCKETS})"
+
+
+def term_bucket(term: str) -> int:
+    """The partition bucket of one term, computed DRIVER-SIDE (python
+    md5 == SQL md5 on utf-8 text) — this is how a query's terms become
+    a static partition filter without touching the cluster."""
+    import hashlib
+
+    return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:8], 16) % (
+        POSTINGS_BUCKETS
+    )
+
+
+def _postings_rows(docs: DataFrame) -> DataFrame:
+    """(tok, doc_id, tf, bucket) rows — the store's corpus relation,
+    derived through the same tokenizer as the live queries."""
+    from distributed_causal_stream_processing_spark.operators.retrieval import (
+        _toks,
+    )
+
+    return (
+        _toks(docs)
+        .groupBy("tok", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("bucket", F.expr(_tok_bucket_sql()))
+    )
+
+
+def _docstats_rows(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id", F.size(F.split(F.lower("text"), " ")).alias("dl")
+    )
+
+
+def _corpus_scalars(docstats: DataFrame) -> tuple[int, int]:
+    row = docstats.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("total_dl")
+    ).collect()[0]
+    return int(row.n), int(row.total_dl)
+
+
+def postings_store_save(spark: SparkSession, docs: DataFrame, out_dir: str) -> dict:
+    """Persist the BM25 index of a documents-shaped frame (doc_id,
+    text): bucket-partitioned postings, lexicon, doc lengths, and the
+    exact corpus scalars in the manifest. One tokenize pass feeds all
+    three relations; the only corpus-sized write is the postings
+    table, one shuffle-free pass after its (tok, doc_id) aggregation."""
+    postings = _postings_rows(docs)
+    postings.write.partitionBy("bucket").mode("overwrite").parquet(
+        os.path.join(out_dir, "postings")
+    )
+    # lexicon derives from the WRITTEN postings (not a second tokenize
+    # pass): read-back guarantees lexicon and postings can never skew
+    lex = (
+        spark.read.parquet(os.path.join(out_dir, "postings"))
+        .groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("df"),
+            F.sum("tf").cast("bigint").alias("total_tf"),
+        )
+    )
+    lex.write.mode("overwrite").parquet(os.path.join(out_dir, "lexicon"))
+    docstats = _docstats_rows(docs)
+    docstats.write.mode("overwrite").parquet(os.path.join(out_dir, "docstats"))
+    n, total_dl = _corpus_scalars(
+        spark.read.parquet(os.path.join(out_dir, "docstats"))
+    )
+    manifest = {**_postings_constants(), "n_docs": n, "total_dl": total_dl}
+    with open(os.path.join(out_dir, _POSTINGS_MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    return manifest
+
+
+def postings_store_manifest(index_dir: str) -> dict:
+    return _validate_manifest(
+        index_dir, _POSTINGS_MANIFEST, _postings_constants(), "postings store"
+    )
+
+
+def postings_store_append(
+    spark: SparkSession, index_dir: str, new_docs: DataFrame
+) -> dict:
+    """Fold an ingest batch into the store EXACTLY: postings rows
+    append into their bucket directories; the lexicon merges by
+    addition (df and total_tf are counts/sums — unlike the ANN store's
+    codebook there is NO stale-model debt); the manifest's corpus
+    scalars add the batch's. ``new_docs`` must hold doc_ids not
+    already stored (the ivfadc_index_append contract). Same
+    single-writer window as every append here; open()-side DISTINCT
+    is not needed because doc_ids are caller-unique."""
+    manifest = postings_store_manifest(index_dir)
+    new_postings = _postings_rows(new_docs).localCheckpoint(eager=True)
+    new_postings.write.partitionBy("bucket").mode("append").parquet(
+        os.path.join(index_dir, "postings")
+    )
+    lex_path = os.path.join(index_dir, "lexicon")
+    delta = new_postings.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df_d"),
+        F.sum("tf").cast("bigint").alias("tf_d"),
+    )
+    merged = (
+        spark.read.parquet(lex_path)
+        .join(delta, ["tok"], "full")
+        .select(
+            "tok",
+            (F.coalesce("df", F.lit(0)) + F.coalesce("df_d", F.lit(0)))
+            .cast("bigint")
+            .alias("df"),
+            (F.coalesce("total_tf", F.lit(0)) + F.coalesce("tf_d", F.lit(0)))
+            .cast("bigint")
+            .alias("total_tf"),
+        )
+        # materialize BEFORE overwriting the directory being read
+        .localCheckpoint(eager=True)
+    )
+    merged.write.mode("overwrite").parquet(lex_path)
+    new_stats = _docstats_rows(new_docs).localCheckpoint(eager=True)
+    new_stats.write.mode("append").parquet(os.path.join(index_dir, "docstats"))
+    dn, ddl = _corpus_scalars(new_stats)
+    manifest["n_docs"] += dn
+    manifest["total_dl"] += ddl
+    with open(os.path.join(index_dir, _POSTINGS_MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    return manifest
+
+
+def bm25_search_saved(
+    spark: SparkSession,
+    index_dir: str,
+    terms: tuple[str, ...] | None = None,
+    k: int | None = None,
+) -> DataFrame:
+    """Serve a BM25 query from a SAVED postings store — bit-identical
+    rows to q_text_bm25 when store and fixture agree (pinned in
+    tests/test_index_store.py). The terms' buckets are computed
+    driver-side (term_bucket) and pushed as a static partition filter,
+    so the postings scan lists only |distinct term buckets| of the
+    POSTINGS_BUCKETS directories; the lexicon slice broadcasts
+    (|terms| rows) and the only corpus-keyed work is the doc-length
+    equi join plus the top-k TakeOrdered."""
+    from pyspark.sql import Window as W
+
+    from distributed_causal_stream_processing_spark.operators.retrieval import (
+        BM25_B,
+        BM25_K1,
+        BM25_TERMS,
+        BM25_TOPK,
+    )
+    from distributed_causal_stream_processing_spark.operators.text import floor6
+
+    terms = BM25_TERMS if terms is None else terms
+    k = BM25_TOPK if k is None else k
+    manifest = postings_store_manifest(index_dir)
+    n, avgdl = manifest["n_docs"], manifest["total_dl"] / manifest["n_docs"]
+    buckets = sorted({term_bucket(t) for t in terms})
+    postings = (
+        spark.read.parquet(os.path.join(index_dir, "postings"))
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("tok").isin(*terms))
+        .select("tok", "doc_id", "tf")
+    )
+    idf = (
+        spark.read.parquet(os.path.join(index_dir, "lexicon"))
+        .filter(F.col("tok").isin(*terms))
+        .select(
+            "tok",
+            F.log(
+                F.lit(1.0) + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ).alias("idf"),
+        )
+    )
+    dl = spark.read.parquet(os.path.join(index_dir, "docstats"))
+    contrib = (
+        postings.join(F.broadcast(idf), "tok")
+        .join(dl, "doc_id")
+        .select(
+            "doc_id",
+            (
+                F.col("idf")
+                * F.col("tf")
+                * (BM25_K1 + 1.0)
+                / (
+                    F.col("tf")
+                    + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.lit(avgdl))
+                )
+            ).alias("c"),
+        )
+    )
+    scored = contrib.groupBy("doc_id").agg(floor6(F.sum("c")).alias("bm25"))
+    w = W.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return (
+        scored.orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", "bm25", F.row_number().over(w).cast("bigint").alias("rnk"))
+    )
+
+
+def postings_store_compact(spark: SparkSession, index_dir: str) -> None:
+    """Compact the postings table to one file per bucket directory —
+    the same maintenance job as the other two stores."""
+    postings_store_manifest(index_dir)  # validate before touching data
+    path = os.path.join(index_dir, "postings")
+    rows = (
+        spark.read.parquet(path)
+        .select("tok", "doc_id", "tf", "bucket")
+        .localCheckpoint(eager=True)
+    )
+    _compact_partitioned(rows, path, "bucket")

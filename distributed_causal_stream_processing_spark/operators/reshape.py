@@ -246,3 +246,130 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return agg.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout evaluation — the data-layout decision instrument.
+# A 100 TB table is pruned at scan time by file-level min/max column
+# statistics; how much gets pruned is decided ENTIRELY by which rows
+# share a file. Sorting by one key makes that key's point queries
+# touch one file and every other key's touch all files; interleaving
+# the keys' bits (Z-order / Morton order) buys bounded pruning on BOTH.
+
+ZO_BITS = 4  # bits per dimension -> 16 buckets per dim
+ZO_FILES = 16  # simulated file count (z range 0..255 / 16)
+
+
+def _zorder_sql(a: str = "ub", b: str = "hb") -> str:
+    """Morton interleave of two ZO_BITS-bit values — ``a`` on odd bits,
+    ``b`` on even. Pure arithmetic (floor-div + mod), identical SQL
+    text in Spark (F.expr) and DuckDB."""
+    terms = []
+    for i in range(ZO_BITS):
+        terms.append(f"(CAST(floor({a} / {2 ** i}) AS BIGINT) % 2) * {2 ** (2 * i + 1)}")
+        terms.append(f"(CAST(floor({b} / {2 ** i}) AS BIGINT) % 2) * {2 ** (2 * i)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _zorder_oracle() -> str:
+    return f"""
+    WITH e AS (
+        SELECT user_id % 16 AS ub, hour(ts) % 16 AS hb FROM events
+    ),
+    z AS (SELECT ub, hb, {_zorder_sql()} AS z FROM e),
+    spans AS (
+        SELECT 'zorder' AS layout, CAST(floor(z / {ZO_FILES}) AS BIGINT) AS f,
+               min(ub) AS umin, max(ub) AS umax,
+               min(hb) AS hmin, max(hb) AS hmax
+        FROM z GROUP BY CAST(floor(z / {ZO_FILES}) AS BIGINT)
+        UNION ALL
+        SELECT 'linear', CAST(ub AS BIGINT),
+               min(ub), max(ub), min(hb), max(hb)
+        FROM z GROUP BY CAST(ub AS BIGINT)
+    ),
+    probes AS (SELECT unnest(range(16)) AS v),
+    per AS (
+        SELECT layout, 'user' AS dim, v,
+               sum(CASE WHEN v BETWEEN umin AND umax THEN 1 ELSE 0 END) AS files
+        FROM spans CROSS JOIN probes GROUP BY layout, v
+        UNION ALL
+        SELECT layout, 'hour', v,
+               sum(CASE WHEN v BETWEEN hmin AND hmax THEN 1 ELSE 0 END)
+        FROM spans CROSS JOIN probes GROUP BY layout, v
+    )
+    SELECT layout, dim,
+           floor(avg(files) * 1000000) / 1000000 AS avg_files,
+           CAST(max(files) AS BIGINT) AS max_files,
+           CAST({ZO_FILES} AS BIGINT) AS n_files
+    FROM per GROUP BY layout, dim
+    """
+
+
+@query("q_layout_zorder", oracle=_zorder_oracle())
+def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER LAYOUT EVALUATION: compute the Morton-interleaved
+    clustering key over two query dimensions (user bucket, hour
+    bucket) and MEASURE what each layout buys at scan time — for every
+    point probe on each dimension, how many of the 16 simulated files'
+    [min, max] spans must be read. Emits 4 rows: (layout ∈ {linear,
+    zorder} × dim ∈ {user, hour}) with avg/max files scanned. On this
+    fixture the linear (user-sorted) layout reads 1 file for user
+    probes and ALL files for hour probes; Z-order reads a small
+    bounded number for BOTH — the measured argument for multi-
+    dimensional clustering (Delta/Iceberg OPTIMIZE ZORDER) over
+    single-key sorting when a 100 TB table serves more than one
+    predicate shape.
+
+    Scale shape: one events scan projects (ub, hb, z) — the interleave
+    is pure codegen arithmetic (floor-div/mod per bit; no UDF) — then
+    two 16-row aggregations (the per-file span tables ARE what a
+    parquet footer / Delta stats file stores) and a 32×16 probe cross
+    join over model-sized frames. At 100 TB the same z expression
+    feeds repartitionByRange(z) before the write, and this query's
+    span tables become the table's file-statistics relation; the
+    avg_files column is the expected scan fan-in a planner derives
+    from those stats."""
+    e = load(spark, sf_dir, "events").select(
+        F.expr("user_id % 16").alias("ub"), F.expr("hour(ts) % 16").alias("hb")
+    )
+    z = e.withColumn("z", F.expr(_zorder_sql()))
+    span_cols = [
+        F.min("ub").alias("umin"),
+        F.max("ub").alias("umax"),
+        F.min("hb").alias("hmin"),
+        F.max("hb").alias("hmax"),
+    ]
+    spans = (
+        z.groupBy(F.expr(f"CAST(floor(z / {ZO_FILES}) AS BIGINT)").alias("f"))
+        .agg(*span_cols)
+        .withColumn("layout", F.lit("zorder"))
+        .unionByName(
+            z.groupBy(F.col("ub").cast("bigint").alias("f"))
+            .agg(*span_cols)
+            .withColumn("layout", F.lit("linear"))
+        )
+    )
+    probes = spark.range(16).select(F.col("id").cast("bigint").alias("v"))
+    crossed = spans.crossJoin(F.broadcast(probes))
+
+    def per_dim(dim: str, lo: str, hi: str) -> DataFrame:
+        return (
+            crossed.groupBy("layout", "v")
+            .agg(
+                F.sum(
+                    F.when(
+                        (F.col("v") >= F.col(lo)) & (F.col("v") <= F.col(hi)), 1
+                    ).otherwise(0)
+                ).alias("files")
+            )
+            .withColumn("dim", F.lit(dim))
+        )
+
+    per = per_dim("user", "umin", "umax").unionByName(per_dim("hour", "hmin", "hmax"))
+    from distributed_causal_stream_processing_spark.operators.text import floor6
+
+    return per.groupBy("layout", "dim").agg(
+        floor6(F.avg("files")).alias("avg_files"),
+        F.max("files").cast("bigint").alias("max_files"),
+        F.lit(ZO_FILES).cast("bigint").alias("n_files"),
+    )

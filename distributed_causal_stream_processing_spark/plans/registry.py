@@ -170,6 +170,7 @@ _QUERY_MODULES = (
     "distributed_causal_stream_processing_spark.streaming.batch_views",
     "distributed_causal_stream_processing_spark.operators.dedup",
     "distributed_causal_stream_processing_spark.operators.text",
+    "distributed_causal_stream_processing_spark.operators.retrieval",
     "distributed_causal_stream_processing_spark.operators.similarity",
     "distributed_causal_stream_processing_spark.operators.multimodal",
     "distributed_causal_stream_processing_spark.operators.tpch",

@@ -314,3 +314,132 @@ def test_streaming_refuses_store_variant_mismatch(spark, tmp_path, saved_index):
             trained=True,
             index_dir=d,
         )
+
+
+# ---------------------------------------------------------------------------
+# postings store (BM25 serving)
+
+
+@pytest.fixture(scope="module")
+def saved_postings(spark, tmp_path_factory):
+    from distributed_causal_stream_processing_spark.io import load
+
+    d = str(tmp_path_factory.mktemp("postings_idx"))
+    manifest = ix.postings_store_save(spark, load(spark, SF, "documents"), d)
+    return d, manifest
+
+
+def test_postings_store_serves_identical_rows(saved_postings, spark):
+    """Bit-equality: BM25 served from the store == the live
+    q_text_bm25 rows (same tokenizer, exact stored statistics, same
+    floor6 + tie-break)."""
+    from distributed_causal_stream_processing_spark.plans.registry import (
+        all_queries,
+    )
+
+    d, manifest = saved_postings
+    assert manifest["format"] == "postings-parquet-v1"
+    stored = sorted(map(tuple, ix.bm25_search_saved(spark, d).collect()))
+    live = sorted(map(tuple, all_queries()["q_text_bm25"](spark, SF).collect()))
+    assert stored == live
+
+
+def test_postings_store_prunes_partitions(saved_postings, spark):
+    """The layout claim: the query terms' buckets become a static
+    partition filter — the scan lists/reads ONLY those directories'
+    files (3 distinct buckets of 16 for the default term set)."""
+    from distributed_causal_stream_processing_spark.operators.retrieval import (
+        BM25_TERMS,
+    )
+
+    d, _ = saved_postings
+    buckets = sorted({ix.term_bucket(t) for t in BM25_TERMS})
+    assert 0 < len(buckets) < ix.POSTINGS_BUCKETS
+    path = os.path.join(d, "postings")
+    full = spark.read.parquet(path)
+    pruned = full.filter(F.col("bucket").isin(buckets))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+
+    def scan_num_files(df):
+        df.collect()
+        leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
+        return int(leaves.apply(0).metrics().apply("numFiles").value())
+
+    n_pruned = scan_num_files(pruned)
+    n_all = scan_num_files(spark.read.parquet(path))
+    assert 0 < n_pruned < n_all, (n_pruned, n_all)
+    # the fraction promise, against POPULATED directories (15 of 16
+    # buckets hold tokens on this fixture): probing b of p populated
+    # buckets reads at most b/p of the files
+    populated = sum(1 for s in os.listdir(path) if s.startswith("bucket="))
+    assert n_pruned <= -(-n_all * len(buckets) // populated), (n_pruned, n_all)
+
+
+def test_postings_append_equals_rebuild(spark, tmp_path):
+    """EXACT incremental maintenance — the property that separates the
+    postings store from the ANN store (whose codebook goes stale):
+    save(corpus) + append(batch) must serve bit-identical BM25 rows to
+    save(corpus + batch), because every statistic is a count or sum."""
+    from distributed_causal_stream_processing_spark.io import load
+
+    docs = load(spark, SF, "documents")
+    cut = int(docs.agg(F.floor(0.8 * F.max("doc_id"))).collect()[0][0])
+    corpus = docs.filter(F.col("doc_id") < cut)
+    batch = docs.filter(F.col("doc_id") >= cut)
+
+    d_inc = str(tmp_path / "pidx_incremental")
+    ix.postings_store_save(spark, corpus, d_inc)
+    m_inc = ix.postings_store_append(spark, d_inc, batch)
+
+    d_full = str(tmp_path / "pidx_full")
+    m_full = ix.postings_store_save(spark, docs, d_full)
+
+    assert m_inc["n_docs"] == m_full["n_docs"]
+    assert m_inc["total_dl"] == m_full["total_dl"]
+    inc = sorted(map(tuple, ix.bm25_search_saved(spark, d_inc).collect()))
+    full = sorted(map(tuple, ix.bm25_search_saved(spark, d_full).collect()))
+    assert inc == full
+    # and the merged lexicon matches the rebuilt one row-for-row
+    lex_inc = sorted(
+        map(tuple, spark.read.parquet(os.path.join(d_inc, "lexicon")).collect())
+    )
+    lex_full = sorted(
+        map(tuple, spark.read.parquet(os.path.join(d_full, "lexicon")).collect())
+    )
+    assert lex_inc == lex_full
+
+
+def test_postings_manifest_refused(saved_postings, spark, tmp_path):
+    import shutil
+
+    d, _ = saved_postings
+    d2 = str(tmp_path / "bad_pidx")
+    shutil.copytree(d, d2)
+    mpath = os.path.join(d2, ix._POSTINGS_MANIFEST)
+    m = json.load(open(mpath))
+    m["n_buckets"] = m["n_buckets"] * 2
+    json.dump(m, open(mpath, "w"))
+    with pytest.raises(ValueError, match="incompatible"):
+        ix.bm25_search_saved(spark, d2)
+
+
+def test_postings_compaction_same_rows(spark, tmp_path):
+    """After an append fragments the bucket directories, compaction
+    rewrites to one file per bucket and serves identical rows."""
+    from distributed_causal_stream_processing_spark.io import load
+
+    docs = load(spark, SF, "documents")
+    cut = int(docs.agg(F.floor(0.8 * F.max("doc_id"))).collect()[0][0])
+    d = str(tmp_path / "pidx_compact")
+    ix.postings_store_save(spark, docs.filter(F.col("doc_id") < cut), d)
+    ix.postings_store_append(spark, d, docs.filter(F.col("doc_id") >= cut))
+    before = sorted(map(tuple, ix.bm25_search_saved(spark, d).collect()))
+    ix.postings_store_compact(spark, d)
+    ppath = os.path.join(d, "postings")
+    for sub in os.listdir(ppath):
+        if sub.startswith("bucket="):
+            files = [f for f in os.listdir(os.path.join(ppath, sub)) if f.endswith(".parquet")]
+            assert len(files) == 1, (sub, files)
+    after = sorted(map(tuple, ix.bm25_search_saved(spark, d).collect()))
+    assert before == after

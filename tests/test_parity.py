@@ -288,6 +288,13 @@ def test_causal_audit_detects_inversions_and_concurrency(spark, tmp_path):
         "q_sim_ivfadc_trained_probe_sweep",
         "q_sim_ivfadc_serving",
         "q_sim_ivfadc_serving_clustered",
+        # round 12: the new floored-float rows sweep both scales from
+        # day one — BM25 ranks ON the floored score (a rounding-
+        # boundary tie would reorder), and the z-order instrument's
+        # avg_files is a floored dyadic ratio (the exact class round 6
+        # bit on).
+        "q_text_bm25",
+        "q_layout_zorder",
     ],
 )
 def test_tie_prone_queries_parity_at_sf0001(tie_query, spark, duck_sf0001):

@@ -178,6 +178,9 @@ CARTESIAN_OK = {
     "q_sim_ivfadc_serving",  # same fan-out + 1-row stats broadcast crossed in
     "q_sim_ivfadc_serving_clustered",  # same + bounded exact-NN eval side
     "q_win_dist",  # 1-row N-total scalar broadcast crossed in
+    "q_text_bm25",  # 1-row corpus-stats (N, avgdl) broadcast crossed in
+    "q_dedup_bloom",  # 1-row corpus-boundary broadcast crossed in
+    "q_layout_zorder",  # 16-row probe values crossed into 32-row span tables
 }
 
 
@@ -580,6 +583,7 @@ BOUNDED_GLOBAL_WINDOW_OK = {
     "q_sim_cosine_topk",  # rank over the 20 rows limit() kept
     "q_text_collocations",  # rank over the 20 rows limit() kept
     "q_text_wordcount",  # rank over the 20 rows limit() kept
+    "q_text_bm25",  # rank over the 20 rows limit() kept
     "q_topk_with_ties",  # WindowGroupLimit bounds per-partition input
 }
 
