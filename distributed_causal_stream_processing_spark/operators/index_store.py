@@ -548,11 +548,13 @@ def _postings_constants() -> dict:
 
 
 def _tok_bucket_sql() -> str:
+    # Spark-only expression (the store build); conv() fast path —
+    # term_bucket() is the python twin it must stay equal to
     from distributed_causal_stream_processing_spark.functions.hashing import (
-        md5_u32_sql,
+        hex_u32_spark_sql,
     )
 
-    return f"({md5_u32_sql('tok')} % {POSTINGS_BUCKETS})"
+    return f"({hex_u32_spark_sql('md5(tok)')} % {POSTINGS_BUCKETS})"
 
 
 def term_bucket(term: str) -> int:

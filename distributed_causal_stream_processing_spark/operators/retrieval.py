@@ -40,7 +40,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from distributed_causal_stream_processing_spark.functions.hashing import hex_u32_sql
+from distributed_causal_stream_processing_spark.functions.hashing import (
+    hex_u32_spark_sql,
+    hex_u32_sql,
+)
 from distributed_causal_stream_processing_spark.io import load
 from distributed_causal_stream_processing_spark.operators.text import floor6
 from distributed_causal_stream_processing_spark.plans.registry import query
@@ -66,12 +69,18 @@ CM_TOPK = 20
 _TERMS_IN = ", ".join(f"'{t}'" for t in BM25_TERMS)
 
 
-def _cm_bucket_sql(d: int, hex_col: str = "h", width: int = CM_WIDTH) -> str:
+def _cm_bucket_sql(
+    d: int, hex_col: str = "h", width: int = CM_WIDTH, dialect: str = "shared"
+) -> str:
     """Row-``d`` count-min bucket from an md5 hex column: 32-bit slice
-    ``d`` of the digest, mod the sketch width. Identical SQL text for
-    Spark (F.expr) and DuckDB; ``width`` is overridable so tests can
-    build a deliberately-colliding narrow sketch."""
-    return f"({hex_u32_sql(f'substring({hex_col}, {1 + 8 * d}, 8)')} % {width})"
+    ``d`` of the digest, mod the sketch width. dialect='shared' is the
+    instr-arithmetic text valid in BOTH engines (what the oracle
+    runs); dialect='spark' swaps in conv() — bit-identical (pinned in
+    tests/test_retrieval.py), 2.9x faster, Spark-only. ``width`` is
+    overridable so tests can build a deliberately-colliding narrow
+    sketch."""
+    u32 = hex_u32_spark_sql if dialect == "spark" else hex_u32_sql
+    return f"({u32(f'substring({hex_col}, {1 + 8 * d}, 8)')} % {width})"
 
 
 def _toks(d: DataFrame) -> DataFrame:
@@ -313,7 +322,8 @@ def q_text_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     pos_structs = F.array(
         *[
             F.struct(
-                F.lit(dd).alias("d"), F.expr(_cm_bucket_sql(dd)).alias("bucket")
+                F.lit(dd).alias("d"),
+                F.expr(_cm_bucket_sql(dd, dialect="spark")).alias("bucket"),
             )
             for dd in range(CM_DEPTH)
         ]

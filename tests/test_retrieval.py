@@ -258,3 +258,38 @@ def test_zorder_interleave_is_morton(spark):
 
     for (a, b), z in got.items():
         assert z == morton(a, b), (a, b, z)
+
+
+# ---------------------------------------------------------------------------
+# conv() fast path
+
+
+def test_conv_hex_parse_bit_identical_to_shared_arithmetic(spark):
+    """hex_u32_spark_sql (conv-based, Spark-only, 2.9x faster) must be
+    bit-identical to the cross-engine instr-arithmetic form on every
+    32-bit slice of real corpus digests — the new pipelines' Spark
+    sides run conv while their DuckDB oracles run the arithmetic, so
+    this equality IS the parity argument."""
+    from distributed_causal_stream_processing_spark.functions.hashing import (
+        hex_u32_spark_sql,
+        hex_u32_sql,
+    )
+    from distributed_causal_stream_processing_spark.io import load
+
+    h = (
+        load(spark, SF_SMOKE, "documents")
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+        .select(F.expr("md5(tok)").alias("h"))
+    )
+    checks = [
+        (
+            F.expr(hex_u32_sql(f"substring(h, {1 + 8 * d}, 8)")) 
+            != F.expr(hex_u32_spark_sql(f"substring(h, {1 + 8 * d}, 8)"))
+        )
+        for d in range(4)
+    ]
+    import functools
+    import operator
+
+    mismatches = h.filter(functools.reduce(operator.or_, checks)).count()
+    assert mismatches == 0
