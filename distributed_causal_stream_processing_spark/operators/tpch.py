@@ -1,14 +1,15 @@
-"""Composite TPC-H-style queries (Q3 / Q4 / Q5 / Q6 / Q7 / Q8 / Q10 /
-Q13 / Q14 / Q15 / Q17 / Q18 / Q19 / Q22 analogues, adapted to the
-fixture's 1995-2001 date span and column subset — orders has no
+"""Composite TPC-H-style queries — all 22 shapes covered: Q3-Q8, Q10,
+Q12-Q15, Q17-Q19, Q21, Q22 as direct analogues adapted to the
+fixture's 1995-2001 date span and column subset (orders has no
 o_shippriority, so Q3 carries o_orderpriority; lineitem has no
-commitdate/receiptdate/shipmode, so Q12/Q21 shapes are out of reach
-(Q4's EXISTS survives via shipdate-lateness); there is no partsupp
-table, so Q2/Q9/Q11/Q16/Q20 are unexpressible; Q14 uses the fixture's
-categorical ``p_type = 'PROMO'``; Q19's shipmode/shipinstruct
-conjuncts are dropped, keeping the brand/size/quantity disjunction
-that makes it a pushdown stress test. Q1 lives as the flagship
-``q_agg_group``.
+commitdate/receiptdate/shipmode, so Q12/Q21 run shipdate-lateness
+forms; Q14 uses the fixture's categorical ``p_type = 'PROMO'``;
+Q19's shipmode/shipinstruct conjuncts are dropped, keeping the
+brand/size/quantity disjunction that makes it a pushdown stress
+test); Q1 lives as the flagship ``q_agg_group``; and the five
+partsupp-dependent queries (Q2/Q9/Q11/Q16/Q20 — round 12) run
+against a DERIVED part-supplier dimension reconstructed from
+lineitem (see the derived-partsupp section below).
 
 The operator-level registry proves each primitive in isolation; these
 prove the primitives COMPOSE: multi-join star shapes, selective
@@ -30,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from distributed_causal_stream_processing_spark.io import load
+from distributed_causal_stream_processing_spark.operators.text import floor4
 from distributed_causal_stream_processing_spark.plans.registry import query
 
 _REV_DEC = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))"
@@ -945,4 +947,347 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name", "s_name")
         .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
         .orderBy(F.desc("numwait"), "n_name", "s_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Derived-partsupp analogues (round 12): Q2 / Q9 / Q11 / Q16 / Q20.
+#
+# The fixture ships no partsupp table, but lineitem IS a part×supplier
+# relation — so the partsupp-dependent five run against a DERIVED
+# part-supplier dimension: ps_supplycost := the pair's average unit
+# price (floor-scaled to 4 dp; the addends sum as DECIMAL(18,8), so
+# the average is partition-order-independent and both engines floor
+# the identical double), ps_availqty := the pair's total shipped
+# quantity. Threshold predicates that TPC-H scales by 1/SF (Q11's
+# value floor, Q20's excess-stock rule) are rephrased SCALE-FREE as
+# exact integer-arithmetic comparisons against the group average
+# (val·cnt > 2·total — no floating-point threshold to disagree on),
+# so the queries stay selective at every fixture scale.
+
+_PS_DEC = "CAST(l_extendedprice / l_quantity AS DECIMAL(18,8))"
+_PS_SQL = f"""
+    SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+           floor(CAST(sum({_PS_DEC}) AS DOUBLE) / count(*) * 10000) / 10000
+               AS ps_supplycost,
+           CAST(sum(l_quantity) AS DOUBLE) AS ps_availqty
+    FROM lineitem GROUP BY l_partkey, l_suppkey
+"""
+
+
+def _derived_ps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(ps_partkey, ps_suppkey, ps_supplycost, ps_availqty) — the
+    derived part-supplier dimension. One lineitem shuffle on the pair
+    key with map-side partials; output is |part×supplier|-bounded
+    (the same cardinality a real partsupp table has)."""
+    li = load(spark, sf_dir, "lineitem")
+    unit = (F.col("l_extendedprice") / F.col("l_quantity")).cast("decimal(18,8)")
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        floor4(F.sum(unit).cast("double") / F.count(F.lit(1))).alias("ps_supplycost"),
+        F.sum("l_quantity").cast("double").alias("ps_availqty"),
+    )
+
+
+@query(
+    "q_tpch_q2",
+    oracle=f"""
+    WITH ps AS ({_PS_SQL}),
+    eu AS (
+        SELECT s_suppkey, s_name, s_acctbal, n_name
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    ),
+    cand AS (
+        SELECT p_partkey, p_brand, s_suppkey, s_name, s_acctbal, n_name,
+               ps_supplycost
+        FROM ps JOIN part ON ps_partkey = p_partkey
+        JOIN eu ON ps_suppkey = s_suppkey
+        WHERE p_size BETWEEN 10 AND 30 AND p_type = 'STANDARD'
+    ),
+    mn AS (SELECT p_partkey, min(ps_supplycost) AS mc FROM cand GROUP BY p_partkey)
+    SELECT s_acctbal, s_name, n_name, c.p_partkey, p_brand, ps_supplycost
+    FROM cand c JOIN mn ON c.p_partkey = mn.p_partkey AND c.ps_supplycost = mn.mc
+    ORDER BY s_acctbal DESC, n_name, s_name, c.p_partkey
+    LIMIT 20
+    """,
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 analogue (minimum-cost supplier): for each STANDARD
+    mid-size part, every EUROPE supplier whose derived unit cost
+    equals the part's minimum (all ties survive, as in the original),
+    ordered by supplier balance.
+
+    Composite shape: the correlated min-subquery decorrelates into a
+    per-part min aggregation joined back on (part, cost) — the
+    classic argmin-by-join; the supplier→nation→region dim chain
+    broadcasts (dims are tiny at any scale), and the final order+limit
+    is TakeOrderedAndProject."""
+    ps = _derived_ps(spark, sf_dir)
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_size").between(10, 30) & (F.col("p_type") == "STANDARD"))
+        .select("p_partkey", "p_brand")
+    )
+    cand = (
+        ps.join(p, ps.ps_partkey == p.p_partkey)
+        .join(F.broadcast(eu), ps.ps_suppkey == F.col("s_suppkey"))
+        .select(
+            "p_partkey", "p_brand", "s_name", "s_acctbal", "n_name", "ps_supplycost"
+        )
+    )
+    mn = cand.groupBy(F.col("p_partkey").alias("mk")).agg(
+        F.min("ps_supplycost").alias("mc")
+    )
+    return (
+        cand.join(
+            F.broadcast(mn),
+            (F.col("p_partkey") == F.col("mk")) & (F.col("ps_supplycost") == F.col("mc")),
+        )
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "ps_supplycost"
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q_tpch_q9",
+    oracle=f"""
+    WITH ps AS ({_PS_SQL})
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+                    - CAST(ps_supplycost * l_quantity AS DECIMAL(18,4)))
+                AS DOUBLE) AS profit
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN ps ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+    WHERE p_name LIKE '%bolt%'
+    GROUP BY n_name, year(o_orderdate)
+    """,
+)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 analogue (product-type profit): per supplier nation
+    and order year, revenue minus derived supply cost over all 'bolt'
+    parts. Profit addends are DECIMAL-cast before the sum (exact,
+    order-independent under AQE), cast to double at the edge.
+
+    Composite shape: the widest join tree in the suite — the lineitem
+    spine joins the filtered part dim (broadcast), supplier→nation
+    (broadcast), orders (spine equi join on orderkey), AND the derived
+    ps dimension on the composite (part, supp) key; the final rollup
+    is 25 nations × 7 years."""
+    ps = _derived_ps(spark, sf_dir)
+    li = load(spark, sf_dir, "lineitem")
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%bolt%"))
+        .select("p_partkey")
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    cost = (F.col("ps_supplycost") * F.col("l_quantity")).cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(
+            ps,
+            (li.l_partkey == ps.ps_partkey) & (li.l_suppkey == ps.ps_suppkey),
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(F.sum(rev - cost).cast("double").alias("profit"))
+    )
+
+
+@query(
+    "q_tpch_q11",
+    oracle=f"""
+    WITH ps AS ({_PS_SQL}),
+    asia AS (
+        SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'
+    ),
+    v AS (
+        SELECT ps_partkey,
+               sum(CAST(ps_supplycost * ps_availqty AS DECIMAL(18,4))) AS val
+        FROM ps JOIN asia ON ps_suppkey = s_suppkey
+        GROUP BY ps_partkey
+    ),
+    t AS (SELECT sum(val) AS total, count(*) AS cnt FROM v)
+    SELECT ps_partkey, CAST(val AS DOUBLE) AS part_value
+    FROM v CROSS JOIN t
+    WHERE val * cnt > 2 * total
+    ORDER BY part_value DESC, ps_partkey
+    LIMIT 100
+    """,
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 analogue (important stock): parts whose ASIA-supplied
+    derived inventory value exceeds 2x the average part's value.
+    TPC-H's 1/SF threshold is rephrased scale-free AND exactly:
+    val·cnt > 2·total compares DECIMALs with integer arithmetic — no
+    floating-point threshold for the two engines to disagree on at
+    the boundary.
+
+    Composite shape: group-by-part value rollup, then a 1-row global
+    (total, cnt) broadcast crossed into the filter — the scalar-
+    subquery-threshold pattern (q_tpch_q22's shape) over a derived
+    dimension."""
+    ps = _derived_ps(spark, sf_dir)
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey")
+    )
+    v = (
+        ps.join(F.broadcast(asia), ps.ps_suppkey == F.col("s_suppkey"))
+        .groupBy("ps_partkey")
+        .agg(
+            F.sum(
+                (F.col("ps_supplycost") * F.col("ps_availqty")).cast("decimal(18,4)")
+            ).alias("val")
+        )
+    )
+    t = v.agg(F.sum("val").alias("total"), F.count(F.lit(1)).alias("cnt"))
+    return (
+        v.crossJoin(F.broadcast(t))
+        .filter(F.col("val") * F.col("cnt") > 2 * F.col("total"))
+        .select("ps_partkey", F.col("val").cast("double").alias("part_value"))
+        .orderBy(F.desc("part_value"), "ps_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q_tpch_q16",
+    oracle=f"""
+    WITH ps AS ({_PS_SQL})
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+    FROM ps JOIN part ON ps_partkey = p_partkey
+    WHERE p_brand <> 'Brand#3' AND p_type <> 'PROMO'
+      AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_suppkey % 4 = 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    LIMIT 20
+    """,
+)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 analogue (parts/supplier relationship): how many
+    qualifying suppliers can supply each (brand, type, size) combo,
+    excluding one brand, the PROMO type, and an 'audit-flagged'
+    supplier list (the complaints NOT IN of the original, made
+    deterministic as s_suppkey % 4 = 0).
+
+    Composite shape: anti join against the exclusion list (broadcast),
+    dim join, then count(DISTINCT supplier) per combo — the
+    distinct-aggregation expands (the q_agg_distinct planner shape)
+    over the derived relation."""
+    ps = _derived_ps(spark, sf_dir).select("ps_partkey", "ps_suppkey")
+    excluded = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") % 4 == 0)
+        .select("s_suppkey")
+    )
+    p = (
+        load(spark, sf_dir, "part")
+        .filter((F.col("p_brand") != "Brand#3") & (F.col("p_type") != "PROMO"))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    return (
+        ps.join(
+            F.broadcast(excluded),
+            ps.ps_suppkey == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(p, ps.ps_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").cast("bigint").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+        .limit(20)
+    )
+
+
+@query(
+    "q_tpch_q20",
+    oracle="""
+    WITH breadth AS (
+        SELECT l_suppkey, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+               CAST(sum(l_quantity) AS DOUBLE) AS qty_total
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE '%widget%'
+        GROUP BY l_suppkey
+    ),
+    t AS (SELECT sum(n_parts) AS total_parts, count(*) AS cnt FROM breadth)
+    SELECT s_suppkey, s_name, n_parts, qty_total
+    FROM supplier JOIN breadth ON s_suppkey = l_suppkey
+    CROSS JOIN t
+    WHERE n_parts * cnt > total_parts
+    ORDER BY n_parts DESC, s_suppkey
+    LIMIT 50
+    """,
+)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 analogue (potential part promotion): suppliers with
+    ABOVE-AVERAGE breadth of 'widget' parts supplied — the original's
+    excess-stock rule (availqty vs half a year's shipments, which
+    TPC-H keeps selective by scaling constants with SF) rephrased
+    scale-free as the exact integer comparison n_parts·cnt >
+    total_parts.
+
+    Composite shape: filtered part semi-join into the lineitem spine,
+    per-supplier distinct-part aggregation, a 1-row global average
+    broadcast crossed into the threshold, and the supplier-name join
+    last (only survivors pay it) — Q20's nested-subquery chain
+    flattened into the plan Spark would decorrelate it to anyway."""
+    li = load(spark, sf_dir, "lineitem")
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey")
+    )
+    breadth = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(
+            F.countDistinct("l_partkey").cast("bigint").alias("n_parts"),
+            F.sum("l_quantity").cast("double").alias("qty_total"),
+        )
+    )
+    t = breadth.agg(
+        F.sum("n_parts").alias("total_parts"), F.count(F.lit(1)).alias("cnt")
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        breadth.crossJoin(F.broadcast(t))
+        .filter(F.col("n_parts") * F.col("cnt") > F.col("total_parts"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "n_parts", "qty_total")
+        .orderBy(F.desc("n_parts"), "s_suppkey")
+        .limit(50)
     )

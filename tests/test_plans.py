@@ -181,6 +181,8 @@ CARTESIAN_OK = {
     "q_text_bm25",  # 1-row corpus-stats (N, avgdl) broadcast crossed in
     "q_dedup_bloom",  # 1-row corpus-boundary broadcast crossed in
     "q_layout_zorder",  # 16-row probe values crossed into 32-row span tables
+    "q_tpch_q11",  # 1-row (total, cnt) threshold broadcast crossed in
+    "q_tpch_q20",  # 1-row breadth-average broadcast crossed in
 }
 
 
