@@ -593,7 +593,9 @@ def _corpus_scalars(docstats: DataFrame) -> tuple[int, int]:
     row = docstats.agg(
         F.count(F.lit(1)).alias("n"), F.sum("dl").alias("total_dl")
     ).collect()[0]
-    return int(row.n), int(row.total_dl)
+    # sum over zero rows is NULL — an empty frame (a streaming ingest
+    # can legitimately deliver an empty micro-batch) contributes (0, 0)
+    return int(row.n), int(row.total_dl or 0)
 
 
 def postings_store_save(spark: SparkSession, docs: DataFrame, out_dir: str) -> dict:

@@ -1599,3 +1599,76 @@ def test_missing_committed_batch_dir_fails_loudly(spark, tmp_path):
     shutil.rmtree(os.path.join(sink.index_dir, f"batch_id={committed[-1]}"))
     with pytest.raises(RuntimeError, match="corrupt"):
         sink._committed_index(spark)
+
+
+def test_streaming_postings_ingest_matches_offline_build(spark, tmp_path):
+    """The postings store grown by the STREAMING ingest job (corpus
+    saved offline, the ingest batch streamed in file-per-micro-batch)
+    must serve BM25 bit-identically to one offline build over the full
+    corpus — postings_store_append maintains every statistic exactly,
+    and the marker protocol adds no rows of its own. Then REPLAY the
+    whole stream against the same sink (fresh checkpoint, same
+    markers): every batch must no-op, and the store must be
+    byte-for-byte the same answer — at-least-once delivery +
+    idempotent append = effectively-once ingest."""
+    from distributed_causal_stream_processing_spark.io import load
+    from distributed_causal_stream_processing_spark.operators import (
+        index_store as ix,
+    )
+    from distributed_causal_stream_processing_spark.streaming import jobs
+
+    docs = load(spark, SF_SMOKE, "documents")
+    cut = int(docs.agg(F.floor(0.8 * F.max("doc_id"))).collect()[0][0])
+    corpus = docs.filter(F.col("doc_id") < cut)
+    batch = docs.filter(F.col("doc_id") >= cut)
+
+    store = str(tmp_path / "postings_store")
+    ix.postings_store_save(spark, corpus, store)
+
+    sdir = str(tmp_path / "doc_stream")
+    jobs._stage_split_as_stream_dir(batch, "doc_id", sdir)
+    root = str(tmp_path / "ingest_sink")
+    sink = jobs.run_streaming_postings_ingest(spark, sdir, root, store)
+    assert len(sink._committed_ids()) >= 2  # file-per-trigger staging
+
+    full_store = str(tmp_path / "postings_full")
+    m_full = ix.postings_store_save(spark, docs, full_store)
+    m_streamed = ix.postings_store_manifest(store)
+    assert m_streamed["n_docs"] == m_full["n_docs"]
+    assert m_streamed["total_dl"] == m_full["total_dl"]
+    streamed = sorted(map(tuple, ix.bm25_search_saved(spark, store).collect()))
+    offline = sorted(map(tuple, ix.bm25_search_saved(spark, full_store).collect()))
+    assert streamed == offline
+
+    # full replay: same sink root (markers survive), fresh checkpoint
+    import shutil
+
+    shutil.rmtree(os.path.join(root, "_checkpoint"))
+    jobs.run_streaming_postings_ingest(spark, sdir, root, store)
+    replayed = sorted(map(tuple, ix.bm25_search_saved(spark, store).collect()))
+    assert replayed == streamed
+    assert ix.postings_store_manifest(store)["n_docs"] == m_full["n_docs"]
+
+
+def test_postings_ingest_refuses_incompatible_store(spark, tmp_path):
+    """A sink pointed at a store built under different constants must
+    fail BEFORE the stream starts — silent appends under mismatched
+    hashing would poison every later probe."""
+    import json as _json
+
+    from distributed_causal_stream_processing_spark.io import load
+    from distributed_causal_stream_processing_spark.operators import (
+        index_store as ix,
+    )
+    from distributed_causal_stream_processing_spark.streaming import jobs
+
+    store = str(tmp_path / "postings_store")
+    ix.postings_store_save(
+        spark, load(spark, SF_SMOKE, "documents").limit(50), store
+    )
+    mpath = os.path.join(store, ix._POSTINGS_MANIFEST)
+    m = _json.load(open(mpath))
+    m["n_buckets"] *= 2
+    _json.dump(m, open(mpath, "w"))
+    with pytest.raises(ValueError, match="incompatible"):
+        jobs.PostingsIngestSink(str(tmp_path / "sink"), store)
