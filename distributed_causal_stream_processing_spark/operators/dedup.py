@@ -214,10 +214,14 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_cte(split_clause: str, str_type: str) -> str:
     """Shared SQL text: doc → 32 minhash values → 8 LSH band keys.
 
-    str_type: 'STRING' for Spark, 'VARCHAR' for DuckDB — the only
-    dialect difference besides the token-explosion clause.
+    str_type: 'STRING' for Spark, 'VARCHAR' for DuckDB — and since the
+    type keyword already marks the dialect, it also selects the hex
+    parse: Spark gets the conv() fast path (bit-identical to the
+    shared arithmetic — pinned in tests/test_retrieval.py — and 2.9x
+    faster per token), DuckDB keeps the portable instr form.
     """
-    x = hex_u32_sql("h")  # md5 materialized once in `md5hex`, not 8× here
+    # md5 materialized once in `md5hex`, not 8× here
+    x = hex_u32_spark_sql("h") if str_type == "STRING" else hex_u32_sql("h")
     mins = ", ".join(
         f"min({minhash_perm_sql('x', j)}) AS mh{j}" for j in range(N_MINHASH)
     )
