@@ -206,10 +206,32 @@ def test_scale_bench_replicas_preserve_workload_shape(spark, tmp_path):
 
     from distributed_causal_stream_processing_spark.io import load
 
-    for t in ("lineitem", "events", "documents", "embeddings"):
+    for t in ("lineitem", "events", "documents", "embeddings",
+              "part", "supplier", "orders"):
         base = load(spark, "/root/testdata/sf0.001", t).count()
         big = spark.read.parquet(os.path.join(out, f"{t}.parquet")).count()
         assert big == 3 * base, t
+    for t in ("nation", "region"):  # dims copy as-is
+        base = load(spark, "/root/testdata/sf0.001", t).count()
+        big = spark.read.parquet(os.path.join(out, f"{t}.parquet")).count()
+        assert big == base, t
+
+    # the round-12 TPC-H heavy joins 3 disjoint copies of the base
+    # graph, so q9's per-(nation, year) profit must TRIPLE EXACTLY
+    # (decimal-sum addends; replica pairs carry identical floored
+    # derived costs) — group count unchanged, every value 3x
+    from distributed_causal_stream_processing_spark.operators.tpch import q_tpch_q9
+
+    base_rows = {
+        (r.nation, r.o_year): r.profit
+        for r in q_tpch_q9(spark, "/root/testdata/sf0.001").collect()
+    }
+    big_rows = {
+        (r.nation, r.o_year): r.profit for r in q_tpch_q9(spark, out).collect()
+    }
+    assert set(big_rows) == set(base_rows)
+    for k, v in base_rows.items():
+        assert abs(big_rows[k] - 3 * v) < 1e-6, (k, v, big_rows[k])
 
     def dup_clusters(df):
         return (

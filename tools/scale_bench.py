@@ -76,6 +76,12 @@ HEAVY = {
     # assignment + per-Lloyd-round hash aggs); the ADC search side is
     # bounded by PQ_NQ queries x probed-cell candidates
     "q_sim_ivfadc": "linear",
+    # round 12: the widest join tree in the suite (lineitem spine x 4
+    # dims x the derived part-supplier dimension) — every join is keyed,
+    # the derived-ps aggregation is one pair-keyed shuffle, so 3x rows
+    # must cost ~3x; _scale3 replicates part/supplier/orders with
+    # matching key offsets so the join graph is 3 disjoint base copies
+    "q_tpch_q9": "linear",
 }
 LINEAR_ALARM = 4.5  # 3x rows + 50% scheduling/shuffle slack
 QUADRATIC_ALARM = 13.5  # 9x candidates + 50% slack
@@ -241,6 +247,36 @@ def _scale3(spark, out_dir: str, base_sf: str | None = None) -> None:
         ),
         "embeddings",
     )
+    # round 12: the derived-partsupp TPC-H heavies joined HEAVY, so the
+    # dimension side of their join tree rides along — part/supplier/
+    # orders replicate with the SAME key offsets the lineitem replicas
+    # use (the join graph stays 3 disjoint copies of the base graph:
+    # per-replica catalog identical, foreign keys line up), nation and
+    # region copy as-is (supplier nationkeys are unchanged, so the
+    # nation rollup sees 3x suppliers per nation, same distribution).
+    pt = load(spark, base_sf, "part")
+    sp = load(spark, base_sf, "supplier")
+    od = load(spark, base_sf, "orders")
+    write(
+        replicas(
+            pt, lambda d, k: d.withColumn("p_partkey", F.col("p_partkey") + F.lit(k * mx["pk"]))
+        ),
+        "part",
+    )
+    write(
+        replicas(
+            sp, lambda d, k: d.withColumn("s_suppkey", F.col("s_suppkey") + F.lit(k * mx["sk"]))
+        ),
+        "supplier",
+    )
+    write(
+        replicas(
+            od, lambda d, k: d.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(k * mx["ok"]))
+        ),
+        "orders",
+    )
+    write(load(spark, base_sf, "nation"), "nation")
+    write(load(spark, base_sf, "region"), "region")
 
 
 def _skew_pair(
