@@ -90,6 +90,22 @@ def main() -> None:
         "streaming, per-key windows (plain twins degrade 5.5-5.9x there),",
         "and environments with the skew-join rule disabled.",
         "",
+        "Lexical retrieval & layout guidance (round 12): `q_text_bm25` is",
+        "the reference BM25 semantics; serve it from the persisted",
+        "postings store (index_store.bm25_search_saved) — query terms",
+        "become driver-computed static partition filters over the",
+        "bucket-partitioned postings, and appends maintain every statistic",
+        "EXACTLY (counts/sums; append == rebuild bit-for-bit), so unlike",
+        "the ANN store there is no retrain cadence to schedule. Put the",
+        "count-min sketch (`q_text_countmin`, one-sided error) where an",
+        "exact per-token table is unaffordable online, and the bloom",
+        "pre-screen (`q_dedup_bloom`) in front of the LSH probe as dedup",
+        "rung 0. Before a large write, run `q_layout_zorder`'s span/probe",
+        "analysis on candidate sort keys: user-sorted reads 1 file for",
+        "user probes but ALL files for hour probes; the Morton interleave",
+        "bounds BOTH at 4 of 16 (made physical — real files, real",
+        "PartitionFilters — in tests/test_retrieval.py).",
+        "",
         "| query id | oracle | implementation | what it proves |",
         "| --- | --- | --- | --- |",
     ]
