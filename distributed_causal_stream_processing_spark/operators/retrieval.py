@@ -156,10 +156,11 @@ def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_text_bm25",
-    oracle=f"""
-    WITH dl AS (
+# The BM25 score pipeline as a reusable oracle CTE chain: `fl` holds
+# (doc_id, bm25 floored at 1e-6). Shared by q_text_bm25 and the RRF
+# fusion oracle so the two can never drift.
+_BM25_FL_SQL = f"""
+    dl AS (
         SELECT doc_id, len(string_split(lower(text), ' ')) AS dl FROM documents
     ),
     stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
@@ -187,6 +188,58 @@ def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY tf.doc_id
     ),
     fl AS (SELECT doc_id, floor(s * 1000000) / 1000000 AS bm25 FROM sc)
+"""
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bm25) for every document matching any query term —
+    the full floored score relation q_text_bm25 ranks and the RRF
+    fusion consumes as its lexical list. One definition on each
+    engine side (_BM25_FL_SQL is the oracle twin)."""
+    d = load(spark, sf_dir, "documents")
+    dl = d.select("doc_id", F.size(F.split(F.lower("text"), " ")).alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
+    tf = (
+        _toks(d)
+        .filter(F.col("tok").isin(*BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf = (
+        tf.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "tok",
+            F.log(
+                F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ).alias("idf"),
+            "avgdl",
+        )
+    )
+    contrib = (
+        tf.join(F.broadcast(idf), "tok")
+        .join(dl, "doc_id")
+        .select(
+            "doc_id",
+            (
+                F.col("idf")
+                * F.col("tf")
+                * (BM25_K1 + 1.0)
+                / (
+                    F.col("tf")
+                    + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("c"),
+        )
+    )
+    return contrib.groupBy("doc_id").agg(floor6(F.sum("c")).alias("bm25"))
+
+
+@query(
+    "q_text_bm25",
+    oracle=f"""
+    WITH {_BM25_FL_SQL}
     SELECT doc_id, bm25,
            CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rnk
     FROM fl
@@ -211,45 +264,9 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject (k rows per partition) and the rank window
     sees exactly k survivors (the q_text_wordcount bounded-window
     pattern). Scores floor at 1e-6 and rank on the floored value so
-    both engines break ties identically."""
-    d = load(spark, sf_dir, "documents")
-    dl = d.select("doc_id", F.size(F.split(F.lower("text"), " ")).alias("dl"))
-    stats = dl.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
-    tf = (
-        _toks(d)
-        .filter(F.col("tok").isin(*BM25_TERMS))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    idf = (
-        tf.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .crossJoin(F.broadcast(stats))
-        .select(
-            "tok",
-            F.log(F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)).alias(
-                "idf"
-            ),
-            "avgdl",
-        )
-    )
-    contrib = (
-        tf.join(F.broadcast(idf), "tok")
-        .join(dl, "doc_id")
-        .select(
-            "doc_id",
-            (
-                F.col("idf")
-                * F.col("tf")
-                * (BM25_K1 + 1.0)
-                / (
-                    F.col("tf")
-                    + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
-                )
-            ).alias("c"),
-        )
-    )
-    scored = contrib.groupBy("doc_id").agg(floor6(F.sum("c")).alias("bm25"))
+    both engines break ties identically. (Scoring lives in
+    _bm25_scored, shared with the q_retrieval_rrf fusion.)"""
+    scored = _bm25_scored(spark, sf_dir)
     w = W.orderBy(F.desc("bm25"), F.asc("doc_id"))
     return (
         scored.orderBy(F.desc("bm25"), F.asc("doc_id"))
@@ -353,5 +370,129 @@ def q_text_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("bigint").alias("n"),
             F.col("cm_est").cast("bigint").alias("cm_est"),
             (F.col("cm_est") - F.col("n")).cast("bigint").alias("overest"),
+        )
+    )
+
+
+# Reciprocal-rank fusion constants: the standard k=60 (Cormack et al.),
+# fusion over the top-RRF_DEPTH of each list, final top-RRF_TOPK.
+RRF_K = 60
+RRF_DEPTH = 50
+RRF_TOPK = 20
+RRF_QUERY_VEC = 0  # vec_id of the dense query vector (excluded from its list)
+
+
+@query(
+    "q_retrieval_rrf",
+    oracle=f"""
+    WITH {_BM25_FL_SQL},
+    lexr AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lrank
+        FROM fl ORDER BY bm25 DESC, doc_id LIMIT {RRF_DEPTH}
+    ),
+    qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+           WHERE vec_id = {RRF_QUERY_VEC}),
+    sims AS (
+        SELECT vec_id AS doc_id,
+               list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                      (SELECT qe FROM qv)) AS sim
+        FROM embeddings WHERE vec_id <> {RRF_QUERY_VEC}
+    ),
+    vecr AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY sim DESC, doc_id) AS vrank
+        FROM sims ORDER BY sim DESC, doc_id LIMIT {RRF_DEPTH}
+    ),
+    fused AS (
+        SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+               l.lrank AS lrank, v.vrank AS vrank,
+               coalesce(1.0 / ({RRF_K} + l.lrank), 0)
+                   + coalesce(1.0 / ({RRF_K} + v.vrank), 0) AS rrf
+        FROM lexr l FULL JOIN vecr v ON l.doc_id = v.doc_id
+    )
+    SELECT doc_id,
+           floor(rrf * 1000000) / 1000000 AS rrf_score,
+           CAST(lrank AS BIGINT) AS lrank, CAST(vrank AS BIGINT) AS vrank,
+           CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rnk
+    FROM fused
+    ORDER BY rrf DESC, doc_id
+    LIMIT {RRF_TOPK}
+    """,
+)
+def q_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID RETRIEVAL — reciprocal-rank fusion of the engine's two
+    serving families: the lexical list (BM25 over the fixed term set,
+    the q_text_bm25 pipeline) and the dense list (exact cosine to one
+    query embedding) fuse by RRF(d) = Σ_lists 1/(k + rank_d), k=60 —
+    the standard score-free fusion that needs NO calibration between
+    BM25 points and cosine values, which is exactly why production
+    hybrid search uses it. Documents missing from one list contribute
+    only the other's term (the fixture pairs doc_id↔vec_id on the
+    shared id range; docs without a vector can still fuse from the
+    lexical side).
+
+    Scale shape: each list is its own bounded pipeline — BM25's
+    broadcast-stats shape, then cosine against ONE broadcast query
+    vector (a single zip_with/aggregate pass over the vector corpus,
+    no pairs) — and both end in TakeOrderedAndProject + a rank window
+    over the RRF_DEPTH survivors; the fusion join is depth-sized
+    (≤2·RRF_DEPTH rows). At serving scale the dense list comes from
+    the IVFADC store and the lexical list from the postings store;
+    this query is the fusion semantics those two paths plug into."""
+    from distributed_causal_stream_processing_spark.operators.similarity import (
+        as_double,
+        cosine,
+    )
+
+    wl = W.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    lexr = (
+        _bm25_scored(spark, sf_dir)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(RRF_DEPTH)
+        .select("doc_id", F.row_number().over(wl).alias("lrank"))
+    )
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("emb")
+    )
+    qv = e.filter(F.col("vec_id") == RRF_QUERY_VEC).select(
+        F.col("emb").alias("qemb")
+    )
+    sims = (
+        e.filter(F.col("vec_id") != RRF_QUERY_VEC)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine(F.col("emb"), F.col("qemb")).alias("sim"),
+        )
+    )
+    wv = W.orderBy(F.desc("sim"), F.asc("doc_id"))
+    vecr = (
+        sims.orderBy(F.desc("sim"), F.asc("doc_id"))
+        .limit(RRF_DEPTH)
+        .select("doc_id", F.row_number().over(wv).alias("vrank"))
+    )
+    fused = (
+        lexr.join(vecr, ["doc_id"], "full")
+        .select(
+            "doc_id",
+            "lrank",
+            "vrank",
+            (
+                F.coalesce(1.0 / (RRF_K + F.col("lrank")), F.lit(0.0))
+                + F.coalesce(1.0 / (RRF_K + F.col("vrank")), F.lit(0.0))
+            ).alias("rrf"),
+        )
+    )
+    wf = W.orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        fused.orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(RRF_TOPK)
+        .select(
+            "doc_id",
+            floor6(F.col("rrf")).alias("rrf_score"),
+            F.col("lrank").cast("bigint").alias("lrank"),
+            F.col("vrank").cast("bigint").alias("vrank"),
+            F.row_number().over(wf).cast("bigint").alias("rnk"),
         )
     )

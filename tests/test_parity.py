@@ -295,6 +295,9 @@ def test_causal_audit_detects_inversions_and_concurrency(spark, tmp_path):
         # bit on).
         "q_text_bm25",
         "q_layout_zorder",
+        # the fusion ranks on raw cosine doubles before flooring (the
+        # q_sim_knn_label exposure class) — sweep both scales
+        "q_retrieval_rrf",
     ],
 )
 def test_tie_prone_queries_parity_at_sf0001(tie_query, spark, duck_sf0001):

@@ -183,6 +183,7 @@ CARTESIAN_OK = {
     "q_layout_zorder",  # 16-row probe values crossed into 32-row span tables
     "q_tpch_q11",  # 1-row (total, cnt) threshold broadcast crossed in
     "q_tpch_q20",  # 1-row breadth-average broadcast crossed in
+    "q_retrieval_rrf",  # 1-row corpus-stats + 1-row query-vector crossed in
 }
 
 
@@ -586,6 +587,7 @@ BOUNDED_GLOBAL_WINDOW_OK = {
     "q_text_collocations",  # rank over the 20 rows limit() kept
     "q_text_wordcount",  # rank over the 20 rows limit() kept
     "q_text_bm25",  # rank over the 20 rows limit() kept
+    "q_retrieval_rrf",  # three rank windows, each over <= RRF_DEPTH kept rows
     "q_topk_with_ties",  # WindowGroupLimit bounds per-partition input
 }
 

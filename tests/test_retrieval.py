@@ -370,3 +370,35 @@ def test_zorder_layout_prunes_real_files(spark, tmp_path):
     assert results["zorder"] == full and results["linear"] == full
     assert n_files["zorder"] <= 4  # the 2^(bits/2) bound the docstring claims
     assert n_files["zorder"] < n_files["linear"]
+
+
+def test_rrf_scores_consistent_with_ranks(spark):
+    """Every fused row's score must equal the RRF formula applied to
+    its OWN emitted ranks (floored at 1e-6), scores must be
+    non-increasing in output rank, and the output rank must be the
+    dense 1..k enumeration — the self-consistency a fusion layer can
+    silently lose when a list's rank column drifts from the score
+    column."""
+    import math
+
+    from distributed_causal_stream_processing_spark.operators.retrieval import (
+        RRF_K,
+        RRF_TOPK,
+    )
+    from distributed_causal_stream_processing_spark.plans.registry import (
+        all_queries,
+    )
+
+    rows = all_queries()["q_retrieval_rrf"](spark, SF_CORRECT).collect()
+    assert [r.rnk for r in rows] == list(range(1, RRF_TOPK + 1))
+    prev = float("inf")
+    for r in rows:
+        expect = (1.0 / (RRF_K + r.lrank) if r.lrank is not None else 0.0) + (
+            1.0 / (RRF_K + r.vrank) if r.vrank is not None else 0.0
+        )
+        assert abs(math.floor(expect * 1e6) / 1e6 - r.rrf_score) < 1e-12, r
+        assert r.rrf_score <= prev + 1e-12
+        prev = r.rrf_score
+    # both retrieval systems actually contribute to the fused page
+    assert any(r.lrank is not None for r in rows)
+    assert any(r.vrank is not None for r in rows)
