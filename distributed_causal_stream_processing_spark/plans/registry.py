@@ -60,15 +60,15 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # - positions 0-24: unchanged — the streaming/scalar/LLM/UDF block
 #   (fresh green every round since r04; keep for continuity);
 # - positions 25-30: the six P0 relational ids — never leave the window;
-# - positions 31-35: P1 fill kept in (all fresh-green r10);
-# - positions 36-48: the 13 ids parked during r11 (q_join_broadcast/
-#   theta/range/asof, q_agg_rollup/cube/grouping_sets/collect/
-#   approx_distinct, q_win_frame_range/dist, q_set_intersect/except)
-#   rotated back IN — last driver-green r10; VERDICT r11 item 1
-#   requires fresh r12 rows;
+# - positions 31-35: P1 fill kept in (fresh-green r12);
+# - positions 36-48: the 13 ids parked during r12 (q_filter_like,
+#   q_join_left/full/semi/anti/multiway/cross, q_agg_having/distinct,
+#   q_win_frame_rows/analytic, q_set_union_all/union_distinct) rotated
+#   back IN — last driver-green r11; VERDICT r12 item 1 requires fresh
+#   r13 rows;
 # - position 49: lent to WINDOW_PROMOTED (see its comment);
 # - positions 49-61 of this tuple (→ 50-62 of queries()): 13 ids with
-#   fresh green r11 driver rows rotated OUT, pytest-parity-gated every
+#   fresh green r12 driver rows rotated OUT, pytest-parity-gated every
 #   session;
 # - after that: extras (TPC-H composites, graph, ANN variants, ...)
 #   in module insertion order.
@@ -115,8 +115,22 @@ CONTRACT_ORDER = (
     "q_agg_stats",
     "q_sort_multi",
     "q_topk",
-    # -- rotated IN: parked during r11 (last driver-green r10), need
-    #    fresh r12 rows (VERDICT r11 item 1) --------------------------
+    # -- rotated IN: parked during r12 (last driver-green r11), need
+    #    fresh r13 rows (VERDICT r12 item 1) --------------------------
+    "q_filter_like",
+    "q_join_left",
+    "q_join_full",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_multiway",
+    "q_join_cross",
+    "q_agg_having",
+    "q_agg_distinct",
+    "q_win_frame_rows",
+    "q_win_analytic",
+    "q_set_union_all",
+    "q_set_union_distinct",
+    # -- rotated OUT: fresh green in r12, pytest-gated locally ----------
     "q_join_broadcast",
     "q_join_theta",
     "q_join_range",
@@ -130,29 +144,15 @@ CONTRACT_ORDER = (
     "q_win_dist",
     "q_set_intersect",
     "q_set_except",
-    # -- rotated OUT: fresh green in r11, pytest-gated locally ----------
-    "q_filter_like",
-    "q_join_left",
-    "q_join_full",
-    "q_join_semi",
-    "q_join_anti",
-    "q_join_multiway",
-    "q_agg_having",
-    "q_agg_distinct",
-    "q_win_frame_rows",
-    "q_win_analytic",
-    "q_set_union_all",
-    "q_set_union_distinct",
-    "q_join_cross",
 )
 
 # Extra (non-§2) ids promoted INTO the driver's ~50-slot graded window
 # for the current round, each lent a slot by a fresh-green contract id
-# sliding past position 49. Round 12: q_sim_ivfadc_serving (VERDICT
-# r11 item 4 — the RECOMMENDED end-to-end serving configuration as one
-# driver-graded value-hash row). q_sim_ivfadc_trained_rerank_sweep
-# banked its green r11 row and rotates back to the pytest-only pool.
-WINDOW_PROMOTED = ("q_sim_ivfadc_serving",)
+# sliding past position 49. Round 13: q_causal_merge (VERDICT r12
+# item 1 — last driver row r07, the stalest signal in the repo; give
+# it a fresh graded slot). q_sim_ivfadc_serving banked its green r12
+# row and rotates back to the pytest-only pool.
+WINDOW_PROMOTED = ("q_causal_merge",)
 _PROMOTE_AT = 49  # insert position: last graded slot(s) of the window
 
 # Modules whose import populates REGISTRY. Order roughly follows SURVEY §2.
