@@ -72,8 +72,9 @@ def hex_u32_spark_sql(hex_expr: str) -> str:
     instr/substring digit terms — measured 2.9x faster on a 4-slice
     bucket aggregation over 280k tokens (round 12). Bit-identical to
     hex_u32_sql (pinned in tests/test_retrieval.py); DuckDB has no
-    conv(), so oracles keep the shared-arithmetic form. Use this on
-    the Spark side of hash-heavy NEW pipelines; the established
-    MinHash/SimHash pipelines keep the shared text their committed
-    references were measured under."""
+    conv(), so oracles keep the shared-arithmetic form. Used on the
+    Spark side of every hash-heavy pipeline, including the MinHash/
+    SimHash CTEs (dedup.py switched in round 12; their BENCH_REFERENCE
+    rows predate the switch, so they read slightly conservative —
+    min-across-windows keeps them valid)."""
     return f"CAST(conv(substring({hex_expr}, 1, 8), 16, 10) AS BIGINT)"

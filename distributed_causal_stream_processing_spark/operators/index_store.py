@@ -710,6 +710,11 @@ def bm25_search_saved(
     terms = BM25_TERMS if terms is None else terms
     k = BM25_TOPK if k is None else k
     manifest = postings_store_manifest(index_dir)
+    if manifest["n_docs"] == 0:
+        # _corpus_scalars supports (0, 0) manifests (empty micro-batch),
+        # so an empty store is constructible; avgdl is undefined on it —
+        # name the store instead of raising ZeroDivisionError.
+        raise ValueError(f"postings store at {index_dir!r} is empty (n_docs=0)")
     n, avgdl = manifest["n_docs"], manifest["total_dl"] / manifest["n_docs"]
     buckets = sorted({term_bucket(t) for t in terms})
     postings = (

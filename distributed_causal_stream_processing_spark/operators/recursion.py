@@ -123,3 +123,198 @@ def causal_chains_sql(gap_us: int) -> str:
         SELECT user_id, event_id, root_id, CAST(depth AS BIGINT) AS depth
         FROM chain
         """
+
+
+# q_causal_deps relaxation budget: rounds needed = 1 + the maximum
+# number of CROSS-KEY edges on any path in the dependency DAG (each
+# round propagates layers across one more dep hop; within-key
+# propagation is closed-form per round). Measured 12 at sf0.01 and
+# 14 at sf0.1. Rounds are UNROLLED in blocks of DEPS_BLOCK: stacked
+# same-spec windows satisfy each other's required partitioning and
+# ordering, so a whole block plans ONE pair-hash exchange + ONE sort
+# (verified: 8 unrolled rounds -> 1 Exchange, 16 Window nodes), with a
+# localCheckpoint + convergence count only at block boundaries. 8
+# blocks (64 rounds) is the loud-failure backstop, not a cost — the
+# loop exits at the first converged block, 2 at current fixtures.
+DEPS_BLOCK = 8
+DEPS_MAX_BLOCKS = 8
+
+
+@query(
+    "q_causal_deps",
+    oracle="""
+    WITH RECURSIVE
+    ev AS (
+        SELECT event_id, user_id, event_type,
+               epoch_us(CAST(date_trunc('microsecond', ts) AS TIMESTAMP)) AS us,
+               user_id // 2 AS pair, user_id % 2 = 0 AS even
+        FROM events
+    ),
+    linked AS (
+        SELECT event_id, user_id, event_type,
+               lag(event_id) OVER (
+                   PARTITION BY user_id ORDER BY us, event_id
+               ) AS prev_id,
+               CASE WHEN event_type = 'purchase' THEN
+                 CASE WHEN even
+                   THEN last_value(CASE WHEN event_type = 'click' AND NOT even
+                                        THEN event_id END IGNORE NULLS) OVER wprev
+                   ELSE last_value(CASE WHEN event_type = 'click' AND even
+                                        THEN event_id END IGNORE NULLS) OVER wprev
+                 END
+               END AS dep_id
+        FROM ev
+        WINDOW wprev AS (PARTITION BY pair ORDER BY us, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    edges AS (
+        SELECT prev_id AS src, event_id AS dst FROM linked WHERE prev_id IS NOT NULL
+        UNION ALL
+        SELECT dep_id AS src, event_id AS dst FROM linked WHERE dep_id IS NOT NULL
+    ),
+    layer (event_id, d) AS (
+        SELECT event_id, 0 FROM linked WHERE prev_id IS NULL AND dep_id IS NULL
+        UNION
+        SELECT e.dst, l.d + 1 FROM layer l JOIN edges e ON e.src = l.event_id
+    ),
+    final AS (SELECT event_id, max(d) AS causal_layer FROM layer GROUP BY event_id)
+    SELECT l.event_id, l.user_id, l.event_type, l.dep_id,
+           CAST(f.causal_layer AS BIGINT) AS causal_layer
+    FROM linked l JOIN final f USING (event_id)
+    """,
+)
+def q_causal_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-key causal dependencies (SURVEY §1.1's "cross-key
+    dependencies carried by sequence metadata" [RECON]): every event is
+    assigned its LONGEST-PATH LAYER in the happened-before DAG whose
+    edges are (a) the full per-key succession (each event depends on
+    the same user's previous event, ordered by (ts, event_id)) and
+    (b) a derived cross-key edge — each `purchase` depends on the
+    latest prior `click` of the user's PARTNER (user_id XOR 1), the
+    deterministic stand-in for a dependency the producer stamped into
+    the event's sequence metadata. Output (event_id, user_id,
+    event_type, dep_id, causal_layer): sorting by (causal_layer, ts,
+    event_id) is a causally consistent global replay order — every
+    edge source sorts strictly before its target, and events sharing a
+    layer are mutually independent, so a replayer may process each
+    layer with unbounded parallelism. The streaming twin
+    (streaming/causal.causal_deps_stream) assigns identical layers
+    online; bit-equality is pinned in tests/test_streaming.py.
+
+    Spark plan — iterated window relaxation, NOT path recursion: the
+    naive WITH RECURSIVE path walk the oracle runs materializes one row
+    per root-to-event path, which compounds along mutually-dependent
+    pairs (measured 4.0e7 rows at sf0.1 and growing combinatorially
+    with density — fine for DuckDB at oracle scale, a non-starter for
+    the engine). Instead: the dep graph decomposes by construction
+    into independent (u, u^1) PAIR components, and relaxation rounds
+    are pure pair-window work. Within a user, L(e_i) =
+    max(L(e_{i-1})+1, D_i) has the closed form L(e_i) = d0_i +
+    max(0, max_{j<=i}(D_j - d0_j)) (d0 = per-key depth, D = dep
+    layer + 1), i.e. one running prefix-max — so each round relaxes
+    EVERY within-key chain fully and only cross-key hops advance
+    round-by-round: rounds = max dep-edges on any path + 1 (14 at
+    sf0.1). Rounds are unrolled DEPS_BLOCK at a time: stacked
+    same-spec windows satisfy each other's required distribution and
+    ordering, so a block of 8 rounds plans ONE pair-hash exchange +
+    ONE sort (verified in the executed plan), with lineage cut and
+    convergence checked only at block boundaries — 2 exchanges total
+    at current fixtures. At 1000 executors the pairs spread freely;
+    no join, no cartesian, no Python, state O(1) per row.
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.expr("user_id div 2").alias("pair"),
+        (F.col("user_id") % 2 == 0).alias("even"),
+    )
+    wp = W.partitionBy("pair").orderBy("us", "event_id")
+    w_prev = wp.rowsBetween(W.unboundedPreceding, -1)
+    w_cur = wp.rowsBetween(W.unboundedPreceding, W.currentRow)
+    is_click = F.col("event_type") == "click"
+    is_purchase = F.col("event_type") == "purchase"
+    even = F.col("even")
+    # Static facts, one window pass: d0 = per-key depth (count of prior
+    # same-user rows — same-parity-within-pair IS same-user, a pair
+    # holds exactly users 2p and 2p+1), dep_id = the cross-key edge.
+    last_click_of = lambda parity: F.last(  # noqa: E731
+        F.when(is_click & (even if parity == 0 else ~even), F.col("event_id")),
+        ignorenulls=True,
+    ).over(w_prev)
+    base = (
+        ev.withColumn(
+            "d0",
+            F.when(even, F.count(F.when(even, 1)).over(w_prev))
+            .otherwise(F.count(F.when(~even, 1)).over(w_prev))
+            .cast("bigint"),
+        )
+        .withColumn(
+            "dep_id",
+            F.when(
+                is_purchase,
+                F.when(even, last_click_of(1)).otherwise(last_click_of(0)),
+            ),
+        )
+        .localCheckpoint()
+    )
+    def one_round(df: DataFrame) -> DataFrame:
+        # D_j = L(dep_j) + 1 — the dep is the latest prior partner
+        # click, so its CURRENT layer is readable from the same pair
+        # window that defined the edge; no self-join needed.
+        dep_layer_of = lambda parity: F.last(  # noqa: E731
+            F.when(is_click & (even if parity == 0 else ~even), F.col("layer")),
+            ignorenulls=True,
+        ).over(w_prev)
+        d_inj = F.when(
+            F.col("dep_id").isNotNull(),
+            F.when(even, dep_layer_of(1)).otherwise(dep_layer_of(0)) + 1,
+        ).otherwise(F.lit(0))
+        return (
+            df.withColumn("inj", d_inj - F.col("d0"))
+            .withColumn(
+                "layer",
+                F.col("d0")
+                + F.greatest(
+                    F.lit(0),
+                    F.when(
+                        even, F.max(F.when(even, F.col("inj"))).over(w_cur)
+                    ).otherwise(F.max(F.when(~even, F.col("inj"))).over(w_cur)),
+                ),
+            )
+            .drop("inj")
+        )
+
+    cur = base.withColumn("layer", F.col("d0"))
+    for _ in range(DEPS_MAX_BLOCKS):
+        stepped = cur.withColumnRenamed("layer", "layer_in")
+        stepped = stepped.withColumn("layer", F.col("layer_in"))
+        for _ in range(DEPS_BLOCK):
+            stepped = one_round(stepped)
+        stepped = stepped.localCheckpoint()
+        changed = (
+            stepped.filter(F.col("layer") != F.col("layer_in")).limit(1).count()
+        )
+        cur = stepped.drop("layer_in")
+        if changed == 0:
+            break
+    else:
+        # Mirrors connected_components' loud guard: exiting mid-relax
+        # would return layers that UNDERSTATE causal depth — a replay
+        # schedule that runs dependent events concurrently.
+        raise RuntimeError(
+            "q_causal_deps did not converge within "
+            f"{DEPS_BLOCK * DEPS_MAX_BLOCKS} rounds — a dependency path "
+            "crosses keys more often than the budget; raise DEPS_MAX_BLOCKS"
+        )
+    return cur.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "dep_id",
+        F.col("layer").cast("bigint").alias("causal_layer"),
+    )

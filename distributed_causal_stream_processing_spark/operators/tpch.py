@@ -1174,9 +1174,21 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     t = v.agg(F.sum("val").alias("total"), F.count(F.lit(1)).alias("cnt"))
+    # Exact-arithmetic threshold with bounded Spark decimals: val is
+    # decimal(28,4) (sum of (18,4)), so a bare val * cnt(bigint) would
+    # need precision 49 > Spark's max 38 and silently demote (or error
+    # under ANSI) — DuckDB widens to 128-bit and would disagree at the
+    # boundary. Cast cnt to decimal(9,0) (part count < 10^9 at any
+    # contemplated scale) so the product is decimal(38,4) — exact while
+    # val*cnt < 10^34, i.e. ~10^25 of headroom over a 100 TB corpus —
+    # and compute 2*total as total+total (decimal ADD widens by 1 digit,
+    # stays exact) instead of a literal multiply.
     return (
         v.crossJoin(F.broadcast(t))
-        .filter(F.col("val") * F.col("cnt") > 2 * F.col("total"))
+        .filter(
+            F.col("val") * F.col("cnt").cast("decimal(9,0)")
+            > F.col("total") + F.col("total")
+        )
         .select("ps_partkey", F.col("val").cast("double").alias("part_value"))
         .orderBy(F.desc("part_value"), "ps_partkey")
         .limit(100)

@@ -26,6 +26,7 @@ from typing import Any, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -464,4 +465,132 @@ def chain_assign_stream(events: DataFrame, gap_us: int) -> DataFrame:
         stateStructType=CHAIN_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+DEPS_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("dep_id", T.LongType()),
+        T.StructField("causal_layer", T.LongType()),
+        T.StructField("late", T.BooleanType()),
+    ]
+)
+
+# Per-PAIR state: the online layering needs, for each of the pair's two
+# members, the layer of their last event (per-key edge) and the layer +
+# id of their latest click (cross-key edge source), plus the pair's
+# (us, event_id) high-water mark for late detection. -1 = not seen.
+DEPS_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_layer_even", T.LongType()),
+        T.StructField("last_layer_odd", T.LongType()),
+        T.StructField("click_layer_even", T.LongType()),
+        T.StructField("click_eid_even", T.LongType()),
+        T.StructField("click_layer_odd", T.LongType()),
+        T.StructField("click_eid_odd", T.LongType()),
+        T.StructField("hwm_us", T.LongType()),
+        T.StructField("hwm_eid", T.LongType()),
+    ]
+)
+
+
+def causal_deps_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of q_causal_deps (operators/recursion.py): assign
+    cross-key causal layers ONLINE, one pair-keyed stateful pass.
+
+    Because every dependency edge stays inside a (u, u^1) pair, the
+    stream partitions by pair and each group's state is O(1): when the
+    replay delivers events in happened-before order (time-ordered
+    slices — stage_events_time_ordered), processing rows in (ts,
+    event_id) order makes L(e) = 1 + max(incoming layers) EXACTLY the
+    longest-path layer the batch relaxation converges to, so the twin
+    is bit-equal to the batch query (pinned in tests/test_streaming.py).
+    A row behind the pair's high-water mark cannot be layered online
+    (its successors are already out); it is flagged late with layer -1
+    and leaves state untouched, mirroring causal_sequence_stream's
+    at-least-once redelivery contract.
+    """
+
+    def deps_group(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            (lle, llo, cle, cee, clo, ceo, hwm_us, hwm_eid) = state.get
+        else:
+            lle = llo = cle = cee = clo = ceo = -1
+            hwm_us, hwm_eid = -(2**62), -1
+        chunks = [c for c in pdfs if len(c)]
+        if not chunks:
+            state.update((lle, llo, cle, cee, clo, ceo, hwm_us, hwm_eid))
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            ["ts", "event_id"], kind="mergesort"
+        )
+        ts_us = (pdf["ts"].astype("int64") // 1000).to_numpy()
+        last = {0: lle, 1: llo}
+        click_layer = {0: cle, 1: clo}
+        click_eid = {0: cee, 1: ceo}
+        deps, layers, lates = [], [], []
+        for us, eid, user, etype in zip(
+            ts_us.tolist(),
+            pdf["event_id"].tolist(),
+            pdf["user_id"].tolist(),
+            pdf["event_type"].tolist(),
+        ):
+            if (us, eid) <= (hwm_us, hwm_eid):
+                deps.append(None)
+                layers.append(-1)
+                lates.append(True)
+                continue
+            p = int(user) % 2
+            layer = last[p] + 1  # -1 sentinel → 0 for a first event
+            dep = None
+            if etype == "purchase" and click_eid[1 - p] >= 0:
+                dep = click_eid[1 - p]
+                layer = max(layer, click_layer[1 - p] + 1)
+            if etype == "click":
+                click_layer[p], click_eid[p] = layer, eid
+            last[p] = layer
+            hwm_us, hwm_eid = us, eid
+            deps.append(dep)
+            layers.append(layer)
+            lates.append(False)
+        state.update(
+            (
+                last[0],
+                last[1],
+                click_layer[0],
+                click_eid[0],
+                click_layer[1],
+                click_eid[1],
+                hwm_us,
+                hwm_eid,
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "event_id": pdf["event_id"].to_numpy(),
+                "user_id": pdf["user_id"].to_numpy(),
+                "event_type": pdf["event_type"].to_numpy(),
+                "dep_id": pd.array(deps, dtype="Int64"),
+                "causal_layer": layers,
+                "late": lates,
+            }
+        )
+
+    return (
+        events.withColumn("pair", F.expr("user_id div 2"))
+        .groupBy("pair")
+        .applyInPandasWithState(
+            deps_group,
+            outputStructType=DEPS_OUTPUT_SCHEMA,
+            stateStructType=DEPS_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     )

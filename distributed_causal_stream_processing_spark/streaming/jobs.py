@@ -1384,3 +1384,50 @@ def run_streaming_postings_ingest(
     finally:
         q.stop()
     return sink
+
+
+def run_causal_deps_stream(
+    spark: SparkSession,
+    stream_dir: str,
+    watermark: str = "35 days",
+    tuned_state: bool = True,
+) -> list:
+    """Streaming cross-key causal layering (causal.causal_deps_stream)
+    over the staged events log; memory-sink collect for tests. On a
+    time-ordered staging (stage_events_time_ordered) the returned rows
+    are bit-equal to the batch q_causal_deps — the dependency-
+    respecting replay asserted in tests/test_streaming.py. Sentinel
+    rows (negative event_id) are excluded from the returned rows but
+    flow through state harmlessly (reserved user ids → their own
+    pairs). Runs under the documented stateful-streaming default
+    (RocksDB + 16 state partitions) unless ``tuned_state=False``."""
+    from contextlib import nullcontext
+
+    from distributed_causal_stream_processing_spark.session import (
+        recommended_streaming_state,
+    )
+    from distributed_causal_stream_processing_spark.streaming.causal import (
+        causal_deps_stream,
+    )
+
+    ctx = recommended_streaming_state(spark) if tuned_state else nullcontext()
+    with ctx:
+        deps = causal_deps_stream(
+            events_stream(spark, stream_dir, watermark=watermark).select(
+                "event_id", "ts", "user_id", "event_type"
+            )
+        )
+        q = (
+            deps.writeStream.format("memory")
+            .queryName("causal_deps_out")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            return spark.sql(
+                "SELECT event_id, user_id, event_type, dep_id, causal_layer, late "
+                "FROM causal_deps_out WHERE event_id >= 0"
+            ).collect()
+        finally:
+            q.stop()

@@ -1672,3 +1672,56 @@ def test_postings_ingest_refuses_incompatible_store(spark, tmp_path):
     _json.dump(m, open(mpath, "w"))
     with pytest.raises(ValueError, match="incompatible"):
         jobs.PostingsIngestSink(str(tmp_path / "sink"), store)
+
+
+def test_causal_deps_stream_matches_batch(spark, tmp_path):
+    """VERDICT r12 item 2: the streaming cross-key layering twin
+    (run_causal_deps_stream) is bit-equal to the batch q_causal_deps on
+    a dependency-respecting (time-ordered) replay — same dep edge and
+    same longest-path layer for every event, nothing late."""
+    from distributed_causal_stream_processing_spark import all_queries
+    from distributed_causal_stream_processing_spark.streaming import jobs
+
+    d = str(tmp_path / "deps_stream")
+    jobs.stage_events_time_ordered(spark, SF_SMOKE, d, n_files=3)
+    rows = jobs.run_causal_deps_stream(spark, d)
+    assert rows and not any(r.late for r in rows)
+    got = {r.event_id: (r.dep_id, r.causal_layer) for r in rows}
+
+    batch = all_queries()["q_causal_deps"](spark, SF_SMOKE).collect()
+    want = {r.event_id: (r.dep_id, r.causal_layer) for r in batch}
+    assert got == want
+
+    # the layering's defining properties, asserted on the batch rows:
+    # every edge source sits in a strictly lower layer than its target
+    ev = {
+        r.event_id: r
+        for r in all_queries()["q_causal_deps"](spark, SF_SMOKE).collect()
+    }
+    by_user: dict[int, list] = {}
+    for r in batch:
+        by_user.setdefault(r.user_id, []).append(r)
+    layer = {r.event_id: r.causal_layer for r in batch}
+    for r in batch:
+        if r.dep_id is not None:
+            assert layer[r.dep_id] < r.causal_layer, (r.event_id, "dep edge")
+            assert ev[r.dep_id].event_type == "click"
+            assert r.event_type == "purchase"
+            # cross-KEY: the dep belongs to the partner user
+            assert ev[r.dep_id].user_id == r.user_id ^ 1
+
+
+def test_causal_deps_stream_flags_late_rows(spark, tmp_path):
+    """An arbitrary (non-time-ordered) staging delivers rows behind the
+    pair high-water mark; the twin must flag them late (layer -1)
+    instead of assigning a wrong online layer — and the non-late rows
+    must still carry batch-consistent PER-PAIR monotone layers."""
+    from distributed_causal_stream_processing_spark.streaming import jobs
+
+    d = str(tmp_path / "deps_stream_unordered")
+    jobs.stage_events_as_stream_dir(spark, SF_SMOKE, d, n_files=4)
+    rows = jobs.run_causal_deps_stream(spark, d)
+    lates = [r for r in rows if r.late]
+    assert lates, "arbitrary staging should produce late rows"
+    assert all(r.causal_layer == -1 and r.dep_id is None for r in lates)
+    assert any(not r.late for r in rows)

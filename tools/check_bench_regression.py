@@ -152,6 +152,15 @@ def main(argv: list[str] | None = None) -> int:
     threshold = float(argv[0]) if argv else DEFAULT_THRESHOLD
     ref = json.load(open(os.path.join(ROOT, "BENCH_REFERENCE.json")))
     det = json.load(open(os.path.join(ROOT, "BENCH_DETAIL.json")))
+    # Re-anchored references are printed every run (BASELINE.md
+    # "Reference re-anchor policy"): an upward reference change must
+    # never need archaeology to notice — every verdict sees the
+    # old/new values and the round that moved them.
+    for name, row in sorted((ref.get("reanchored") or {}).items()):
+        print(
+            f"re-anchored (r{row['round']:02d}): {name} "
+            f"{row['old']:.3f}s -> {row['new']:.3f}s — {row['evidence']}"
+        )
     if det.get("sf") != ref.get("sf"):
         print(
             f"sf mismatch: detail ran at sf={det.get('sf')}, reference is "

@@ -176,10 +176,30 @@ def _scale3(spark, out_dir: str, base_sf: str | None = None) -> None:
     ev = load(spark, base_sf, "events")
     dc = load(spark, base_sf, "documents")
     em = load(spark, base_sf, "embeddings")
+    pt = load(spark, base_sf, "part")
+    sp = load(spark, base_sf, "supplier")
+    od = load(spark, base_sf, "orders")
+    # Offsets must clear BOTH the lineitem FK max and the dimension's own
+    # PK max: a dimension tail key never referenced by lineitem (e.g. a
+    # never-ordered part, normal in real TPC-H) would otherwise collide
+    # across replicas and break the three-disjoint-copies invariant
+    # (ADVICE round 12).
     mx = {
-        "ok": li.agg(F.max("l_orderkey")).head()[0] + 1,
-        "pk": li.agg(F.max("l_partkey")).head()[0] + 1,
-        "sk": li.agg(F.max("l_suppkey")).head()[0] + 1,
+        "ok": max(
+            li.agg(F.max("l_orderkey")).head()[0],
+            od.agg(F.max("o_orderkey")).head()[0],
+        )
+        + 1,
+        "pk": max(
+            li.agg(F.max("l_partkey")).head()[0],
+            pt.agg(F.max("p_partkey")).head()[0],
+        )
+        + 1,
+        "sk": max(
+            li.agg(F.max("l_suppkey")).head()[0],
+            sp.agg(F.max("s_suppkey")).head()[0],
+        )
+        + 1,
         "eid": ev.agg(F.max("event_id")).head()[0] + 1,
         "uid": ev.agg(F.max("user_id")).head()[0] + 1,
         "did": dc.agg(F.max("doc_id")).head()[0] + 1,
@@ -254,9 +274,6 @@ def _scale3(spark, out_dir: str, base_sf: str | None = None) -> None:
     # per-replica catalog identical, foreign keys line up), nation and
     # region copy as-is (supplier nationkeys are unchanged, so the
     # nation rollup sees 3x suppliers per nation, same distribution).
-    pt = load(spark, base_sf, "part")
-    sp = load(spark, base_sf, "supplier")
-    od = load(spark, base_sf, "orders")
     write(
         replicas(
             pt, lambda d, k: d.withColumn("p_partkey", F.col("p_partkey") + F.lit(k * mx["pk"]))
