@@ -573,10 +573,9 @@ def test_yardstick_fraction_stays_m_over_n_at_huge_n():
 
 
 def test_connected_components_raises_on_round_exhaustion(spark):
-    """A path graph needs diameter-many propagation rounds; exiting the
-    loop with labels still moving must raise, never return silently
-    wrong components (review find, round 9) — and the same graph
-    converges exactly once the budget covers the diameter."""
+    """Exiting the loop with labels still moving must raise, never
+    return silently wrong components (review find, round 9): even with
+    pointer doubling, a 2-round budget cannot cover a 200-hop chain."""
     import pytest as _pytest
 
     from distributed_causal_stream_processing_spark.operators.graph import (
@@ -584,15 +583,34 @@ def test_connected_components_raises_on_round_exhaustion(spark):
     )
 
     edges = spark.createDataFrame(
-        [(i, i + 1) for i in range(12)], "src long, dst long"
+        [(i, i + 1) for i in range(200)], "src long, dst long"
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, max_rounds=3)
+        connected_components(edges, max_rounds=2)
+
+
+def test_pointer_doubling_converges_where_plain_propagation_raises(spark):
+    """VERDICT r12 item 3, the contrast pin: on a chain whose diameter
+    (200) far exceeds the round budget (20), plain min-label
+    propagation exhausts the budget and raises, while the
+    pointer-doubling loop converges — O(log diameter) rounds — and
+    returns the exact components."""
+    import pytest as _pytest
+
+    from distributed_causal_stream_processing_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "src long, dst long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_rounds=20, shortcut=False)
     comp = {
         r.node: r.component
-        for r in connected_components(edges, max_rounds=15).collect()
+        for r in connected_components(edges, max_rounds=20).collect()
     }
-    assert set(comp.values()) == {0} and len(comp) == 13
+    assert set(comp.values()) == {0} and len(comp) == 201
 
 
 def test_misra_gries_survives_adversarial_batching():
