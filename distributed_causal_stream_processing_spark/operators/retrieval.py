@@ -496,3 +496,91 @@ def q_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(wf).cast("bigint").alias("rnk"),
         )
     )
+
+
+# Serve-while-ingest result memo: the mid-ingest store state is
+# TRANSIENT (compaction destroys it), so repeat calls in one session
+# would rebuild the whole store just to re-observe it. Memoize the
+# k-row result per (applicationId, fixture dir, documents
+# fingerprint) — same keying discipline as similarity.py's artifact
+# memo (a rebuilt session or regenerated parquet invalidates), and the
+# entry is K rows of (bigint, double, bigint), not a corpus-sized
+# checkpoint. similarity._MEMO_DISABLED is honored so the memo-off
+# bench seam measures the real build.
+_SERVE_MEMO: dict[tuple, list] = {}
+
+
+@query(
+    "q_index_serve_during_ingest",
+    oracle=f"""
+    WITH {_BM25_FL_SQL}
+    SELECT doc_id, bm25,
+           CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rnk
+    FROM fl
+    ORDER BY bm25 DESC, doc_id
+    LIMIT {BM25_TOPK}
+    """,
+)
+def q_index_serve_during_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve-while-ingest on the persisted postings store (VERDICT r12
+    item 4): build the store from the BASE corpus (doc_id % 5 != 0),
+    APPEND the ingest batch (doc_id % 5 == 0) — postings land as extra
+    files in their bucket directories, the lexicon merges by addition —
+    and probe MID-INGEST, before any compaction. The returned rows are
+    that mid-ingest probe, and the query itself asserts they are
+    bit-identical to a post-compaction probe of the same store; the
+    DuckDB oracle scores BM25 over the FULL corpus, so the value-hash
+    proves the append-before-compact state already serves the complete
+    answer. (Crash-replay of the same append is covered by
+    tests/test_index_store.py's manifest-recovery harness.)
+
+    Scale shape: identical to bm25_search_saved both times — the probe
+    reads |term buckets| partition directories whether a bucket holds
+    one compacted file or base+pending files, broadcasts the lexicon
+    slice, and TakeOrders k rows; compaction changes file counts, not
+    results. The two O(k) collects exist to make the serve-during-
+    ingest equality a RAISED invariant rather than prose."""
+    import shutil
+    import tempfile
+
+    from distributed_causal_stream_processing_spark.io import _fingerprint, table_path
+    from distributed_causal_stream_processing_spark.operators import (
+        index_store as ix,
+        similarity as sim,
+    )
+
+    out_schema = "doc_id bigint, bm25 double, rnk bigint"
+    key = None
+    if not sim._MEMO_DISABLED:
+        try:
+            key = (
+                spark.sparkContext.applicationId,
+                sf_dir,
+                _fingerprint(table_path(sf_dir, "documents")),
+            )
+        except Exception:
+            key = None
+    if key is not None and key in _SERVE_MEMO:
+        return spark.createDataFrame(_SERVE_MEMO[key], out_schema)
+
+    docs = load(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    d = tempfile.mkdtemp(prefix="dcsp_serve_ingest_")
+    try:
+        ix.postings_store_save(spark, base, d)
+        ix.postings_store_append(spark, d, batch)
+        mid = sorted(map(tuple, ix.bm25_search_saved(spark, d).collect()))
+        ix.postings_store_compact(spark, d)
+        post = sorted(map(tuple, ix.bm25_search_saved(spark, d).collect()))
+        if mid != post:
+            raise RuntimeError(
+                "serve-during-ingest violated: mid-ingest probe differs "
+                f"from post-compaction probe ({len(mid)} vs {len(post)} rows)"
+            )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    if key is not None:
+        _SERVE_MEMO.clear()
+        _SERVE_MEMO[key] = mid
+    return spark.createDataFrame(mid, out_schema)

@@ -57,20 +57,21 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # the driver grades exactly the first 50 entries, and 62 §2 ids exist, so
 # 12-13 sit outside the window each round. Rotate so the window covers the
 # ids with the LEAST driver signal:
-# - positions 0-23: the streaming/scalar/LLM/UDF block (fresh green
-#   every round since r04; q_map_funcs parked this round to lend its
-#   slot to q_causal_deps — least-driver-signal-first);
-# - positions 24-29: the six P0 relational ids — never leave the window;
-# - positions 30-34: P1 fill kept in (fresh-green r12);
-# - positions 35-47: the 13 ids parked during r12 (q_filter_like,
+# - positions 0-22: the streaming/scalar/LLM/UDF block (fresh green
+#   every round since r04; q_map_funcs and q_json_funcs parked this
+#   round to lend their slots to the two new promotions —
+#   least-driver-signal-first);
+# - positions 23-28: the six P0 relational ids — never leave the window;
+# - positions 29-33: P1 fill kept in (fresh-green r12);
+# - positions 34-46: the 13 ids parked during r12 (q_filter_like,
 #   q_join_left/full/semi/anti/multiway/cross, q_agg_having/distinct,
 #   q_win_frame_rows/analytic, q_set_union_all/union_distinct) rotated
 #   back IN — last driver-green r11; VERDICT r12 item 1 requires fresh
 #   r13 rows;
-# - positions 48-49: lent to WINDOW_PROMOTED (see its comment);
-# - positions 48-61 of this tuple (→ 50-63 of queries()): q_map_funcs
-#   plus the 13 ids with fresh green r12 driver rows rotated OUT, all
-#   pytest-parity-gated every session;
+# - positions 47-49: lent to WINDOW_PROMOTED (see its comment);
+# - positions 47-61 of this tuple (→ 50-64 of queries()): q_map_funcs,
+#   q_json_funcs, plus the 13 ids with fresh green r12 driver rows
+#   rotated OUT, all pytest-parity-gated every session;
 # - after that: extras (TPC-H composites, graph, ANN variants, ...)
 #   in module insertion order.
 #
@@ -91,7 +92,6 @@ CONTRACT_ORDER = (
     "q_cond_funcs",
     "q_cast_types",
     "q_array_funcs",
-    "q_json_funcs",
     "q_dedup_exact",
     "q_text_wordcount",
     "q_text_stats",
@@ -131,10 +131,12 @@ CONTRACT_ORDER = (
     "q_set_union_all",
     "q_set_union_distinct",
     # -- rotated OUT: fresh green in r12, pytest-gated locally ----------
-    # (q_map_funcs lends its slot to q_causal_deps this round — green
-    # r02-r12 without a break, the strongest signal in the repo, while
-    # q_causal_deps has never been driver-graded; least-signal-first.)
+    # (q_map_funcs and q_json_funcs lend their slots to q_causal_deps
+    # and q_index_serve_during_ingest this round — green r02-/r04-r12
+    # without a break, the strongest signals in the repo, while the
+    # two promotions have never been driver-graded; least-signal-first.)
     "q_map_funcs",
+    "q_json_funcs",
     "q_join_broadcast",
     "q_join_theta",
     "q_join_range",
@@ -153,13 +155,15 @@ CONTRACT_ORDER = (
 # Extra (non-§2) ids promoted INTO the driver's ~50-slot graded window
 # for the current round, each lent a slot by a fresh-green contract id
 # sliding past the window edge. Round 13: q_causal_merge (VERDICT r12
-# item 1 — last driver row r07, the stalest signal in the repo) and
+# item 1 — last driver row r07, the stalest signal in the repo),
 # q_causal_deps (VERDICT r12 item 2 — the new cross-key causal
-# layering, never driver-graded; q_map_funcs lends the second slot).
+# layering; q_map_funcs lends the slot), and
+# q_index_serve_during_ingest (VERDICT r12 item 4 — serve-while-ingest
+# on the postings store; q_json_funcs lends the slot).
 # q_sim_ivfadc_serving banked its green r12 row and rotates back to
 # the pytest-only pool.
-WINDOW_PROMOTED = ("q_causal_merge", "q_causal_deps")
-_PROMOTE_AT = 48  # insert position: last graded slot(s) of the window
+WINDOW_PROMOTED = ("q_causal_merge", "q_causal_deps", "q_index_serve_during_ingest")
+_PROMOTE_AT = 47  # insert position: last graded slot(s) of the window
 
 # Modules whose import populates REGISTRY. Order roughly follows SURVEY §2.
 _QUERY_MODULES = (

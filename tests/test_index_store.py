@@ -443,3 +443,56 @@ def test_postings_compaction_same_rows(spark, tmp_path):
             assert len(files) == 1, (sub, files)
     after = sorted(map(tuple, ix.bm25_search_saved(spark, d).collect()))
     assert before == after
+
+
+def test_serve_during_ingest_and_crash_recovery(spark, tmp_path, monkeypatch):
+    """VERDICT r12 item 4, the pytest half: (1) a probe against the
+    base+pending-batch union MID-INGEST returns the same rows as the
+    post-compaction probe; (2) a crash between compaction's two swap
+    renames fails the next probe CLEANLY (path-not-found, never a
+    half-written store), the documented `.old-*` rename-back recovers
+    the exact mid-ingest rows, and re-running compaction converges to
+    the same rows again."""
+    from distributed_causal_stream_processing_spark.io import load
+
+    docs = load(spark, SF, "documents")
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    d = str(tmp_path / "pidx_serve_ingest")
+    ix.postings_store_save(spark, base, d)
+    ix.postings_store_append(spark, d, batch)
+    mid = sorted(map(tuple, ix.bm25_search_saved(spark, d).collect()))
+    assert mid, "probe returned no rows"
+
+    # (2) crash INSIDE the swap: live dir renamed away, new dir not in
+    real_swap = ix._swap_in
+    state: dict = {}
+
+    def crashing_swap(new_dir: str, live_dir: str) -> None:
+        trash = f"{live_dir}.old-crash"
+        os.rename(live_dir, trash)
+        state["trash"], state["new"], state["live"] = trash, new_dir, live_dir
+        raise RuntimeError("simulated crash between swap renames")
+
+    monkeypatch.setattr(ix, "_swap_in", crashing_swap)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        ix.postings_store_compact(spark, d)
+    # clean failure: the postings path is simply absent — retryable,
+    # not a half-written directory
+    with _pytest.raises(Exception):
+        ix.bm25_search_saved(spark, d).collect()
+    # documented recovery: rename the .old-* snapshot back
+    os.rename(state["trash"], state["live"])
+    import shutil
+
+    shutil.rmtree(state["new"], ignore_errors=True)
+    recovered = sorted(map(tuple, ix.bm25_search_saved(spark, d).collect()))
+    assert recovered == mid
+
+    # (1) + RERUN: compaction completes on retry; rows unchanged
+    monkeypatch.setattr(ix, "_swap_in", real_swap)
+    ix.postings_store_compact(spark, d)
+    post = sorted(map(tuple, ix.bm25_search_saved(spark, d).collect()))
+    assert post == mid

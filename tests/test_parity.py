@@ -298,6 +298,13 @@ def test_causal_audit_detects_inversions_and_concurrency(spark, tmp_path):
         # the fusion ranks on raw cosine doubles before flooring (the
         # q_sim_knn_label exposure class) — sweep both scales
         "q_retrieval_rrf",
+        # round 13: the rows new this round join from day one —
+        # q_index_serve_during_ingest ranks on floored BM25 (the
+        # q_text_bm25 class); q_causal_deps is integer-exact but its
+        # dep-edge derivation (last-prior-click windows) deserves the
+        # second value domain
+        "q_causal_deps",
+        "q_index_serve_during_ingest",
     ],
 )
 def test_tie_prone_queries_parity_at_sf0001(tie_query, spark, duck_sf0001):
