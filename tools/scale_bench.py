@@ -82,6 +82,11 @@ HEAVY = {
     # must cost ~3x; _scale3 replicates part/supplier/orders with
     # matching key offsets so the join graph is 3 disjoint base copies
     "q_tpch_q9": "linear",
+    # round 13: block-unrolled pair-window relaxation — O(n) window
+    # work per round, rounds bounded by cross-edge alternation depth
+    # (a per-pair property the 3x replication leaves unchanged:
+    # replicas add PAIRS, not pair size), so 3x rows must cost ~3x
+    "q_causal_deps": "linear",
 }
 LINEAR_ALARM = 4.5  # 3x rows + 50% scheduling/shuffle slack
 QUADRATIC_ALARM = 13.5  # 9x candidates + 50% slack
