@@ -222,14 +222,31 @@ def q_causal_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
     at current fixtures. At 1000 executors the pairs spread freely;
     no join, no cartesian, no Python, state O(1) per row.
     """
+    from pyspark.sql import functions as F
+
+    from distributed_causal_stream_processing_spark.io import load as _load
+
+    return causal_dep_layers(
+        _load(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", F.unix_micros("ts").alias("us")
+        )
+    )
+
+
+def causal_dep_layers(events: DataFrame) -> DataFrame:
+    """The q_causal_deps core over any (event_id, user_id, event_type,
+    us) frame — exposed so the hypothesis property suite can run the
+    identical relaxation against a brute-force longest-path model on
+    generated event sets (tests/test_properties.py), the same seam
+    causal_chains_sql provides for the recursion."""
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
-    ev = load(spark, sf_dir, "events").select(
+    ev = events.select(
         "event_id",
         "user_id",
         "event_type",
-        F.unix_micros("ts").alias("us"),
+        "us",
         F.expr("user_id div 2").alias("pair"),
         (F.col("user_id") % 2 == 0).alias("even"),
     )

@@ -1411,3 +1411,67 @@ def test_kcenter_selection_guard_and_coverage_scoring_set(spark):
     excl = cov_stats(e.filter(~F.col("vec_id").isin(sel_ids)))
     assert excl["mean"] != full["mean"], (excl, full)
     assert excl["mx"] == full["mx"]
+
+
+def _brute_dep_layers(rows):
+    """Brute-force longest-path layers for the q_causal_deps DAG.
+
+    rows: list of (user_id, us, event_type); event_id = list index.
+    Returns {event_id: (dep_id, layer)} computed by literal DP in
+    global (us, event_id) order — the semantic spec, shared with
+    nothing in the engine."""
+    order = sorted(range(len(rows)), key=lambda i: (rows[i][1], i))
+    last = {}  # user -> layer of last event
+    click = {}  # user -> (layer, event_id) of latest click
+    out = {}
+    for i in order:
+        user, _us, etype = rows[i]
+        layer = last.get(user, -1) + 1
+        dep = None
+        partner = user ^ 1
+        if etype == "purchase" and partner in click:
+            c_layer, c_id = click[partner]
+            dep = c_id
+            layer = max(layer, c_layer + 1)
+        if etype == "click":
+            click[user] = (layer, i)
+        last[user] = layer
+        out[i] = (dep, layer)
+    return out
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 5),  # user_id: 3 pairs
+            st.integers(0, 30),  # us (ties exercised via event_id break)
+            st.sampled_from(["click", "purchase", "view"]),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_causal_dep_layers_match_brute_force(spark, rows):
+    """The block-unrolled pair-window relaxation computes EXACT
+    longest-path layers and dep edges on arbitrary small event sets —
+    alternating cross-dependencies, timestamp ties, purchase-before-
+    any-click, single-member pairs (the cases a closed-form shortcut
+    could silently get wrong)."""
+    from distributed_causal_stream_processing_spark.operators.recursion import (
+        causal_dep_layers,
+    )
+
+    df = spark.createDataFrame(
+        [(i, u, t, us) for i, (u, us, t) in enumerate(rows)],
+        "event_id long, user_id long, event_type string, us long",
+    )
+    got = {
+        r.event_id: (r.dep_id, r.causal_layer)
+        for r in causal_dep_layers(df).collect()
+    }
+    assert got == _brute_dep_layers(rows)
