@@ -40,6 +40,30 @@ def warm_session(spark, queries, sf_dir: str) -> None:
     spark.sql("SELECT upper('x'), lower('X')").collect()
 
 
+def release_storage(spark, settle_s: float = 2.0) -> None:
+    """Release dead localCheckpoint blocks between heavy repeated runs.
+
+    The iterative queries each pin ~GBs of eagerly-checkpointed blocks;
+    the Python references die when the query function returns, but the
+    JVM-side RDD objects survive until a JVM GC runs, and a 32 GB heap
+    can go a whole bench without one — measured: four 3x-scale pagerank
+    runs pinned 20 RDDs / 6.3 GB with zero cleanup, enough to push the
+    storage pool into eviction churn over a long scale sweep. One
+    Python gc (detaches the Py4J refs) + one explicit JVM System.gc()
+    (collects the RDD handles, letting ContextCleaner unpersist) drops
+    the pinned set back to the live run's blocks (measured: steady 6
+    RDDs / 1.57 GB across repeated runs). Bench-harness tool, not a
+    query-path call — queries must not depend on driver-side GC."""
+    import gc
+
+    gc.collect()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:  # noqa: BLE001 — remote/stopped session: nothing to free
+        return
+    time.sleep(settle_s)
+
+
 def time_query_noop(queries, name: str, spark, sf_dir: str, runs: int = 1):
     """Wall time to build + fully materialize one registered query
     through the noop sink; MIN over ``runs`` executions, or None if the

@@ -88,21 +88,22 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the DuckDB twin of the k-means trainer's unrolled-SQL oracle)."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     b = li.withColumnRenamed("l_partkey", "dst_partkey")
-    # materialize the edge set BEFORE deriving degrees: pairs feeds both
-    # the degree agg and the join below, so without this checkpoint the
-    # lineitem self-join + distinct runs twice in the contrib_base plan
-    pairs = (
+    # ONE edge-table checkpoint, with out-degree attached as a window
+    # count over the src partition (round 13; previously the edge set
+    # was checkpointed, joined against its own degree agg, and the
+    # joined result checkpointed AGAIN — two corpus-sized checkpoint
+    # writes + a self-join per run where one suffices; the checkpoint
+    # itself stays load-bearing, or every superstep and the node count
+    # would re-run the lineitem self-join + distinct, measured
+    # 19.9 s → ~6 s at sf0.1 in round 2).
+    contrib_base = (
         li.join(b, "l_orderkey")
         .filter(F.col("l_partkey") != F.col("dst_partkey"))
         .select(F.col("l_partkey").alias("src"), F.col("dst_partkey").alias("dst"))
         .distinct()
+        .withColumn("d", F.count(F.lit(1)).over(W.partitionBy("src")))
         .localCheckpoint()
     )
-    deg = pairs.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    # materialize edges⋈degree ONCE — without this, every superstep
-    # (and the node count) re-runs the edge build upstream, turning 3
-    # supersteps into ~5 edge builds (measured 19.9 s → ~6 s at sf0.1)
-    contrib_base = pairs.join(deg, "src").localCheckpoint()
     # symmetric graph → node set == src set; checkpoint the distinct
     # node set once — it seeds the rank vector AND supplies the count
     nodes = contrib_base.select("src").distinct().localCheckpoint()

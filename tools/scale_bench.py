@@ -398,6 +398,7 @@ RUNS = 3
 def main() -> int:
     from distributed_causal_stream_processing_spark import all_queries
     from distributed_causal_stream_processing_spark.benchlib import (
+        release_storage,
         time_query_noop,
         warm_session,
     )
@@ -423,6 +424,11 @@ def main() -> int:
                     base = b1 if base is None else min(base, b1)
                 if b2 is not None:
                     big = b2 if big is None else min(big, b2)
+            # dead checkpoint blocks from the iterative runs otherwise
+            # accumulate GBs across the sweep (benchlib.release_storage
+            # docstring has the measurements) and push the storage pool
+            # into eviction churn, confounding the ratios
+            release_storage(spark)
             if base is None or big is None:
                 alarms.append(name)
                 rc = 1
