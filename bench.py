@@ -280,7 +280,7 @@ def main() -> None:
             # provider at both partition counts. Best-effort: a provider
             # that fails to load records an error string, never kills
             # the default numbers.
-            wall_rocksdb = wall_rocksdb_16 = None
+            wall_rocksdb = wall_rocksdb_16 = wall_deps = None
             rocksdb_err = None
             provider_key = "spark.sql.streaming.stateStore.providerClass"
             changelog_key = (
@@ -303,6 +303,42 @@ def main() -> None:
                     probe(16, "_ck_rdb16_a")[1],
                     probe(16, "_ck_rdb16_b")[1],
                 )
+                # round 13: the cross-key dependency layering twin
+                # (causal_deps_stream, pair-keyed state) measured once
+                # under the recommended config (RocksDB + 16 state
+                # partitions), min-of-2 like the sequencer rows
+                from distributed_causal_stream_processing_spark.streaming.causal import (
+                    causal_deps_stream,
+                )
+
+                def probe_deps(ck: str) -> float:
+                    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+                    try:
+                        spark.conf.set("spark.sql.shuffle.partitions", "16")
+                        src = jobs.events_stream(
+                            spark, sdir, watermark="35 days"
+                        ).select("event_id", "ts", "user_id", "event_type")
+                        t0 = time.perf_counter()
+                        q = None
+                        try:
+                            q = (
+                                causal_deps_stream(src)
+                                .writeStream.format("noop")
+                                .outputMode("append")
+                                .option(
+                                    "checkpointLocation", os.path.join(sdir, ck)
+                                )
+                                .start()
+                            )
+                            q.processAllAvailable()
+                        finally:
+                            if q is not None:
+                                q.stop()
+                    finally:
+                        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+                    return time.perf_counter() - t0
+
+                wall_deps = min(probe_deps("_ck_deps_a"), probe_deps("_ck_deps_b"))
             except Exception as exc:  # noqa: BLE001
                 rocksdb_err = f"{type(exc).__name__}: {exc}"[:200]
             finally:
@@ -335,6 +371,9 @@ def main() -> None:
             streaming["rows_per_sec_rocksdb_16_state_parts"] = round(
                 n_rows / wall_rocksdb_16
             )
+        if wall_deps is not None:
+            streaming["wall_sec_deps_recommended"] = round(wall_deps, 3)
+            streaming["rows_per_sec_deps_recommended"] = round(n_rows / wall_deps)
     except Exception as exc:  # noqa: BLE001 — probe is best-effort
         streaming = {"error": f"{type(exc).__name__}: {exc}"[:200]}
 

@@ -332,3 +332,29 @@ def test_committed_reference_reanchor_map_is_seeded():
     assert m["q_view_maintain"]["old"] == 0.403 and m["q_view_maintain"]["new"] == 0.654
     for row in m.values():
         assert row["new"] > row["old"] and row["evidence"]
+
+
+def test_release_storage_frees_dead_checkpoint_blocks(spark):
+    """benchlib.release_storage: blocks pinned by a dead (unreferenced)
+    localCheckpoint are freed by the python-gc + JVM-gc sequence —
+    without it a 32 GB heap can hold them for the whole session
+    (BASELINE.md round-13 notes). Live checkpoints must survive."""
+    from distributed_causal_stream_processing_spark.benchlib import release_storage
+
+    sc = spark.sparkContext
+
+    def n_rdds():
+        return len(sc._jsc.sc().getRDDStorageInfo())
+
+    live = spark.range(100000).localCheckpoint(eager=True)
+    dead = spark.range(200000).localCheckpoint(eager=True)
+    assert n_rdds() >= 2
+    del dead
+    release_storage(spark, settle_s=2.0)
+    # the dead block set shrinks; the live checkpoint still answers
+    for _ in range(5):  # ContextCleaner is async — allow a few settles
+        if n_rdds() <= 1:
+            break
+        release_storage(spark, settle_s=2.0)
+    assert n_rdds() <= 1
+    assert live.count() == 100000
