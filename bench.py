@@ -281,7 +281,7 @@ def main() -> None:
             # that fails to load records an error string, never kills
             # the default numbers.
             wall_rocksdb = wall_rocksdb_16 = wall_deps = None
-            rocksdb_err = None
+            rocksdb_err = deps_err = None
             provider_key = "spark.sql.streaming.stateStore.providerClass"
             changelog_key = (
                 "spark.sql.streaming.stateStore.rocksdb"
@@ -338,7 +338,15 @@ def main() -> None:
                         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
                     return time.perf_counter() - t0
 
-                wall_deps = min(probe_deps("_ck_deps_a"), probe_deps("_ck_deps_b"))
+                # own try (ADVICE r13): a deps-probe failure is NOT a
+                # state-store-provider failure — record it under its
+                # own key so the JSON doesn't misattribute it
+                try:
+                    wall_deps = min(
+                        probe_deps("_ck_deps_a"), probe_deps("_ck_deps_b")
+                    )
+                except Exception as exc:  # noqa: BLE001
+                    deps_err = f"{type(exc).__name__}: {exc}"[:200]
             except Exception as exc:  # noqa: BLE001
                 rocksdb_err = f"{type(exc).__name__}: {exc}"[:200]
             finally:
@@ -371,6 +379,8 @@ def main() -> None:
             streaming["rows_per_sec_rocksdb_16_state_parts"] = round(
                 n_rows / wall_rocksdb_16
             )
+        if deps_err is not None:
+            streaming["deps_error"] = deps_err
         if wall_deps is not None:
             streaming["wall_sec_deps_recommended"] = round(wall_deps, 3)
             streaming["rows_per_sec_deps_recommended"] = round(n_rows / wall_deps)

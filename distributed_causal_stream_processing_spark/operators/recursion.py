@@ -147,7 +147,8 @@ DEPS_MAX_BLOCKS = 8
     ev AS (
         SELECT event_id, user_id, event_type,
                epoch_us(CAST(date_trunc('microsecond', ts) AS TIMESTAMP)) AS us,
-               user_id // 2 AS pair, user_id % 2 = 0 AS even
+               (user_id - ((user_id % 2) + 2) % 2) // 2 AS pair,
+               user_id % 2 = 0 AS even
         FROM events
     ),
     linked AS (
@@ -247,7 +248,14 @@ def causal_dep_layers(events: DataFrame) -> DataFrame:
         "user_id",
         "event_type",
         "us",
-        F.expr("user_id div 2").alias("pair"),
+        # Sign-safe floor pairing (ADVICE r13): Spark `div` and DuckDB
+        # `//` both TRUNCATE, which for negative ids puts three users
+        # (-1, 0, 1) in pair 0 and breaks the exactly-one-even-one-odd
+        # invariant the parity windows rely on. Subtracting the
+        # floor-mod first makes the dividend even, so truncation IS
+        # floor division — pair(u) = floor(u/2) = the u^1 partner
+        # model on both engines and in the Python streaming kernel.
+        F.expr("(user_id - pmod(user_id, 2)) div 2").alias("pair"),
         (F.col("user_id") % 2 == 0).alias("even"),
     )
     wp = W.partitionBy("pair").orderBy("us", "event_id")

@@ -55,23 +55,25 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #
 # Ordering policy (VERDICT.md round 3 item 6, round 4 item 1 — rotation):
 # the driver grades exactly the first 50 entries, and 62 §2 ids exist, so
-# 12-13 sit outside the window each round. Rotate so the window covers the
-# ids with the LEAST driver signal:
-# - positions 0-22: the streaming/scalar/LLM/UDF block (fresh green
-#   every round since r04; q_map_funcs and q_json_funcs parked this
-#   round to lend their slots to the two new promotions —
-#   least-driver-signal-first);
-# - positions 23-28: the six P0 relational ids — never leave the window;
-# - positions 29-33: P1 fill kept in (fresh-green r12);
-# - positions 34-46: the 13 ids parked during r12 (q_filter_like,
+# 12-16 sit outside the window each round. Rotate so the window covers the
+# ids with the LEAST driver signal. Round 14 (VERDICT r13 items 1+2):
+# - positions 0-19: streaming/scalar/LLM/UDF block (fresh green every
+#   round since r04; q_str/date/math_funcs parked this round — green
+#   r02-r13 without a break, the strongest signals in the repo — to
+#   lend slots to the heavy-extra promotions, least-signal-first);
+# - positions 20-25: the six P0 relational ids — never leave the window;
+# - positions 26-30: P1 fill kept in (fresh-green r13);
+# - positions 31-45: the 15 ids parked during r13
+#   (q_map_funcs, q_json_funcs, q_join_broadcast/theta/range/asof,
+#   q_agg_rollup/cube/grouping_sets/collect/approx_distinct,
+#   q_win_frame_range/dist, q_set_intersect/except) rotated back IN —
+#   last driver-green r12; VERDICT r13 item 1 requires fresh r14 rows;
+# - positions 46-49 of queries(): lent to WINDOW_PROMOTED (see below);
+# - positions 46-61 of this tuple (→ 50-65 of queries()): the 13 ids
+#   with fresh green r13 driver rows rotated OUT (q_filter_like,
 #   q_join_left/full/semi/anti/multiway/cross, q_agg_having/distinct,
-#   q_win_frame_rows/analytic, q_set_union_all/union_distinct) rotated
-#   back IN — last driver-green r11; VERDICT r12 item 1 requires fresh
-#   r13 rows;
-# - positions 47-49: lent to WINDOW_PROMOTED (see its comment);
-# - positions 47-61 of this tuple (→ 50-64 of queries()): q_map_funcs,
-#   q_json_funcs, plus the 13 ids with fresh green r12 driver rows
-#   rotated OUT, all pytest-parity-gated every session;
+#   q_win_frame_rows/analytic, q_set_union_all/union_distinct) plus
+#   q_str/date/math_funcs, all pytest-parity-gated every session;
 # - after that: extras (TPC-H composites, graph, ANN variants, ...)
 #   in module insertion order.
 #
@@ -86,9 +88,6 @@ CONTRACT_ORDER = (
     "q_stream_dedup",
     "q_stream_stateful_agg",
     "q_stream_join_enrich",
-    "q_str_funcs",
-    "q_date_funcs",
-    "q_math_funcs",
     "q_cond_funcs",
     "q_cast_types",
     "q_array_funcs",
@@ -115,26 +114,8 @@ CONTRACT_ORDER = (
     "q_agg_stats",
     "q_sort_multi",
     "q_topk",
-    # -- rotated IN: parked during r12 (last driver-green r11), need
-    #    fresh r13 rows (VERDICT r12 item 1) --------------------------
-    "q_filter_like",
-    "q_join_left",
-    "q_join_full",
-    "q_join_semi",
-    "q_join_anti",
-    "q_join_multiway",
-    "q_join_cross",
-    "q_agg_having",
-    "q_agg_distinct",
-    "q_win_frame_rows",
-    "q_win_analytic",
-    "q_set_union_all",
-    "q_set_union_distinct",
-    # -- rotated OUT: fresh green in r12, pytest-gated locally ----------
-    # (q_map_funcs and q_json_funcs lend their slots to q_causal_deps
-    # and q_index_serve_during_ingest this round — green r02-/r04-r12
-    # without a break, the strongest signals in the repo, while the
-    # two promotions have never been driver-graded; least-signal-first.)
+    # -- rotated IN: parked during r13 (last driver-green r12), need
+    #    fresh r14 rows (VERDICT r13 item 1) ----------------------------
     "q_map_funcs",
     "q_json_funcs",
     "q_join_broadcast",
@@ -150,20 +131,48 @@ CONTRACT_ORDER = (
     "q_win_dist",
     "q_set_intersect",
     "q_set_except",
+    # -- rotated OUT: fresh green in r13, pytest-gated locally ----------
+    # (the 13-id relational block banked fresh r13 rows; q_str/date/
+    # math_funcs — green r02-r13 unbroken — lend their slots to the
+    # four heavy-extra promotions, which have NEVER been driver-graded;
+    # least-signal-first.)
+    "q_filter_like",
+    "q_join_left",
+    "q_join_full",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_multiway",
+    "q_join_cross",
+    "q_agg_having",
+    "q_agg_distinct",
+    "q_win_frame_rows",
+    "q_win_analytic",
+    "q_set_union_all",
+    "q_set_union_distinct",
+    "q_str_funcs",
+    "q_date_funcs",
+    "q_math_funcs",
 )
 
 # Extra (non-§2) ids promoted INTO the driver's ~50-slot graded window
 # for the current round, each lent a slot by a fresh-green contract id
-# sliding past the window edge. Round 13: q_causal_merge (VERDICT r12
-# item 1 — last driver row r07, the stalest signal in the repo),
-# q_causal_deps (VERDICT r12 item 2 — the new cross-key causal
-# layering; q_map_funcs lends the slot), and
-# q_index_serve_during_ingest (VERDICT r12 item 4 — serve-while-ingest
-# on the postings store; q_json_funcs lends the slot).
-# q_sim_ivfadc_serving banked its green r12 row and rotates back to
-# the pytest-only pool.
-WINDOW_PROMOTED = ("q_causal_merge", "q_causal_deps", "q_index_serve_during_ingest")
-_PROMOTE_AT = 47  # insert position: last graded slot(s) of the window
+# sliding past the window edge. Round 14 (VERDICT r13 item 2): the
+# engine's four most expensive operator families have NEVER had a
+# driver row — only pytest parity — so all four are promoted for
+# their first driver value-hash grading: q_graph_pagerank,
+# q_graph_components (iterative graph, checkpoint-cut),
+# q_dedup_lsh_groups (LSH near-dup transitive closure), and
+# q_retrieval_rrf (BM25+cosine reciprocal-rank fusion). The r13
+# promotions (q_causal_merge, q_causal_deps,
+# q_index_serve_during_ingest) banked green r13 rows and rotate back
+# to the pytest-only pool.
+WINDOW_PROMOTED = (
+    "q_graph_pagerank",
+    "q_graph_components",
+    "q_dedup_lsh_groups",
+    "q_retrieval_rrf",
+)
+_PROMOTE_AT = 46  # insert position: last graded slot(s) of the window
 
 # Modules whose import populates REGISTRY. Order roughly follows SURVEY §2.
 _QUERY_MODULES = (

@@ -1495,6 +1495,28 @@ def decode_kafka_events(raw: DataFrame) -> DataFrame:
     )
 
 
+def route_decoded_events(
+    decoded: DataFrame, watermark: str = "10 minutes"
+) -> tuple[DataFrame, DataFrame]:
+    """Split ``decode_kafka_events`` output into (well_formed, rejects)
+    BEFORE watermarking — the seam ADVICE r13 asked for. Malformed
+    payloads decode with ``ts`` NULL, so a watermark applied to the
+    combined stream makes every downstream stateful/watermarked
+    operator silently drop them, contradicting the decode contract
+    ("malformed payloads surfaced, never dropped"). Here only the
+    decode_ok branch carries the event-time watermark; the reject
+    branch keeps its NULL ts plus the (topic, partition, offset)
+    source position and should go to a dead-letter sink (append to
+    parquet is enough — no event-time semantics needed to audit it).
+
+    Batch-testable: ``withWatermark`` is a no-op on batch frames, so
+    the routing itself is pinned broker-free in tests/test_streaming.py.
+    """
+    well_formed = decoded.filter(F.col("decode_ok")).withWatermark("ts", watermark)
+    rejects = decoded.filter(~F.col("decode_ok"))
+    return well_formed, rejects
+
+
 def kafka_events_stream(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -1505,8 +1527,16 @@ def kafka_events_stream(
 ) -> DataFrame:
     """Unbounded events read from a Kafka topic — the production
     counterpart of ``events_stream``. UNTESTED IN THIS SANDBOX by
-    necessity (no broker, no spark-sql-kafka jar); the decode half is
-    broker-free and pinned in tests/test_streaming.py.
+    necessity (no broker, no spark-sql-kafka jar); the decode half and
+    the decode_ok routing are broker-free and pinned in
+    tests/test_streaming.py.
+
+    Returns the WELL-FORMED branch only, watermarked on ``ts``
+    (ADVICE r13: watermarking malformed rows, whose ts is NULL, would
+    have every downstream stateful operator drop them silently — the
+    opposite of surfacing them). Callers that must audit malformed
+    payloads use ``kafka_events_with_rejects`` and sink the reject
+    branch separately.
 
     Options, each load-bearing at scale:
     - ``startingOffsets=earliest`` only seeds the FIRST run; restarts
@@ -1523,6 +1553,31 @@ def kafka_events_stream(
     ``causal_sequence_stream(decoded.select('event_id','ts','user_id'))``
     or two topics unioned into ``run_multi_source_causal_stream``'s
     merge."""
+    well_formed, _ = kafka_events_with_rejects(
+        spark,
+        bootstrap_servers,
+        topic,
+        starting_offsets=starting_offsets,
+        max_offsets_per_trigger=max_offsets_per_trigger,
+        watermark=watermark,
+    )
+    return well_formed
+
+
+def kafka_events_with_rejects(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+    watermark: str = "10 minutes",
+) -> tuple[DataFrame, DataFrame]:
+    """``kafka_events_stream`` plus the malformed-payload branch:
+    returns (well_formed_watermarked, rejects). Both frames share ONE
+    logical source; each started sink replays the topic through its
+    own consumer, so a two-sink deployment (events → processing,
+    rejects → dead-letter parquet) reads the topic twice — the
+    standard Structured Streaming trade for branch isolation."""
     reader = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
@@ -1532,4 +1587,4 @@ def kafka_events_stream(
     )
     if max_offsets_per_trigger is not None:
         reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
-    return decode_kafka_events(reader.load()).withWatermark("ts", watermark)
+    return route_decoded_events(decode_kafka_events(reader.load()), watermark)

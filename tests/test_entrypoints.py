@@ -57,21 +57,33 @@ def test_registry_contract_ids_first():
     assert names[: len(head)] == head
     assert names[0] == "q_causal_seq" and names[1] == "q_stream_tumbling"
     # the 25 ids the round-1 driver never reached stay at the head,
-    # minus q_map_funcs (green r02-r12) and q_json_funcs (r04-r12),
-    # parked in round 13 to lend window slots to the never-graded
-    # q_causal_deps and q_index_serve_during_ingest
+    # minus q_map/json_funcs (parked r13) and q_str/date/math_funcs
+    # (parked this round, r14, to lend window slots to the four
+    # never-driver-graded heavy extras — all five are evergreen greens
+    # rotated back next round per least-signal-first)
     round1_unchecked = {
         "q_causal_seq", "q_stream_tumbling", "q_stream_sliding",
         "q_stream_session", "q_stream_dedup", "q_stream_stateful_agg",
-        "q_stream_join_enrich", "q_str_funcs", "q_date_funcs", "q_math_funcs",
+        "q_stream_join_enrich",
         "q_cond_funcs", "q_cast_types", "q_array_funcs",
         "q_dedup_exact", "q_text_wordcount", "q_text_stats",
         "q_sim_cosine_topk", "q_sim_knn_label", "q_minhash_lsh",
         "q_udf_scalar", "q_udf_pandas", "q_udaf_pandas", "q_udtf",
     }
-    assert set(names[:23]) == round1_unchecked
-    assert "q_map_funcs" in names[50:64]
-    assert "q_json_funcs" in names[50:64]
+    assert set(names[:20]) == round1_unchecked
+    # the four heavy promotions occupy the last graded slots (46-49)
+    assert names[46:50] == [
+        "q_graph_pagerank", "q_graph_components",
+        "q_dedup_lsh_groups", "q_retrieval_rrf",
+    ]
+    # every parked contract id sits just past the window edge, still
+    # ahead of all extras; the r13-parked five are back IN the window
+    for parked in ("q_str_funcs", "q_date_funcs", "q_math_funcs",
+                   "q_filter_like", "q_set_union_all"):
+        assert parked in names[50:66]
+    for rotated_in in ("q_map_funcs", "q_json_funcs", "q_join_asof",
+                       "q_set_except", "q_agg_approx_distinct"):
+        assert rotated_in in names[:46]
 
 
 def test_package_root_exports_resolve():

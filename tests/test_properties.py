@@ -1448,7 +1448,12 @@ def _brute_dep_layers(rows):
 @given(
     rows=st.lists(
         st.tuples(
-            st.integers(0, 5),  # user_id: 3 pairs
+            # user_id spans NEGATIVE ids too (ADVICE r13): pair(u) must
+            # be floor(u/2) so users -2 and -1 share a pair and the
+            # XOR-partner model (_brute_dep_layers' `user ^ 1`, exact
+            # for two's complement negatives) stays the spec — a
+            # truncating div would cram -1, 0, 1 into one pair
+            st.integers(-4, 5),  # user_id: 5 pairs, 2 negative
             st.integers(0, 30),  # us (ties exercised via event_id break)
             st.sampled_from(["click", "purchase", "view"]),
         ),
@@ -1460,8 +1465,9 @@ def test_causal_dep_layers_match_brute_force(spark, rows):
     """The block-unrolled pair-window relaxation computes EXACT
     longest-path layers and dep edges on arbitrary small event sets —
     alternating cross-dependencies, timestamp ties, purchase-before-
-    any-click, single-member pairs (the cases a closed-form shortcut
-    could silently get wrong)."""
+    any-click, single-member pairs, negative user ids (the cases a
+    closed-form shortcut or a truncating pair division could silently
+    get wrong)."""
     from distributed_causal_stream_processing_spark.operators.recursion import (
         causal_dep_layers,
     )

@@ -1764,3 +1764,17 @@ def test_kafka_decode_round_trips_events(spark):
     assert (ok[0].topic, ok[0].partition, ok[0].offset) == ("events", 0, 100)
     bad = [r for r in out if not r.decode_ok]
     assert len(bad) == 1 and bad[0].offset == 999 and bad[0].event_id is None
+
+    # routing seam (ADVICE r13): the watermark goes on the decode_ok
+    # branch only — malformed rows (ts NULL) must reach the reject
+    # branch intact, never a watermarked stateful operator that would
+    # silently drop them
+    well_formed, rejects = jobs.route_decoded_events(
+        jobs.decode_kafka_events(raw), watermark="10 minutes"
+    )
+    ok_rows = well_formed.collect()
+    assert sorted(r.event_id for r in ok_rows) == [1, 2]
+    assert all(r.ts is not None for r in ok_rows)
+    rej_rows = rejects.collect()
+    assert len(rej_rows) == 1 and rej_rows[0].offset == 999
+    assert rej_rows[0].ts is None  # preserved, not dropped
