@@ -139,10 +139,17 @@ def causal_chains_sql(gap_us: int) -> str:
 DEPS_BLOCK = 8
 DEPS_MAX_BLOCKS = 8
 
-
-@query(
-    "q_causal_deps",
-    oracle="""
+# The ORIGINAL q_causal_deps oracle (rounds 13): a literal longest-path
+# recursion over the dependency DAG. Algorithmically independent of the
+# engine's window relaxation — the frontier enumerates (event, depth)
+# pairs along every path prefix, which COMPOUNDS along mutually-
+# dependent pairs (measured 4.0e7 frontier rows / ~48 s at sf0.01 in
+# the round-13 grading, the grading path's most expensive row). Kept as
+# the independence anchor: tests/test_properties.py re-runs it at
+# sf0.001 against the cheap relaxation oracle below, so the shipped
+# oracle stays pinned to a formulation that shares nothing with the
+# Spark plan (plus the brute-force hypothesis DP as the third leg).
+DEPS_PATH_RECURSION_ORACLE = """
     WITH RECURSIVE
     ev AS (
         SELECT event_id, user_id, event_type,
@@ -182,8 +189,101 @@ DEPS_MAX_BLOCKS = 8
     SELECT l.event_id, l.user_id, l.event_type, l.dep_id,
            CAST(f.causal_layer AS BIGINT) AS causal_layer
     FROM linked l JOIN final f USING (event_id)
-    """,
-)
+    """
+
+# Rounds unrolled in the SHIPPED oracle below. Must exceed the maximum
+# cross-key hop depth at every graded scale (measured: 12 at sf0.01,
+# 14 at sf0.1) — the oracle VERIFIES convergence (r{N} == r{N-1} or
+# error()) rather than trusting this margin, so an exotic fixture
+# fails loudly instead of hashing an understated layer.
+DEPS_ORACLE_ROUNDS = 20
+
+
+def _deps_relaxation_oracle(rounds: int = DEPS_ORACLE_ROUNDS) -> str:
+    """The cheap q_causal_deps oracle (VERDICT r13 item 5): a monotone
+    max-layer relaxation in plain DuckDB SQL, mirroring the Spark
+    formulation round for round — each unrolled round recomputes every
+    event's layer as d0 + max(0, prefix-max over same-user rows of
+    (dep_layer + 1 - d0)), where dep_layer is read from the previous
+    round via the same pair window that defined the dep edge. Rounds
+    are pure window passes (no recursion, no path enumeration), so the
+    cost is O(rounds · n log n) instead of the path-compounding
+    frontier of DEPS_PATH_RECURSION_ORACLE: measured 34.8 s → 1.5 s at
+    sf0.01 (the r13 grading window saw 48 s). Each round is
+    MATERIALIZED — DuckDB inlines plain CTEs, and 20 nested levels of
+    window expressions double planning+execution (3.2 s vs 1.5 s
+    measured). The final SELECT compares the last two rounds and calls
+    error() if any layer still moved — the same loud non-convergence
+    stance the Spark loop takes."""
+    parity_last_click_layer = """
+               CASE WHEN even
+                 THEN last_value(CASE WHEN event_type = 'click' AND NOT even
+                                      THEN layer END IGNORE NULLS) OVER wp
+                 ELSE last_value(CASE WHEN event_type = 'click' AND even
+                                      THEN layer END IGNORE NULLS) OVER wp
+               END"""
+    rounds_sql = []
+    for k in range(1, rounds + 1):
+        rounds_sql.append(f"""
+    r{k} AS MATERIALIZED (
+      SELECT event_id, user_id, event_type, us, pair, even, d0, dep_id,
+             d0 + greatest(0, CASE WHEN even
+                 THEN max(CASE WHEN even THEN inj END) OVER wc
+                 ELSE max(CASE WHEN NOT even THEN inj END) OVER wc
+               END) AS layer
+      FROM (
+        SELECT event_id, user_id, event_type, us, pair, even, d0, dep_id,
+               (CASE WHEN dep_id IS NOT NULL THEN ({parity_last_click_layer}
+               ) + 1 ELSE 0 END) - d0 AS inj
+        FROM r{k - 1}
+        WINDOW wp AS (PARTITION BY pair ORDER BY us, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      )
+      WINDOW wc AS (PARTITION BY pair ORDER BY us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )""")
+    return f"""
+    WITH
+    ev AS (
+        SELECT event_id, user_id, event_type,
+               epoch_us(CAST(date_trunc('microsecond', ts) AS TIMESTAMP)) AS us,
+               (user_id - ((user_id % 2) + 2) % 2) // 2 AS pair,
+               user_id % 2 = 0 AS even
+        FROM events
+    ),
+    r0 AS (
+        SELECT event_id, user_id, event_type, us, pair, even,
+               CAST(CASE WHEN even
+                 THEN count(CASE WHEN even THEN 1 END) OVER wprev
+                 ELSE count(CASE WHEN NOT even THEN 1 END) OVER wprev
+               END AS BIGINT) AS d0,
+               CASE WHEN event_type = 'purchase' THEN
+                 CASE WHEN even
+                   THEN last_value(CASE WHEN event_type = 'click' AND NOT even
+                                        THEN event_id END IGNORE NULLS) OVER wprev
+                   ELSE last_value(CASE WHEN event_type = 'click' AND even
+                                        THEN event_id END IGNORE NULLS) OVER wprev
+                 END
+               END AS dep_id,
+               CAST(CASE WHEN even
+                 THEN count(CASE WHEN even THEN 1 END) OVER wprev
+                 ELSE count(CASE WHEN NOT even THEN 1 END) OVER wprev
+               END AS BIGINT) AS layer
+        FROM ev
+        WINDOW wprev AS (PARTITION BY pair ORDER BY us, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),{",".join(rounds_sql)}
+    SELECT cur.event_id, cur.user_id, cur.event_type, cur.dep_id,
+           CAST(CASE WHEN cur.layer <> prev.layer
+                     THEN error('q_causal_deps oracle: relaxation not '
+                                'converged in {rounds} rounds — raise '
+                                'DEPS_ORACLE_ROUNDS')
+                     ELSE cur.layer END AS BIGINT) AS causal_layer
+    FROM r{rounds} cur JOIN r{rounds - 1} prev USING (event_id)
+    """
+
+
+@query("q_causal_deps", oracle=_deps_relaxation_oracle())
 def q_causal_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-key causal dependencies (SURVEY §1.1's "cross-key
     dependencies carried by sequence metadata" [RECON]): every event is

@@ -1481,3 +1481,64 @@ def test_causal_dep_layers_match_brute_force(spark, rows):
         for r in causal_dep_layers(df).collect()
     }
     assert got == _brute_dep_layers(rows)
+
+
+def test_deps_relaxation_oracle_matches_path_recursion():
+    """The SHIPPED q_causal_deps oracle (unrolled window relaxation,
+    VERDICT r13 item 5 — 34.8 s → 1.5 s at sf0.01) must stay pinned to
+    the ORIGINAL path-recursion formulation, which shares no algorithm
+    with either it or the Spark plan. DuckDB-only: both oracles on the
+    sf0.001 events fixture, row-for-row."""
+    import duckdb
+
+    from distributed_causal_stream_processing_spark.operators.recursion import (
+        DEPS_PATH_RECURSION_ORACLE,
+        _deps_relaxation_oracle,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet')"
+    )
+    shipped = sorted(con.execute(_deps_relaxation_oracle()).fetchall())
+    recursive = sorted(con.execute(DEPS_PATH_RECURSION_ORACLE).fetchall())
+    assert len(shipped) == 1000
+    assert shipped == recursive
+
+
+def test_deps_relaxation_oracle_raises_when_not_converged():
+    """The relaxation oracle VERIFIES convergence instead of trusting
+    the unroll margin: a dependency chain deeper than the round budget
+    must error(), never hash an understated layer. Synthetic ping-pong
+    pair (each purchase depends on the partner's climbing click layer)
+    needs ~8 cross hops; a 2-round oracle must refuse it and the full
+    budget must accept it."""
+    import duckdb
+
+    from distributed_causal_stream_processing_spark.operators.recursion import (
+        _deps_relaxation_oracle,
+    )
+
+    rows = []
+    for i in range(8):
+        u = i % 2
+        # click then purchase per step: the purchase's dep layer rises
+        # with every alternation, so layers propagate one hop per round
+        rows.append((4 * i, u, "click"))
+        rows.append((4 * i + 1, 1 - u, "purchase"))
+    values = ", ".join(
+        f"({eid}, {uid}, '{et}', TIMESTAMP '2024-01-01 00:00:00' "
+        f"+ INTERVAL ({eid}) SECOND)"
+        for eid, uid, et in rows
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM (VALUES "
+        + values
+        + ") t(event_id, user_id, event_type, ts)"
+    )
+    ok = con.execute(_deps_relaxation_oracle()).fetchall()
+    assert len(ok) == len(rows)
+    with pytest.raises(duckdb.Error, match="not .*converged"):
+        con.execute(_deps_relaxation_oracle(rounds=2)).fetchall()
