@@ -60,6 +60,11 @@ def __getattr__(name):  # pragma: no cover - thin lazy-import shims
         "ivfadc_index": "operators.similarity",
         "ivfadc_score": "operators.similarity",
         "run_streaming_ivfadc": "streaming.jobs",
+        "MergeSpec": "transactional",
+        "build_merge_into_sql": "transactional",
+        "ParquetMergeTable": "transactional",
+        "DeltaMergeTable": "transactional",
+        "IcebergMergeTable": "transactional",
     }
     if name in lazy:
         import importlib
@@ -94,5 +99,10 @@ __all__ = [
     "ivfadc_index",
     "ivfadc_score",
     "run_streaming_ivfadc",
+    "MergeSpec",
+    "build_merge_into_sql",
+    "ParquetMergeTable",
+    "DeltaMergeTable",
+    "IcebergMergeTable",
 ]
 __version__ = "0.1.0"

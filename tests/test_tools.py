@@ -362,3 +362,31 @@ def test_release_storage_frees_dead_checkpoint_blocks(spark):
         release_storage(spark, settle_s=2.0)
     assert n_rdds() <= baseline + 1
     assert live.count() == 100000
+
+
+def test_gen_plans_chain_accounting_sees_checkpoint_shuffles(spark):
+    """VERDICT r13 item 4: the plan audit must report the TRUE shuffle
+    cost of checkpoint-cut iterative queries. q_causal_deps' final
+    frame plans zero exchanges (lineage cut at each block boundary),
+    but the chain — base window pass + one pair-hash exchange per
+    unrolled block + convergence counts — shuffles several times; the
+    statusStore-based accounting must see them all. A single-pass
+    query stays a single execution under the same counter."""
+    from tools.gen_plans import chain_plan_stats
+
+    from distributed_causal_stream_processing_spark import all_queries
+
+    qs = all_queries()
+    sf = "/root/testdata/sf0.001"
+
+    deps = chain_plan_stats(spark, qs["q_causal_deps"], sf)
+    # base localCheckpoint + >=2 relaxation blocks + final collect
+    assert deps["executions"] >= 4
+    # the old per-frame regex said 0; the chain truth is >=3 shuffles
+    assert deps["exchanges"] >= 3
+    assert deps["window"]  # pair windows live in checkpointed fragments
+
+    single = chain_plan_stats(spark, qs["q_agg_group"], sf)
+    assert single["executions"] == 1
+    assert single["exchanges"] >= 1  # the group-by shuffle still counts
+    assert not single["python"]

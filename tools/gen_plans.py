@@ -1,13 +1,26 @@
 #!/usr/bin/env python
 """Generate PLANS.md: one row per registered query summarizing the
-physical plan Spark actually chose at sf0.01 — exchange (shuffle)
-count, join strategies, whole-stage-codegen presence, and whether the
-parquet scan carries pushed filters.
+physical plan(s) Spark actually chose at sf0.01 — shuffle count, join
+strategies, whole-stage-codegen presence, and whether the parquet scan
+carries pushed filters.
 
 The point: ".explain() and iterate" is process, this file is the
 artifact — reviewable plan properties for all queries at once, and a
 diffable record when an operator's plan regresses (e.g. a broadcast
 silently becoming a sort-merge join).
+
+Chain accounting (VERDICT r13 item 4): iterative queries cut lineage
+with localCheckpoint, so the final DataFrame's plan shows only the
+post-checkpoint fragment — q_causal_deps printed "0 exchanges" while
+its own docstring proves one pair-hash exchange per unrolled block,
+and pagerank/components hid a shuffle per superstep the same way.
+Every row now sums over ALL SQL executions the query triggers (build +
+collect, captured from the shared SQLAppStatusStore by execution id),
+and counts `Exchange` PLAN-GRAPH NODES — one per shuffle write — not
+regex hits on the plan string (which render a shuffle on both its
+write and read sides and also match BroadcastExchange). Join/python/
+window detection likewise scans every execution in the chain, so a
+broadcast join inside a checkpointed superstep still shows.
 
 Usage: python tools/gen_plans.py  (writes PLANS.md at the repo root)
 """
@@ -32,6 +45,70 @@ JOIN_OPS = (
     "CartesianProduct",
 )
 
+_PYTHON_RE = re.compile(
+    r"ArrowEvalPython|FlatMapGroupsInPandas|MapInPandas|"
+    r"AggregateInPandas|BatchEvalPython|PythonUDTF"
+)
+
+
+def _executions_since(store, mark: int) -> list:
+    """All SQL executions with executionId > mark, robust to the UI
+    store evicting OLD entries (spark.sql.ui.retainedExecutions): new
+    executions are always present immediately after they run."""
+    lst = store.executionsList()
+    out = []
+    for i in range(lst.size()):
+        e = lst.apply(i)
+        if e.executionId() > mark:
+            out.append(e)
+    return out
+
+
+def _last_execution_id(store) -> int:
+    lst = store.executionsList()
+    return lst.apply(lst.size() - 1).executionId() if lst.size() else -1
+
+
+def chain_plan_stats(spark, fn, sf_dir: str) -> dict:
+    """Build + execute one registered query and audit EVERY SQL
+    execution it triggers (localCheckpoint materializations included).
+
+    Returns {executions, exchanges, reused_exchanges, joins, pushdown,
+    codegen, window, python}; `exchanges` counts Exchange plan-graph
+    nodes (shuffle writes) summed across the chain, `reused_exchanges`
+    counts ReusedExchange nodes (a reused shuffle output, not a new
+    write) so reuse is visible but never double counted."""
+    store = spark._jsparkSession.sharedState().statusStore()
+    mark = _last_execution_id(store)
+    df = fn(spark, sf_dir)
+    # collect() executes df's OWN QueryExecution (a noop write would
+    # spawn a separate one), so AQE finalizes and codegen ids exist
+    df.collect()
+    execs = _executions_since(store, mark)
+    n_exchange = n_reused = 0
+    descs = []
+    for e in execs:
+        g = store.planGraph(e.executionId())
+        nodes = g.allNodes()
+        for j in range(nodes.size()):
+            name = nodes.apply(j).name()
+            if name == "Exchange":
+                n_exchange += 1
+            elif name == "ReusedExchange":
+                n_reused += 1
+        descs.append(e.physicalPlanDescription())
+    chain = "\n".join(descs)
+    return {
+        "executions": len(execs),
+        "exchanges": n_exchange,
+        "reused_exchanges": n_reused,
+        "joins": sorted({op for op in JOIN_OPS if op in chain}),
+        "pushdown": bool(re.search(r"PushedFilters: \[[^\]]", chain)),
+        "codegen": "*(" in chain,
+        "window": bool(re.search(r"\bWindow\b|WindowGroupLimit", chain)),
+        "python": bool(_PYTHON_RE.search(chain)),
+    }
+
 
 def main() -> None:
     from distributed_causal_stream_processing_spark import all_queries
@@ -40,26 +117,21 @@ def main() -> None:
     spark = get_spark(app_name="dcsp-plans", cpus=8)
     rows = []
     for name, fn in sorted(all_queries().items()):
-        df = fn(spark, SF_DIR)
-        # collect() executes df's OWN QueryExecution (a noop write would
-        # spawn a separate one), so AQE finalizes and codegen ids exist
-        df.collect()
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        joins = sorted(
-            {op for op in JOIN_OPS if op in plan},
-        )
-        n_exchange = len(re.findall(r"\bExchange\b", plan))
-        pushed = "yes" if re.search(r"PushedFilters: \[[^\]]", plan) else "—"
-        codegen = "yes" if "*(" in plan else "—"
-        window = "yes" if re.search(r"\bWindow\b|WindowGroupLimit", plan) else "—"
-        python = (
-            "yes"
-            if re.search(r"ArrowEvalPython|FlatMapGroupsInPandas|MapInPandas|"
-                         r"AggregateInPandas|BatchEvalPython|PythonUDTF", plan)
-            else "—"
-        )
+        s = chain_plan_stats(spark, fn, SF_DIR)
+        shuffles = str(s["exchanges"])
+        if s["reused_exchanges"]:
+            shuffles += f" (+{s['reused_exchanges']} reused)"
         rows.append(
-            (name, n_exchange, ", ".join(joins) or "—", pushed, codegen, window, python)
+            (
+                name,
+                shuffles,
+                str(s["executions"]),
+                ", ".join(s["joins"]) or "—",
+                "yes" if s["pushdown"] else "—",
+                "yes" if s["codegen"] else "—",
+                "yes" if s["window"] else "—",
+                "yes" if s["python"] else "—",
+            )
         )
     spark.stop()
 
@@ -67,19 +139,26 @@ def main() -> None:
         "# PLANS — physical-plan inventory (generated by tools/gen_plans.py)",
         "",
         f"Plans built and EXECUTED at `{SF_DIR}`; properties read from the",
-        "final (post-AQE) executed plan. Exchange counts come from the AQE",
-        "plan string, which renders a shuffle on both its write and read",
-        "sides — read the column as RELATIVE shuffle weight across queries",
-        "(0 = truly shuffle-free). `python` marks deliberate Arrow-batched",
-        "(UDF surface, blocked-GEMM kernels, multimodal, packing) — absence",
-        "everywhere else is the 'JVM-side hot path' claim, checkable row",
-        "by row.",
+        "final (post-AQE) plans of EVERY SQL execution each query triggers,",
+        "so checkpoint-cut iterative queries (causal deps, pagerank,",
+        "components, LSH closure) report their true shuffle cost, not the",
+        "post-checkpoint fragment's (VERDICT r13 item 4). `shuffles` counts",
+        "Exchange plan-graph nodes — one per shuffle WRITE; broadcast",
+        "exchanges are excluded (see join strategies) and ReusedExchange is",
+        "reported separately, never double counted. `execs` is the number of",
+        "SQL executions in the chain (1 = single-pass query; more = iterative",
+        "materializations and convergence checks). `python` marks deliberate",
+        "Arrow-batched stages (UDF surface, blocked-GEMM kernels, multimodal,",
+        "packing) — absence everywhere else is the 'JVM-side hot path'",
+        "claim, checkable row by row. Counts are at oracle scale; the",
+        "iterative queries' round counts grow with data diameter (documented",
+        "per query), everything else is scale-invariant plan shape.",
         "",
-        "| query | exchanges | join strategies | pushdown | codegen | window | python |",
-        "| --- | --- | --- | --- | --- | --- | --- |",
+        "| query | shuffles | execs | join strategies | pushdown | codegen | window | python |",
+        "| --- | --- | --- | --- | --- | --- | --- | --- |",
     ]
     for r in rows:
-        out.append("| `{}` | {} | {} | {} | {} | {} | {} |".format(*r))
+        out.append("| `{}` | {} | {} | {} | {} | {} | {} | {} |".format(*r))
     out.append("")
     with open(os.path.join(REPO_DIR, "PLANS.md"), "w") as f:
         f.write("\n".join(out))
