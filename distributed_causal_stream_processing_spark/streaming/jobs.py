@@ -26,7 +26,7 @@ import os
 import shutil
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -620,6 +620,71 @@ def run_cdc_merge_stream(spark: SparkSession, stream_dir: str, sink_root: str) -
     finally:
         q.stop()
     return sink
+
+
+def run_merge_stream(
+    spark: SparkSession,
+    stream_dir: str,
+    sink_root: str,
+    spec=None,
+):
+    """Streaming MERGE INTO: maintain a latest-event-per-user table by
+    applying each micro-batch through the transactional seam
+    (transactional.ParquetMergeTable), batch_id as the merge version —
+    CdcMergeSink generalized to an arbitrary MergeSpec, and the exact
+    wiring a Delta/Iceberg deployment uses (swap the table class, keep
+    the foreachBatch body; the format's log then plays the marker's
+    role via txnAppId/txnVersion or the snapshot commit).
+
+    Per batch: reduce to ONE row per user (latest by (ts, event_id) —
+    MERGE forbids two source rows matching one target row), then merge.
+    The default spec tombstones a user whose batch-latest event is an
+    'error' (matched ⇒ DELETE) — the standard CDC shape where a
+    terminal op removes the key; an error from a NEVER-seen user still
+    inserts (MERGE's not-matched clause carries no delete), which the
+    semantics test pins via an independent per-batch fold.
+
+    Returns the ParquetMergeTable; idempotence under batch replay is
+    the table's own contract (version marker ⇒ no-op)."""
+    from distributed_causal_stream_processing_spark.transactional import (
+        MergeSpec,
+        ParquetMergeTable,
+    )
+
+    if spec is None:
+        spec = MergeSpec(
+            keys=("user_id",), matched_delete_condition="s.event_type = 'error'"
+        )
+    table = ParquetMergeTable(sink_root)
+
+    def apply_batch(df: DataFrame, batch_id: int) -> None:
+        latest = (
+            df.withColumn(
+                "__rn",
+                F.row_number().over(
+                    Window.partitionBy(*spec.keys).orderBy(
+                        F.col("ts").desc(), F.col("event_id").desc()
+                    )
+                ),
+            )
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        table.merge(latest, spec, version=batch_id)
+
+    checkpoint = os.path.join(sink_root, "_checkpoint")
+    q = (
+        events_stream(spark, stream_dir)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return table
 
 
 def stage_events_time_ordered(

@@ -1778,3 +1778,69 @@ def test_kafka_decode_round_trips_events(spark):
     rej_rows = rejects.collect()
     assert len(rej_rows) == 1 and rej_rows[0].offset == 999
     assert rej_rows[0].ts is None  # preserved, not dropped
+
+
+def test_run_merge_stream_matches_independent_fold(spark, tmp_path):
+    """Streaming MERGE INTO (the transactional seam driven from
+    foreachBatch): the maintained latest-event-per-user table must
+    equal an independent Python fold of MERGE semantics over the same
+    micro-batches — matched+error deletes (CDC tombstone), matched
+    updates, unmatched inserts (even an error from a never-seen user:
+    the not-matched clause carries no delete). Re-running the stream
+    on the same checkpoint replays nothing and changes nothing."""
+    import glob
+    import os
+
+    from distributed_causal_stream_processing_spark.streaming import jobs
+
+    stream_dir = str(tmp_path / "stream")
+    jobs.stage_events_time_ordered(spark, SF_SMOKE, stream_dir, n_files=4)
+    table = jobs.run_merge_stream(spark, stream_dir, str(tmp_path / "tbl"))
+    snap = table.snapshot(spark)
+    got = {
+        r.user_id: (r.event_id, r.event_type) for r in snap.collect()
+    }
+
+    # the fold shares nothing with ParquetMergeTable: per staged slice
+    # (mtime order == micro-batch order, maxFilesPerTrigger=1), reduce
+    # to the per-user latest row, then apply the three MERGE clauses
+    state: dict = {}
+    files = sorted(
+        glob.glob(os.path.join(stream_dir, "*.parquet")), key=os.path.getmtime
+    )
+    assert len(files) == 4
+    for f in files:
+        latest: dict = {}
+        for r in spark.read.parquet(f).collect():
+            k = r.user_id
+            if k not in latest or (r.ts, r.event_id) > (
+                latest[k].ts,
+                latest[k].event_id,
+            ):
+                latest[k] = r
+        for k, r in latest.items():
+            if k in state and r.event_type == "error":
+                del state[k]  # WHEN MATCHED AND error THEN DELETE
+            else:
+                state[k] = r  # UPDATE SET * / INSERT *
+    want = {k: (r.event_id, r.event_type) for k, r in state.items()}
+    assert got == want
+    assert len(got) > 0
+    # at least one user must have been tombstoned for the delete clause
+    # to have been exercised (the fixture has plenty of error events)
+    all_users = {
+        r.user_id
+        for f in files
+        for r in spark.read.parquet(f).select("user_id").collect()
+    }
+    assert len(all_users - set(got)) > 0
+
+    # replay: same checkpoint, no new files -> no versions, same table
+    before = table._latest_committed()
+    table2 = jobs.run_merge_stream(spark, stream_dir, str(tmp_path / "tbl"))
+    assert table2._latest_committed() == before
+    got2 = {
+        r.user_id: (r.event_id, r.event_type)
+        for r in table2.snapshot(spark).collect()
+    }
+    assert got2 == got

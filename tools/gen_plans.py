@@ -86,6 +86,7 @@ def chain_plan_stats(spark, fn, sf_dir: str) -> dict:
     df.collect()
     execs = _executions_since(store, mark)
     n_exchange = n_reused = 0
+    codegen = False
     descs = []
     for e in execs:
         g = store.planGraph(e.executionId())
@@ -96,6 +97,11 @@ def chain_plan_stats(spark, fn, sf_dir: str) -> dict:
                 n_exchange += 1
             elif name == "ReusedExchange":
                 n_reused += 1
+            elif name.startswith("WholeStageCodegen"):
+                # the description string renders codegen as cluster
+                # headers, not the toString "*(n)" markers — detect on
+                # the graph, where fused stages are explicit clusters
+                codegen = True
         descs.append(e.physicalPlanDescription())
     chain = "\n".join(descs)
     return {
@@ -104,7 +110,7 @@ def chain_plan_stats(spark, fn, sf_dir: str) -> dict:
         "reused_exchanges": n_reused,
         "joins": sorted({op for op in JOIN_OPS if op in chain}),
         "pushdown": bool(re.search(r"PushedFilters: \[[^\]]", chain)),
-        "codegen": "*(" in chain,
+        "codegen": codegen,
         "window": bool(re.search(r"\bWindow\b|WindowGroupLimit", chain)),
         "python": bool(_PYTHON_RE.search(chain)),
     }
