@@ -136,6 +136,13 @@ def causal_chains_sql(gap_us: int) -> str:
 # localCheckpoint + convergence count only at block boundaries. 8
 # blocks (64 rounds) is the loud-failure backstop, not a cost — the
 # loop exits at the first converged block, 2 at current fixtures.
+# Do NOT raise DEPS_BLOCK to fold the run into one block: a 16-round
+# block halves the checkpoints but DOUBLES the unresolved plan depth,
+# and Catalyst analysis cost explodes superlinearly in stacked window
+# rounds — the round-14 A/B probe never finished a single 16-round
+# run (>20 min in analysis) while 8-round blocks execute in ~2 s at
+# sf0.1. Block size trades executor work against ANALYZER work; 8 is
+# measured to sit on the right side of both.
 DEPS_BLOCK = 8
 DEPS_MAX_BLOCKS = 8
 
