@@ -55,25 +55,29 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #
 # Ordering policy (VERDICT.md round 3 item 6, round 4 item 1 — rotation):
 # the driver grades exactly the first 50 entries, and 62 §2 ids exist, so
-# 12-16 sit outside the window each round. Rotate so the window covers the
-# ids with the LEAST driver signal. Round 14 (VERDICT r13 items 1+2):
-# - positions 0-19: streaming/scalar/LLM/UDF block (fresh green every
-#   round since r04; q_str/date/math_funcs parked this round — green
-#   r02-r13 without a break, the strongest signals in the repo — to
-#   lend slots to the heavy-extra promotions, least-signal-first);
+# 12-19 sit outside the window each round. Rotate so the window covers the
+# ids with the LEAST driver signal. Round 15 (VERDICT r14 items 1+2+4):
+# - positions 0-19: streaming/scalar/LLM/UDF block kept in (fresh green
+#   r14; q_cond/cast/array_funcs and the UDF quartet stay because the
+#   four parked slots were taken by the even-longer-streak P1 fill);
 # - positions 20-25: the six P0 relational ids — never leave the window;
-# - positions 26-30: P1 fill kept in (fresh-green r13);
-# - positions 31-45: the 15 ids parked during r13
-#   (q_map_funcs, q_json_funcs, q_join_broadcast/theta/range/asof,
-#   q_agg_rollup/cube/grouping_sets/collect/approx_distinct,
-#   q_win_frame_range/dist, q_set_intersect/except) rotated back IN —
-#   last driver-green r12; VERDICT r13 item 1 requires fresh r14 rows;
-# - positions 46-49 of queries(): lent to WINDOW_PROMOTED (see below);
-# - positions 46-61 of this tuple (→ 50-65 of queries()): the 13 ids
-#   with fresh green r13 driver rows rotated OUT (q_filter_like,
-#   q_join_left/full/semi/anti/multiway/cross, q_agg_having/distinct,
-#   q_win_frame_rows/analytic, q_set_union_all/union_distinct) plus
-#   q_str/date/math_funcs, all pytest-parity-gated every session;
+# - position 26: q_topk (P1 fill kept in);
+# - positions 27-42: the 16 ids parked during r14 rotated back IN
+#   (q_filter_like, q_join_left/full/semi/anti/multiway/cross,
+#   q_agg_having/distinct, q_win_frame_rows/analytic,
+#   q_set_union_all/union_distinct, q_str/date/math_funcs) — last
+#   driver-green r13; VERDICT r14 item 1 requires fresh r15 rows;
+# - positions 43-49 of queries(): lent to WINDOW_PROMOTED (see below) —
+#   7 slots this round: 4 never-graded heavies (VERDICT r14 item 2)
+#   + the first 3 text/LLM north-star extras (item 4);
+# - positions 43-61 of this tuple (→ 50-68 of queries()): rotated OUT —
+#   the 15-id block fresh-green r14 (q_map_funcs, q_json_funcs,
+#   q_join_broadcast/theta/range/asof, q_agg_rollup/cube/grouping_sets/
+#   collect/approx_distinct, q_win_frame_range/dist,
+#   q_set_intersect/except) plus q_filter_compound, q_win_rank,
+#   q_agg_stats, q_sort_multi (green r01-r14 UNBROKEN — the strongest
+#   signals in the repo, parked least-signal-first to lend the extra
+#   promotion slots), all pytest-parity-gated every session;
 # - after that: extras (TPC-H composites, graph, ANN variants, ...)
 #   in module insertion order.
 #
@@ -108,34 +112,10 @@ CONTRACT_ORDER = (
     "q_join_inner",          # P0
     "q_agg_global",          # P0
     "q_agg_group",           # P0 flagship
-    # -- window fill: P1 ids kept in ------------------------------------
-    "q_filter_compound",
-    "q_win_rank",
-    "q_agg_stats",
-    "q_sort_multi",
+    # -- window fill: P1 id kept in -------------------------------------
     "q_topk",
-    # -- rotated IN: parked during r13 (last driver-green r12), need
-    #    fresh r14 rows (VERDICT r13 item 1) ----------------------------
-    "q_map_funcs",
-    "q_json_funcs",
-    "q_join_broadcast",
-    "q_join_theta",
-    "q_join_range",
-    "q_join_asof",
-    "q_agg_rollup",
-    "q_agg_cube",
-    "q_agg_grouping_sets",
-    "q_agg_collect",
-    "q_agg_approx_distinct",
-    "q_win_frame_range",
-    "q_win_dist",
-    "q_set_intersect",
-    "q_set_except",
-    # -- rotated OUT: fresh green in r13, pytest-gated locally ----------
-    # (the 13-id relational block banked fresh r13 rows; q_str/date/
-    # math_funcs — green r02-r13 unbroken — lend their slots to the
-    # four heavy-extra promotions, which have NEVER been driver-graded;
-    # least-signal-first.)
+    # -- rotated IN: parked during r14 (last driver-green r13), need
+    #    fresh r15 rows (VERDICT r14 item 1) ----------------------------
     "q_filter_like",
     "q_join_left",
     "q_join_full",
@@ -152,27 +132,58 @@ CONTRACT_ORDER = (
     "q_str_funcs",
     "q_date_funcs",
     "q_math_funcs",
+    # -- rotated OUT: fresh green in r14, pytest-gated locally ----------
+    # (the 15-id block banked fresh r14 rows; q_filter_compound /
+    # q_win_rank / q_agg_stats / q_sort_multi — green r01-r14 unbroken,
+    # the strongest signals in the repo — lend their slots to the seven
+    # extra promotions, none of which has ever been driver-graded;
+    # least-signal-first.)
+    "q_map_funcs",
+    "q_json_funcs",
+    "q_join_broadcast",
+    "q_join_theta",
+    "q_join_range",
+    "q_join_asof",
+    "q_agg_rollup",
+    "q_agg_cube",
+    "q_agg_grouping_sets",
+    "q_agg_collect",
+    "q_agg_approx_distinct",
+    "q_win_frame_range",
+    "q_win_dist",
+    "q_set_intersect",
+    "q_set_except",
+    "q_filter_compound",
+    "q_win_rank",
+    "q_agg_stats",
+    "q_sort_multi",
 )
 
 # Extra (non-§2) ids promoted INTO the driver's ~50-slot graded window
 # for the current round, each lent a slot by a fresh-green contract id
-# sliding past the window edge. Round 14 (VERDICT r13 item 2): the
-# engine's four most expensive operator families have NEVER had a
-# driver row — only pytest parity — so all four are promoted for
-# their first driver value-hash grading: q_graph_pagerank,
-# q_graph_components (iterative graph, checkpoint-cut),
-# q_dedup_lsh_groups (LSH near-dup transitive closure), and
-# q_retrieval_rrf (BM25+cosine reciprocal-rank fusion). The r13
-# promotions (q_causal_merge, q_causal_deps,
-# q_index_serve_during_ingest) banked green r13 rows and rotate back
-# to the pytest-only pool.
+# sliding past the window edge. Round 15 (VERDICT r14 items 2+4):
+# wave 2 of never-driver-graded heavies — q_udf_cogroup (the suite's
+# slowest query, the deliberate Python-boundary instrument),
+# q_causal_chains (recursive-CTE traversal with a streaming twin),
+# q_tpch_q9 (the most expensive TPC-H composite, 3× ratio 1.42),
+# q_multimodal_decode (real BMP decode over mapInPandas Arrow
+# batches) — plus the first three text/LLM north-star extras ever
+# driver-graded: q_text_decontaminate, q_text_pii_redact,
+# q_pack_sequences (BASELINE.json:6 surface; none of the 23 text
+# operators had a driver row before this round). The r14 promotions
+# (q_graph_pagerank, q_graph_components, q_dedup_lsh_groups,
+# q_retrieval_rrf) banked green r14 rows and rotate back to the
+# pytest-only pool.
 WINDOW_PROMOTED = (
-    "q_graph_pagerank",
-    "q_graph_components",
-    "q_dedup_lsh_groups",
-    "q_retrieval_rrf",
+    "q_udf_cogroup",
+    "q_causal_chains",
+    "q_tpch_q9",
+    "q_multimodal_decode",
+    "q_text_decontaminate",
+    "q_text_pii_redact",
+    "q_pack_sequences",
 )
-_PROMOTE_AT = 46  # insert position: last graded slot(s) of the window
+_PROMOTE_AT = 43  # insert position: last graded slot(s) of the window
 
 # Modules whose import populates REGISTRY. Order roughly follows SURVEY §2.
 _QUERY_MODULES = (

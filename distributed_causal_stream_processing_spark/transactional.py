@@ -38,6 +38,7 @@ not a rewrite.
 from __future__ import annotations
 
 import os
+import uuid
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -111,6 +112,25 @@ class ParquetMergeTable(_CommitMarkers):
         if self.is_committed(version):
             return  # replayed version: idempotent no-op
         spark = source.sparkSession
+        # MERGE cardinality rule (ADVICE r14): Delta/Iceberg raise when
+        # one target row matches multiple source rows; a silently
+        # duplicate-producing parquet path would diverge from the
+        # bindings exactly where callers other than run_merge_stream
+        # (which pre-dedupes) hit it. Enforce the same error here.
+        dup = (
+            source.groupBy(*spec.keys)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            key_vals = {k: dup[0][k] for k in spec.keys}
+            raise ValueError(
+                "MERGE source has multiple rows for key "
+                f"{key_vals} — same cardinality violation Delta/Iceberg "
+                "MERGE INTO raises; dedupe the source first"
+            )
         target = self.snapshot(spark)
         if target is None:
             merged = source
@@ -178,7 +198,10 @@ class _SqlMergeTable:
         self.target_table = target_table
 
     def merge(self, source: DataFrame, spec: MergeSpec) -> None:
-        view = f"__merge_src_{abs(hash(self.target_table)) % 10**8}"
+        # per-call unique view name (ADVICE r14): a hash of the target
+        # can collide across tables and races across concurrent merges
+        # on one session — uuid4 makes the source view private to this call
+        view = f"__merge_src_{uuid.uuid4().hex}"
         source.createOrReplaceTempView(view)
         try:
             self.spark.sql(build_merge_into_sql(self.target_table, view, spec))

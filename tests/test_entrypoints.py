@@ -56,11 +56,10 @@ def test_registry_contract_ids_first():
     )
     assert names[: len(head)] == head
     assert names[0] == "q_causal_seq" and names[1] == "q_stream_tumbling"
-    # the 25 ids the round-1 driver never reached stay at the head,
-    # minus q_map/json_funcs (parked r13) and q_str/date/math_funcs
-    # (parked this round, r14, to lend window slots to the four
-    # never-driver-graded heavy extras — all five are evergreen greens
-    # rotated back next round per least-signal-first)
+    # the streaming/scalar/LLM/UDF block stays at the head (r15: the
+    # four parked slots came from the P1 fill — q_filter_compound,
+    # q_win_rank, q_agg_stats, q_sort_multi, green r01-r14 unbroken —
+    # so this 20-id block is fully in-window this round)
     round1_unchecked = {
         "q_causal_seq", "q_stream_tumbling", "q_stream_sliding",
         "q_stream_session", "q_stream_dedup", "q_stream_stateful_agg",
@@ -71,19 +70,24 @@ def test_registry_contract_ids_first():
         "q_udf_scalar", "q_udf_pandas", "q_udaf_pandas", "q_udtf",
     }
     assert set(names[:20]) == round1_unchecked
-    # the four heavy promotions occupy the last graded slots (46-49)
-    assert names[46:50] == [
-        "q_graph_pagerank", "q_graph_components",
-        "q_dedup_lsh_groups", "q_retrieval_rrf",
+    # the seven r15 promotions occupy the last graded slots (43-49):
+    # heavies wave 2 + the first three text/LLM north-star extras
+    assert names[43:50] == [
+        "q_udf_cogroup", "q_causal_chains", "q_tpch_q9",
+        "q_multimodal_decode", "q_text_decontaminate",
+        "q_text_pii_redact", "q_pack_sequences",
     ]
     # every parked contract id sits just past the window edge, still
-    # ahead of all extras; the r13-parked five are back IN the window
-    for parked in ("q_str_funcs", "q_date_funcs", "q_math_funcs",
-                   "q_filter_like", "q_set_union_all"):
-        assert parked in names[50:66]
-    for rotated_in in ("q_map_funcs", "q_json_funcs", "q_join_asof",
-                       "q_set_except", "q_agg_approx_distinct"):
-        assert rotated_in in names[:46]
+    # ahead of all extras; the r14-parked sixteen are back IN the window
+    for parked in ("q_map_funcs", "q_json_funcs", "q_join_asof",
+                   "q_set_except", "q_agg_approx_distinct",
+                   "q_filter_compound", "q_win_rank", "q_agg_stats",
+                   "q_sort_multi"):
+        assert parked in names[50:69]
+    for rotated_in in ("q_str_funcs", "q_date_funcs", "q_math_funcs",
+                       "q_filter_like", "q_set_union_all",
+                       "q_join_left", "q_win_analytic"):
+        assert rotated_in in names[:43]
 
 
 def test_package_root_exports_resolve():

@@ -332,6 +332,37 @@ def test_parquet_merge_table_semantics_and_idempotence(spark, tmp_path):
     ) == want
 
 
+def test_parquet_merge_rejects_duplicate_source_keys(spark, tmp_path):
+    """MERGE cardinality rule (ADVICE r14): Delta/Iceberg raise when one
+    target row matches multiple source rows. ParquetMergeTable must
+    raise the same error instead of silently emitting duplicate target
+    rows — and must NOT advance the version (no marker, no snapshot)."""
+    import pytest as _pytest
+
+    from distributed_causal_stream_processing_spark.transactional import (
+        MergeSpec,
+        ParquetMergeTable,
+    )
+
+    tbl = ParquetMergeTable(str(tmp_path / "tbl"))
+    spec = MergeSpec(keys=("user_id",))
+    dup_src = spark.createDataFrame(
+        [(1, 10.0), (1, 11.0), (2, 20.0)], "user_id long, value double"
+    )
+    with _pytest.raises(ValueError, match="multiple rows"):
+        tbl.merge(dup_src, spec, version=0)
+    assert tbl.snapshot(spark) is None  # version 0 never committed
+
+    # a deduped source for the same version then proceeds normally
+    ok_src = spark.createDataFrame(
+        [(1, 11.0), (2, 20.0)], "user_id long, value double"
+    )
+    tbl.merge(ok_src, spec, version=0)
+    assert sorted(
+        (r.user_id, r.value) for r in tbl.snapshot(spark).collect()
+    ) == [(1, 11.0), (2, 20.0)]
+
+
 def test_format_bindings_gate_loudly(spark, tmp_path):
     """Neither Delta nor Iceberg exists in this sandbox; the bindings
     must say so at CONSTRUCTION (not fail mid-merge) and point at the

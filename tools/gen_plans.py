@@ -69,6 +69,20 @@ def _last_execution_id(store) -> int:
     return lst.apply(lst.size() - 1).executionId() if lst.size() else -1
 
 
+def _drain_listener_bus(spark) -> None:
+    """Block until the async listener bus has delivered every queued
+    event. The SQLAppStatusStore is fed by a LISTENER — snapshotting it
+    right after collect() can miss executions (undercounted exchanges)
+    or, at mark time, attribute a prior query's trailing executions to
+    the next row (ADVICE r14). Spark 4's LiveListenerBus has a no-arg
+    waitUntilEmpty(); older builds take a timeout — try both."""
+    bus = spark.sparkContext._jsc.sc().listenerBus()
+    try:
+        bus.waitUntilEmpty()
+    except Exception:
+        bus.waitUntilEmpty(30_000)
+
+
 def chain_plan_stats(spark, fn, sf_dir: str) -> dict:
     """Build + execute one registered query and audit EVERY SQL
     execution it triggers (localCheckpoint materializations included).
@@ -79,11 +93,13 @@ def chain_plan_stats(spark, fn, sf_dir: str) -> dict:
     counts ReusedExchange nodes (a reused shuffle output, not a new
     write) so reuse is visible but never double counted."""
     store = spark._jsparkSession.sharedState().statusStore()
+    _drain_listener_bus(spark)  # flush the PRIOR query's trailing events
     mark = _last_execution_id(store)
     df = fn(spark, sf_dir)
     # collect() executes df's OWN QueryExecution (a noop write would
     # spawn a separate one), so AQE finalizes and codegen ids exist
     df.collect()
+    _drain_listener_bus(spark)  # this query's executions must be stored
     execs = _executions_since(store, mark)
     n_exchange = n_reused = 0
     codegen = False
