@@ -363,21 +363,41 @@ def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_agg_approx_percentile", oracle=None)  # sketch differs per engine → rows-only
+@query(
+    "q_agg_approx_percentile",
+    # Bounded-error oracle (VERDICT r14 item 8): the GK sketch value
+    # itself has no DuckDB twin, but "the sketch lands within its bound"
+    # IS deterministic — the query emits the exact percentiles plus
+    # within-bound booleans, the oracle recomputes the exacts and
+    # asserts TRUE, so the driver value-hash-checks both the exact
+    # arithmetic AND the sketch's 1% bound (rows-only before r15).
+    # Spark's percentile_disc and DuckDB's quantile_disc agree exactly
+    # (verified at sf0.01 AND sf0.1 — both pick the smallest value with
+    # CDF ≥ p from the same double data).
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_disc(l_extendedprice, 0.5), 2) AS exact_p50,
+           round(quantile_disc(l_extendedprice, 0.95), 2) AS exact_p95,
+           TRUE AS p50_within_1pct,
+           TRUE AS p95_within_1pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles (Greenwald-Khanna sketch) next to exact,
-    per group — the mergeable-quantile companion to the HLL++ row.
-
-    Tests assert the sketch lands within 1% relative error of the exact
-    percentile (accuracy=10000 ⇒ ε=1e-4 rank error; the value gate is
-    looser because rank→value error depends on the distribution).
+    per group — the mergeable-quantile companion to the HLL++ row,
+    self-evaluating: the output carries the exact percentiles plus a
+    within-1%-relative-error verdict per sketch value (accuracy=10000 ⇒
+    ε=1e-4 rank error; the value gate is looser because rank→value
+    error depends on the distribution), so the driver's value-hash
+    check grades the sketch against its published bound.
     Sketches merge associatively, so the shuffle carries one fixed-size
     sketch per (group, partition), never the values — the property that
     makes percentiles tractable at 100 TB where exact percentile_disc
     must shuffle every row.
     """
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
         F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias("approx_p"),
         F.expr(
             "percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)"
@@ -385,6 +405,17 @@ def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice)"
         ).alias("exact_p95"),
+    )
+    within = lambda i, exact: (  # noqa: E731 — local readability helper
+        F.abs(F.element_at("approx_p", i) - F.col(exact))
+        <= 0.01 * F.abs(F.col(exact))
+    )
+    return agg.select(
+        "l_returnflag",
+        F.round("exact_p50", 2).alias("exact_p50"),
+        F.round("exact_p95", 2).alias("exact_p95"),
+        within(1, "exact_p50").alias("p50_within_1pct"),
+        within(2, "exact_p95").alias("p95_within_1pct"),
     )
 
 
@@ -712,7 +743,27 @@ def q_agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_agg_hll_merge", oracle=None)  # sketch estimates have no DuckDB twin → rows-only
+@query(
+    "q_agg_hll_merge",
+    # Bounded-error oracle (VERDICT r14 item 8): the HLL estimate has no
+    # DuckDB twin, but the query emits the exact distinct counts plus a
+    # within-5%-of-exact verdict per bucket (merged ALL row included),
+    # and the oracle recomputes the exacts and asserts TRUE — so the
+    # driver value-hash-checks the sketch's published bound instead of
+    # the weaker rows-only count it recorded before r15.
+    oracle="""
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS bucket,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers_exact,
+           TRUE AS est_within_5pct
+    FROM orders GROUP BY 1
+    UNION ALL
+    SELECT 'ALL' AS bucket,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers_exact,
+           TRUE AS est_within_5pct
+    FROM orders
+    ORDER BY bucket
+    """,
+)
 def q_agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch view maintenance: per-month HLL sketches of
     distinct customers, UNIONED into the all-time estimate — the
@@ -723,22 +774,38 @@ def q_agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ingest batch — is a mergeable sketch: each bucket keeps a fixed
     ~KB-sized HLL, refresh touches only new buckets, and any rollup
     (month → year → all-time) is hll_union over already-built state,
-    never a rescan. tests/test_parity.py bounds both levels within 5%
-    of exact; Datasketches HLL is deterministic for a given input, so
-    the driver's rows-only check is stable."""
+    never a rescan.
+
+    Self-evaluating: each bucket row carries the exact distinct count
+    (cheap at eval scale; the sketch exists so 100 TB never pays it)
+    and whether the HLL estimate — per-month from the sketch, ALL from
+    the hll_union merge — landed within 5% of it, so the driver's
+    value-hash grades the sketch AND the merge against their bound."""
     o = load(spark, sf_dir, "orders")
     monthly = o.groupBy(
         F.date_trunc("month", F.col("o_orderdate")).alias("month")
-    ).agg(F.hll_sketch_agg("o_custkey").alias("sk"))
+    ).agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+        F.countDistinct("o_custkey").alias("n_exact"),
+    )
+    within = (
+        F.abs(F.hll_sketch_estimate("sk") - F.col("n_exact"))
+        <= 0.05 * F.col("n_exact")
+    ).alias("est_within_5pct")
     per_bucket = monthly.select(
         F.date_format("month", "yyyy-MM").alias("bucket"),
-        F.hll_sketch_estimate("sk").cast("bigint").alias("n_customers_est"),
+        F.col("n_exact").cast("bigint").alias("n_customers_exact"),
+        within,
     )
     merged = (
         monthly.agg(F.hll_union_agg("sk").alias("sk"))
+        .crossJoin(
+            F.broadcast(o.agg(F.countDistinct("o_custkey").alias("n_exact")))
+        )
         .select(
             F.lit("ALL").alias("bucket"),
-            F.hll_sketch_estimate("sk").cast("bigint").alias("n_customers_est"),
+            F.col("n_exact").cast("bigint").alias("n_customers_exact"),
+            within,
         )
     )
     return per_bucket.unionAll(merged).orderBy("bucket")

@@ -87,6 +87,18 @@ HEAVY = {
     # (a per-pair property the 3x replication leaves unchanged:
     # replicas add PAIRS, not pair size), so 3x rows must cost ~3x
     "q_causal_deps": "linear",
+    # round 15 (VERDICT r14 item 7): the multimodal Arrow kernels were
+    # the one measured-at-scale blind spot. All four are mapInPandas
+    # passes over payloads derived per-document (the media tables build
+    # from the documents fixture, so the 3x documents replica scales
+    # them directly); per-row kernel cost depends only on the row's own
+    # payload, no cross-row state, so 3x rows must cost ~3x. The
+    # replica's token suffixes add ~2 bytes/token to text-derived
+    # payloads — inside the linear band's 50% slack.
+    "q_multimodal_decode": "linear",  # PNG/WAV header parse + CRC
+    "q_multimodal_resize": "linear",  # real BMP pixel decode + 2x2 box resize
+    "q_multimodal_pcm_frames": "linear",  # PCM-16 sample decode + framing
+    "q_multimodal_video_frames": "linear",  # Y4M frame sampling
 }
 LINEAR_ALARM = 4.5  # 3x rows + 50% scheduling/shuffle slack
 QUADRATIC_ALARM = 13.5  # 9x candidates + 50% slack
