@@ -262,9 +262,25 @@ def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_agg_approx_distinct", oracle=None)  # nondeterministic vs DuckDB → rows-only
+@query(
+    "q_agg_approx_distinct",
+    # Bounded-error oracle (round 15): SURVEY §2.4 allows this id a
+    # rows-only check (the HLL++ estimate has no DuckDB twin), but the
+    # self-evaluating formulation exceeds it the way q_minhash_lsh
+    # already does — emit the exact count plus a within-5% verdict, let
+    # the oracle recompute the exact and assert TRUE, and the driver
+    # value-hash-grades both the exact arithmetic and the sketch bound.
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS approx_within_5pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct count; tests assert within 5% of exact.
+    """HyperLogLog++ distinct count, self-evaluating: the output carries
+    the exact distinct count plus whether the sketch estimate landed
+    within 5% of it (tests pin the same bound).
 
     rsd=0.02 (~1% observed error here): tight enough for the 5% gate,
     and the sketch is 8× smaller than rsd=0.01's, which dominated the
@@ -272,8 +288,14 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_partkey").cast("bigint").alias("exact_parts"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_partkey", rsd=0.02)
+                - F.countDistinct("l_partkey")
+            )
+            <= 0.05 * F.countDistinct("l_partkey")
+        ).alias("approx_within_5pct"),
     )
 
 

@@ -67,11 +67,13 @@ def test_entry_smoke(spark):
 
 
 def test_approx_distinct_within_5pct(spark):
-    """The HLL++ sketch (rows-only in the oracle gate because DuckDB's
-    sketch differs) is still bounded: within 5% of the exact count per
-    group — the error contract SURVEY §2.4 declares — and the sketch
-    runs at exactly the rsd SURVEY pins (0.02): a silently changed rsd
-    would shift the accuracy/size trade without failing the 5% gate."""
+    """The HLL++ sketch is bounded within 5% of the exact count per
+    group — the error contract SURVEY §2.4 declares. Since r15 the
+    query is self-evaluating (the bound is its own output column and
+    the oracle value-hash-checks it, exceeding §2.4's rows-only
+    allowance); this pin additionally asserts the sketch runs at
+    exactly the rsd SURVEY pins (0.02): a silently changed rsd would
+    shift the accuracy/size trade without failing the 5% gate."""
     df = _registry()["q_agg_approx_distinct"].fn(spark, SF_CORRECT)
     # rsd is the second argument of the aggregate in the optimized plan
     import re
@@ -81,9 +83,8 @@ def test_approx_distinct_within_5pct(spark):
     rows = df.collect()
     assert rows
     for r in rows:
-        assert abs(r.approx_parts - r.exact_parts) <= 0.05 * r.exact_parts, (
-            f"{r.l_returnflag}: approx {r.approx_parts} vs exact {r.exact_parts}"
-        )
+        assert r.exact_parts > 0
+        assert r.approx_within_5pct, f"{r.l_returnflag}: sketch out of 5% bound"
 
 
 def test_scd2_apply_invariants(spark):
