@@ -149,6 +149,7 @@ CARTESIAN_OK = {
     "q_join_theta",
     "q_join_asof",
     "q_tpch_q15",  # 1-row max-revenue scalar broadcast crossed in
+    "q_agg_hll_merge",  # 1-row all-time exact-distinct broadcast crossed in (r15)
     "q_sim_ann_ivf",
     "q_sim_ivf_kmeans",  # broadcast k=8 centroid fan-out, same as ann_ivf
     "q_dedup_embedding_ivf",  # broadcast 16-centroid assignment fan-out
