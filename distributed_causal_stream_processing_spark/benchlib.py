@@ -8,6 +8,7 @@ measure the same thing — three hand-rolled copies drifted once
 
 from __future__ import annotations
 
+import re
 import time
 
 # Per-query regression band, shared by bench.py's in-run retry +
@@ -82,6 +83,99 @@ def time_query_noop(queries, name: str, spark, sf_dir: str, runs: int = 1):
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
     return best
+
+
+def drain_listener_bus(spark) -> None:
+    """Block until the async listener bus has delivered every queued
+    event — the SQLAppStatusStore is listener-fed, so snapshotting it
+    right after an action can miss trailing executions (the ADVICE r14
+    undercount). Spark 4's LiveListenerBus has a no-arg
+    waitUntilEmpty(); older builds take a timeout — try both."""
+    bus = spark.sparkContext._jsc.sc().listenerBus()
+    try:
+        bus.waitUntilEmpty()
+    except Exception:  # noqa: BLE001 — pre-4.0 signature
+        bus.waitUntilEmpty(30_000)
+
+
+_SIZE_UNIT = {"B": 1, "KiB": 2**10, "MiB": 2**20, "GiB": 2**30, "TiB": 2**40}
+
+
+def _parse_metric_size(s: str) -> int:
+    """Bytes from a formatted SQL size metric ('918.0 B', '24.3 MiB',
+    or the multi-line 'total (min, med, max)' rendering — the leading
+    value is always the total)."""
+    m = re.search(r"([\d.,]+)\s*(B|KiB|MiB|GiB|TiB)", s)
+    return int(float(m.group(1).replace(",", "")) * _SIZE_UNIT[m.group(2)]) if m else 0
+
+
+def shuffle_volume(queries, name: str, spark, sf_dir: str):
+    """DATA volume a query shuffles: ('shuffle records written',
+    'shuffle bytes written') summed over every Exchange plan-graph node
+    across every SQL execution the query triggers (localCheckpoint
+    materializations and convergence counts included — same chain
+    accounting as tools/gen_plans.py). One materialization through the
+    noop sink; returns (records, bytes) or None if the query raises.
+
+    The point (round 15): wall-time scaling ratios ride on host health
+    — every degraded-window adjudication since r08 has been about
+    exactly that — but the volume a plan MOVES is a property of plan ×
+    data alone. Records are exactly reproducible run-to-run; bytes can
+    wiggle within a compression frame or an AQE advisory boundary but
+    stay well inside the class bands. A linear-class query must shuffle
+    ~3x the records on the 3x-rows replica; a broadcast that silently
+    flips to a shuffle join at the bigger scale shows up here as a
+    volume blowup no quiet host can hide, and conversely a clean 3.0
+    at 3x is scale evidence no noisy host can fake."""
+    if name not in queries:
+        return None
+    store = spark._jsparkSession.sharedState().statusStore()
+    drain_listener_bus(spark)  # a prior query's trailing events
+    lst = store.executionsList()
+    mark = lst.apply(lst.size() - 1).executionId() if lst.size() else -1
+    try:
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    except Exception:  # noqa: BLE001 — callers decide how to report
+        return None
+    drain_listener_bus(spark)
+    records = nbytes = 0
+    lst = store.executionsList()
+    for i in range(lst.size()):
+        e = lst.apply(i)
+        if e.executionId() > mark:
+            r, b = execution_exchange_volume(store, e.executionId())
+            records += r
+            nbytes += b
+    return records, nbytes
+
+
+def execution_exchange_volume(store, execution_id: int):
+    """('shuffle records written', 'shuffle bytes written') summed over
+    the Exchange plan-graph nodes of ONE SQL execution. ReusedExchange
+    re-reads an existing shuffle output — no new write — so counting it
+    would double the volume; it is skipped, matching gen_plans'
+    exchange accounting."""
+    records = nbytes = 0
+    metric_values = store.executionMetrics(execution_id)
+    nodes = store.planGraph(execution_id).allNodes()
+    for j in range(nodes.size()):
+        node = nodes.apply(j)
+        if node.name() != "Exchange":
+            continue
+        metrics = node.metrics()
+        for k in range(metrics.size()):
+            m = metrics.apply(k)
+            opt = metric_values.get(m.accumulatorId())
+            if not opt.isDefined():
+                continue
+            if m.name() == "shuffle records written":
+                # '6' or '1,234' — with per-task stats the leading
+                # token of the first line is still the total
+                tok = re.match(r"[\d,]+", opt.get().strip())
+                records += int(tok.group().replace(",", "")) if tok else 0
+            elif m.name() == "shuffle bytes written":
+                nbytes += _parse_metric_size(opt.get())
+    return records, nbytes
 
 
 def adjudicate_against_reference(

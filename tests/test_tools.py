@@ -390,3 +390,35 @@ def test_gen_plans_chain_accounting_sees_checkpoint_shuffles(spark):
     assert single["executions"] == 1
     assert single["exchanges"] >= 1  # the group-by shuffle still counts
     assert not single["python"]
+    # volume column (round 15): the chain sum must see the per-block
+    # shuffle rows too, and a single-pass agg moves its group rows
+    assert deps["shuffle_records"] > single["shuffle_records"] > 0
+
+
+def test_shuffle_volume_deterministic_and_chain_aware(spark):
+    """benchlib.shuffle_volume (round 15): the scaling instrument's
+    host-noise-immune axis. Records written must be EXACTLY
+    reproducible run-to-run (that is the whole point — wall ratios
+    needed a degraded-host adjudication nearly every round since r08),
+    must sum over the full execution chain for checkpoint-cut
+    iteratives, and must read 0 for a pure mapInPandas kernel path so
+    the ratio is skipped, not divided by zero."""
+    from distributed_causal_stream_processing_spark import all_queries
+    from distributed_causal_stream_processing_spark.benchlib import shuffle_volume
+
+    qs = all_queries()
+    sf = "/root/testdata/sf0.001"
+
+    r1, b1 = shuffle_volume(qs, "q_agg_group", spark, sf)
+    r2, _ = shuffle_volume(qs, "q_agg_group", spark, sf)
+    assert r1 == r2 and r1 > 0 and b1 > 0
+
+    # iterative chain: per-round exchanges live in checkpointed
+    # fragments the final frame's plan never shows; the chain sum must
+    # dwarf the single-pass group-by's volume
+    rc, _ = shuffle_volume(qs, "q_graph_components", spark, sf)
+    assert rc > 100 * r1
+
+    # unknown query -> None, kernel-only plan -> (0, 0)
+    assert shuffle_volume(qs, "no_such_query", spark, sf) is None
+    assert shuffle_volume(qs, "q_multimodal_decode", spark, sf) == (0, 0)

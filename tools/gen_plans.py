@@ -83,6 +83,11 @@ def _drain_listener_bus(spark) -> None:
         bus.waitUntilEmpty(30_000)
 
 
+from distributed_causal_stream_processing_spark.benchlib import (  # noqa: E402
+    execution_exchange_volume,
+)
+
+
 def chain_plan_stats(spark, fn, sf_dir: str) -> dict:
     """Build + execute one registered query and audit EVERY SQL
     execution it triggers (localCheckpoint materializations included).
@@ -102,6 +107,7 @@ def chain_plan_stats(spark, fn, sf_dir: str) -> dict:
     _drain_listener_bus(spark)  # this query's executions must be stored
     execs = _executions_since(store, mark)
     n_exchange = n_reused = 0
+    shuffle_records = 0
     codegen = False
     descs = []
     for e in execs:
@@ -118,12 +124,19 @@ def chain_plan_stats(spark, fn, sf_dir: str) -> dict:
                 # headers, not the toString "*(n)" markers — detect on
                 # the graph, where fused stages are explicit clusters
                 codegen = True
+        # shuffle VOLUME (round 15): exchange COUNT pins plan shape but
+        # not data behavior — a filter that stops pushing below a
+        # shuffle leaves the count unchanged while the rows written
+        # blow up. Records are deterministic at fixed fixture, so the
+        # column diffs clean across regens.
+        shuffle_records += execution_exchange_volume(store, e.executionId())[0]
         descs.append(e.physicalPlanDescription())
     chain = "\n".join(descs)
     return {
         "executions": len(execs),
         "exchanges": n_exchange,
         "reused_exchanges": n_reused,
+        "shuffle_records": shuffle_records,
         "joins": sorted({op for op in JOIN_OPS if op in chain}),
         "pushdown": bool(re.search(r"PushedFilters: \[[^\]]", chain)),
         "codegen": codegen,
@@ -143,10 +156,12 @@ def main() -> None:
         shuffles = str(s["exchanges"])
         if s["reused_exchanges"]:
             shuffles += f" (+{s['reused_exchanges']} reused)"
+        rec = s["shuffle_records"]
         rows.append(
             (
                 name,
                 shuffles,
+                f"{rec:,}" if rec else "0",
                 str(s["executions"]),
                 ", ".join(s["joins"]) or "—",
                 "yes" if s["pushdown"] else "—",
@@ -167,7 +182,13 @@ def main() -> None:
         "post-checkpoint fragment's (VERDICT r13 item 4). `shuffles` counts",
         "Exchange plan-graph nodes — one per shuffle WRITE; broadcast",
         "exchanges are excluded (see join strategies) and ReusedExchange is",
-        "reported separately, never double counted. `execs` is the number of",
+        "reported separately, never double counted. `shuffled rows` is the",
+        "'shuffle records written' total over those Exchange nodes (round",
+        "15): exchange COUNT pins plan shape but not data behavior — a",
+        "filter that stops pushing below a shuffle leaves the count",
+        "unchanged while the rows written blow up; records are",
+        "deterministic at fixed fixture, so this column diffs clean across",
+        "regens. `execs` is the number of",
         "SQL executions in the chain (1 = single-pass query; more = iterative",
         "materializations and convergence checks). `python` marks deliberate",
         "Arrow-batched stages (UDF surface, blocked-GEMM kernels, multimodal,",
@@ -176,11 +197,11 @@ def main() -> None:
         "iterative queries' round counts grow with data diameter (documented",
         "per query), everything else is scale-invariant plan shape.",
         "",
-        "| query | shuffles | execs | join strategies | pushdown | codegen | window | python |",
-        "| --- | --- | --- | --- | --- | --- | --- | --- |",
+        "| query | shuffles | shuffled rows | execs | join strategies | pushdown | codegen | window | python |",
+        "| --- | --- | --- | --- | --- | --- | --- | --- | --- |",
     ]
     for r in rows:
-        out.append("| `{}` | {} | {} | {} | {} | {} | {} | {} |".format(*r))
+        out.append("| `{}` | {} | {} | {} | {} | {} | {} | {} | {} |".format(*r))
     out.append("")
     with open(os.path.join(REPO_DIR, "PLANS.md"), "w") as f:
         f.write("\n".join(out))

@@ -12,6 +12,18 @@ log3(ratio). Writes BENCH_SCALING.json at the repo root; bench.py
 inlines that file into its detail output so the per-round BENCH_r{N}
 record carries the scaling row.
 
+Round 15 adds a second, host-noise-IMMUNE axis per heavy row: the
+shuffle VOLUME (records + bytes written, summed over Exchange
+plan-graph nodes across the query's whole execution chain —
+benchlib.shuffle_volume). Wall ratios have needed a degraded-host
+adjudication nearly every round since r08; the volume a plan moves is
+a property of plan x data alone, so its 3x-replica ratio is exactly
+reproducible and carries a tight 30%-slack alarm band
+(VOL_LINEAR_ALARM / VOL_QUADRATIC_ALARM) that no quiet or noisy host
+window can bend either way. It also catches a failure mode the wall
+clock can miss entirely at local scale: a broadcast join silently
+flipping to a shuffle join at the bigger fixture.
+
 Replica construction keeps the WORKLOAD SHAPE scale-invariant, so the
 ratio measures the engine, not a changed problem:
 - lineitem: all keys offset per replica → 3 disjoint copies of the
@@ -102,6 +114,16 @@ HEAVY = {
 }
 LINEAR_ALARM = 4.5  # 3x rows + 50% scheduling/shuffle slack
 QUADRATIC_ALARM = 13.5  # 9x candidates + 50% slack
+# Shuffle-VOLUME bands (round 15): records moved are a plan x data
+# property — exactly reproducible, immune to the host-degradation
+# windows that keep forcing wall-ratio adjudications — so the slack is
+# scheduling-free and tight: 30% covers round-count wobble in the
+# convergence-checked iteratives (3 disjoint replicas keep diameter,
+# and therefore rounds, equal by construction) and AQE advisory-size
+# effects. A broadcast silently flipping to a shuffle join at 3x, or a
+# join key that stops pruning, blows straight past 3.9x records.
+VOL_LINEAR_ALARM = 3.9  # 3x + 30%
+VOL_QUADRATIC_ALARM = 11.7  # 9x + 30%
 
 # Skewed-key replica instrument (VERDICT r08 item 6): the uniform 3×
 # fixture scales key cardinality with volume, so no heavy-hitter regime
@@ -411,6 +433,7 @@ def main() -> int:
     from distributed_causal_stream_processing_spark import all_queries
     from distributed_causal_stream_processing_spark.benchlib import (
         release_storage,
+        shuffle_volume,
         time_query_noop,
         warm_session,
     )
@@ -452,6 +475,39 @@ def main() -> int:
             expo = round(math.log(ratio) / math.log(FACTOR), 2) if ratio else None
             limit = QUADRATIC_ALARM if klass == "quadratic_by_fixture" else LINEAR_ALARM
             ok = ratio is not None and ratio <= limit
+            # Shuffle-volume ratio (round 15): wall ratios ride on host
+            # health — every scaling adjudication since r08 was about
+            # that — but the records/bytes a plan MOVES are plan x data
+            # properties. One warm pass per scale (memos already primed
+            # by the timing runs); records must track the class exactly,
+            # so the band is tight and host-noise-immune. Queries whose
+            # plan shuffles nothing (the mapInPandas multimodal kernels)
+            # record 0 -> no ratio, not an alarm.
+            vol1 = shuffle_volume(queries, name, spark, BASE_SF)
+            vol3 = shuffle_volume(queries, name, spark, out_dir)
+            release_storage(spark)
+            vrow = {}
+            if vol1 and vol3:
+                rec1, by1 = vol1
+                rec3, by3 = vol3
+                vrow = {
+                    "shuffle_mrec_base": round(rec1 / 1e6, 3),
+                    "shuffle_mrec_3x": round(rec3 / 1e6, 3),
+                    "shuffle_mb_base": round(by1 / 2**20, 1),
+                    "shuffle_mb_3x": round(by3 / 2**20, 1),
+                }
+                if rec1 > 0:
+                    vratio = round(rec3 / rec1, 2)
+                    vlimit = (
+                        VOL_QUADRATIC_ALARM
+                        if klass == "quadratic_by_fixture"
+                        else VOL_LINEAR_ALARM
+                    )
+                    vrow["shuffle_ratio"] = vratio
+                    vrow["shuffle_ok"] = vratio <= vlimit
+                    if not vrow["shuffle_ok"]:
+                        alarms.append(f"volume:{name}")
+                        rc = 1
             if not ok:
                 alarms.append(name)
                 rc = 1
@@ -462,10 +518,17 @@ def main() -> int:
                 "ratio": ratio,
                 "exponent": expo,
                 "ok": ok,
+                **vrow,
             }
+            vs = (
+                f" shuf {vrow['shuffle_mrec_base']}->{vrow['shuffle_mrec_3x']}Mrec"
+                f" x{vrow.get('shuffle_ratio', '—')}"
+                if vrow
+                else ""
+            )
             print(
                 f"{name:32s} {klass:22s} {base:7.2f}s -> {big:7.2f}s "
-                f"ratio {ratio} (exp {expo}) {'OK' if ok else 'ALARM'}"
+                f"ratio {ratio} (exp {expo}){vs} {'OK' if ok else 'ALARM'}"
             )
         # skewed-key regime (VERDICT r08 item 6): same-size uniform vs
         # heavy-hitter events replicas — the ratio isolates the hot
@@ -571,6 +634,17 @@ def main() -> int:
             "gen_sec": gen_sec,
             "linear_alarm": LINEAR_ALARM,
             "quadratic_alarm": QUADRATIC_ALARM,
+            "volume_linear_alarm": VOL_LINEAR_ALARM,
+            "volume_quadratic_alarm": VOL_QUADRATIC_ALARM,
+            "volume_note": (
+                "shuffle_mrec/_mb = 'shuffle records/bytes written' "
+                "summed over Exchange plan-graph nodes across every SQL "
+                "execution in the query's chain (benchlib.shuffle_volume), "
+                "one warm pass per scale; shuffle_ratio is records-based "
+                "and deterministic — the host-noise-immune counterpart of "
+                "the wall ratio. Rows without a ratio shuffled zero "
+                "records (pure mapInPandas kernel paths)."
+            ),
             "queries": rows,
             "skewed": {
                 "hot_user_share": hot_share,
