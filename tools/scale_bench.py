@@ -69,6 +69,14 @@ FACTOR = 3
 # the heavy tail of BENCH_r06 at sf0.1, and each query's scaling class
 HEAVY = {
     "q_graph_pagerank": "linear",
+    # components' wall ratio is a NULL TEST, not a scaling measurement:
+    # the registered query bounds its graph (l_partkey < 200) and the
+    # replicas offset keys past the bound, so the 3x fixture never
+    # enlarges its workload. The volume axis proved it (round 15:
+    # shuffle ratio exactly 1.0, 0.013 Mrec at both scales) — the row
+    # stays as a constant-work control; the operator's true scaling is
+    # covered by q_dedup_lsh_groups, which exercises the same
+    # connected-components closure on an unbounded corpus (x3.02).
     "q_graph_components": "linear",
     "q_udf_cogroup": "linear",
     "q_causal_chains": "linear",
