@@ -68,6 +68,15 @@ FACTOR = 3
 
 # the heavy tail of BENCH_r06 at sf0.1, and each query's scaling class
 HEAVY = {
+    # pagerank's shuffle ratio reads ~3.25, not 3.00 — diagnosed per
+    # execution (round 15): the edge build and rank init are EXACTLY
+    # 3.00x and join strategies are identical at both scales (no
+    # broadcast flip); each superstep reads 3.4x because map-side
+    # partial aggregation of the dst contributions combines less as
+    # key cardinality grows at FIXED local partition count (records
+    # shuffled ~ min(E, distinct_dst x n_map_partitions)). Bounded
+    # linear: on a cluster, partitions scale with data and the combine
+    # ratio — and the exponent — return to ~3.0.
     "q_graph_pagerank": "linear",
     # components' wall ratio is a NULL TEST, not a scaling measurement:
     # the registered query bounds its graph (l_partkey < 200) and the
