@@ -14,6 +14,13 @@ Oracles in HEAVY_ORACLE are iterative/fixpoint unrolls that take
 minutes-to-hours in single-threaded DuckDB at sf0.1; their Spark side
 still runs (rows-only) and their value parity is covered at sf0.01 by
 the driver gate and at sf0.001 by the tie-prone pytest gates.
+Membership is MEASURED, not assumed: round 15 timed all four original
+members at sf0.1 — the two graph unrolls finished in seconds
+(pagerank 5.9 s: a fixed 3-iteration unroll; components 2.2 s: its
+recursive reach runs on the l_partkey<200 bounded subgraph) and moved
+to the normal value-hash path, while the two UNBOUNDED min-label
+closures (lsh_groups, pipeline_dedup_best) were killed at 15+ min and
+stay heavy. Re-time before adding or keeping a member.
 
     python tools/sweep_parity.py --heavy3
 
@@ -36,8 +43,6 @@ sys.path.insert(0, ROOT)
 
 HEAVY_ORACLE = {
     "q_dedup_lsh_groups",
-    "q_graph_pagerank",
-    "q_graph_components",
     "q_pipeline_dedup_best",
 }
 
