@@ -422,3 +422,37 @@ def test_shuffle_volume_deterministic_and_chain_aware(spark):
     # unknown query -> None, kernel-only plan -> (0, 0)
     assert shuffle_volume(qs, "no_such_query", spark, sf) is None
     assert shuffle_volume(qs, "q_multimodal_decode", spark, sf) == (0, 0)
+
+
+def test_volume_drift_annotation_pure():
+    """scale_bench.annotate_volume_drift: >10% base-volume movement vs
+    the prior committed sweep is marked and reported; within-band
+    wiggle, new rows, and no-volume rows stay silent."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "scale_bench_drift", "/root/repo/tools/scale_bench.py"
+    )
+    sb = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sb)
+
+    rows = {
+        "moved": {"shuffle_mrec_base": 1.5},       # +50% vs prior
+        "steady": {"shuffle_mrec_base": 1.02},     # +2% — in band
+        "tiny": {"shuffle_mrec_base": 0.005},      # abs floor holds it
+        "new": {"shuffle_mrec_base": 9.0},         # no prior row
+        "novolume": {},                            # kernel-only path
+    }
+    prior = {
+        "moved": {"shuffle_mrec_base": 1.0},
+        "steady": {"shuffle_mrec_base": 1.0},
+        "tiny": {"shuffle_mrec_base": 0.0},
+        "novolume": {},
+    }
+    lines = sb.annotate_volume_drift(rows, prior)
+    assert len(lines) == 1 and "moved" in lines[0]
+    assert rows["moved"]["volume_drift_from_prior"] == {
+        "prior_mrec": 1.0, "now_mrec": 1.5,
+    }
+    for k in ("steady", "tiny", "new", "novolume"):
+        assert "volume_drift_from_prior" not in rows[k]

@@ -446,6 +446,30 @@ def _skew_pair(
 RUNS = 3
 
 
+def annotate_volume_drift(rows: dict, prior: dict) -> list:
+    """Mutate ``rows``: mark every query whose BASE-scale shuffle
+    records moved >10% (and >0.01 Mrec) vs the prior committed sweep,
+    returning the report lines. Records are deterministic at fixed
+    fixture + plan, so base-volume drift means the plan or a query's
+    data behavior changed since the last sweep — the
+    deliberate-or-accidental edit a wall-time diff cannot separate from
+    host noise. Reported, never alarmed: plan changes are often
+    intentional; the point is they cannot land silently."""
+    lines = []
+    for name, row in rows.items():
+        cur = row.get("shuffle_mrec_base")
+        prev = prior.get(name, {}).get("shuffle_mrec_base")
+        if cur is None or prev is None:
+            continue
+        if abs(cur - prev) > max(0.1 * max(prev, 1e-9), 0.01):
+            row["volume_drift_from_prior"] = {"prior_mrec": prev, "now_mrec": cur}
+            lines.append(
+                f"volume drift {name}: {prev} -> {cur} Mrec at base scale "
+                "(plan or data behavior changed since the committed sweep)"
+            )
+    return lines
+
+
 def main() -> int:
     from distributed_causal_stream_processing_spark import all_queries
     from distributed_causal_stream_processing_spark.benchlib import (
@@ -645,6 +669,22 @@ def main() -> int:
         finally:
             shutil.rmtree(uni_dir, ignore_errors=True)
             shutil.rmtree(skew_dir, ignore_errors=True)
+        # Round-over-round volume drift (round 15): the committed
+        # BENCH_SCALING.json carries the PRIOR sweep's base-scale
+        # volumes; records are deterministic at fixed fixture + plan,
+        # so any base-volume change means the PLAN or a query's data
+        # behavior changed since the last sweep — exactly the
+        # deliberate-or-accidental edit a wall-time diff can't separate
+        # from host noise. Reported (printed + recorded per row), not
+        # alarmed: plan changes are often intentional; the point is
+        # that they can never land silently.
+        try:
+            with open(os.path.join(ROOT, "BENCH_SCALING.json")) as f:
+                prior = json.load(f).get("queries", {})
+        except Exception:  # noqa: BLE001 — first run: nothing to diff
+            prior = {}
+        for line in annotate_volume_drift(rows, prior):
+            print(line)
         result = {
             "factor": FACTOR,
             "base_sf": 0.1,
