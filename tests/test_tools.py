@@ -86,11 +86,13 @@ def test_adjudicated_map_honored_statically():
     assert flagged == []
 
 
-def test_healthy_run_never_spins_up_spark(monkeypatch):
-    """No candidates -> retime must not be called (no Spark session)."""
-    ref = _ref({"q_a": 1.0})
-    det = _detail({"q_a": 1.1})
-    monkeypatch.setattr(cbr.json, "load", lambda f: ref if "REFERENCE" in f.name else det)
+def test_healthy_run_never_spins_up_spark(tmp_path, monkeypatch):
+    """No candidates -> retime must not be called (no Spark session).
+    Hermetic via tmp_path + ROOT (round 15): the previous json.load
+    patch still open()ed the real BENCH_DETAIL.json, so the test only
+    passed when a stale uncommitted detail file happened to exist."""
+    _write_pair(tmp_path, _ref({"q_a": 1.0}), _detail({"q_a": 1.1}))
+    monkeypatch.setattr(cbr, "ROOT", str(tmp_path))
 
     def boom(*a, **k):
         raise AssertionError("retime called on a healthy run")
@@ -99,10 +101,9 @@ def test_healthy_run_never_spins_up_spark(monkeypatch):
     assert cbr.main([]) == 0
 
 
-def test_sf_mismatch_skips(monkeypatch, capsys):
-    ref = _ref({"q_a": 1.0}, sf=0.1)
-    det = _detail({"q_a": 9.0}, sf=0.01)
-    monkeypatch.setattr(cbr.json, "load", lambda f: ref if "REFERENCE" in f.name else det)
+def test_sf_mismatch_skips(tmp_path, monkeypatch, capsys):
+    _write_pair(tmp_path, _ref({"q_a": 1.0}, sf=0.1), _detail({"q_a": 9.0}, sf=0.01))
+    monkeypatch.setattr(cbr, "ROOT", str(tmp_path))
     assert cbr.main([]) == 0
     assert "sf mismatch" in capsys.readouterr().out
 
@@ -201,8 +202,16 @@ def test_committed_detail_is_healthy_against_reference():
     If a noisy-window detail does land unadjudicated, run
     ``python tools/check_bench_regression.py`` once: rc 0 heals the
     artifact, rc 1 means the engine really regressed."""
+    import pytest
+
     ref = json.load(open("/root/repo/BENCH_REFERENCE.json"))
-    det = json.load(open("/root/repo/BENCH_DETAIL.json"))
+    try:
+        det = json.load(open("/root/repo/BENCH_DETAIL.json"))
+    except FileNotFoundError:
+        # BENCH_DETAIL.json is a per-run artifact (gitignored): on a
+        # fresh checkout there is nothing to adjudicate yet — that is
+        # "no bench has run", not "the bench regressed" (round 15)
+        pytest.skip("no local BENCH_DETAIL.json — run bench.py first")
     if det.get("sf") != ref.get("sf"):
         return  # comparison skipped by design
     flagged, _, n = cbr.candidates(ref, det, 2.0)
@@ -210,7 +219,7 @@ def test_committed_detail_is_healthy_against_reference():
     assert flagged == []
 
 
-def test_index_build_regression_trips_and_heals(monkeypatch, capsys):
+def test_index_build_regression_trips_and_heals(tmp_path, monkeypatch, capsys):
     """Mutation proof for VERDICT r11 item 2: a slowed cold index build
     IS caught by the tripwire's band (previously invisible — the memo
     meant no bench row measured builds, and query references recorded
@@ -230,9 +239,8 @@ def test_index_build_regression_trips_and_heals(monkeypatch, capsys):
     det_bad["index_build"] = {"build_pq_codebook": 9.0}
     flagged, _, _ = cbr.candidates(ref, det_bad, 2.0)
     assert [f[0] for f in flagged] == ["build_pq_codebook"]
-    monkeypatch.setattr(
-        cbr.json, "load", lambda f: ref if "REFERENCE" in f.name else det_bad
-    )
+    _write_pair(tmp_path, ref, det_bad)
+    monkeypatch.setattr(cbr, "ROOT", str(tmp_path))
     monkeypatch.setattr(cbr, "persist_adjudication", lambda *a, **k: None)
     monkeypatch.setattr(
         cbr, "retime", lambda names, sf, runs=2: {"build_pq_codebook": 8.8}
@@ -241,7 +249,7 @@ def test_index_build_regression_trips_and_heals(monkeypatch, capsys):
     assert "REGRESSION build_pq_codebook" in capsys.readouterr().out
 
 
-def test_index_build_host_jitter_cleared_by_retime(monkeypatch, capsys):
+def test_index_build_host_jitter_cleared_by_retime(tmp_path, monkeypatch, capsys):
     """The flip side: a build inflated by a host window clears on the
     warm cold-rebuild re-measurement (same false-positive policy as
     queries) and exits 0."""
@@ -249,9 +257,8 @@ def test_index_build_host_jitter_cleared_by_retime(monkeypatch, capsys):
     ref["index_build"] = {"build_ivfadc_trained": 8.0}
     det = _detail({"q_a": 1.1})
     det["index_build"] = {"build_ivfadc_trained": 25.0}
-    monkeypatch.setattr(
-        cbr.json, "load", lambda f: ref if "REFERENCE" in f.name else det
-    )
+    _write_pair(tmp_path, ref, det)
+    monkeypatch.setattr(cbr, "ROOT", str(tmp_path))
     monkeypatch.setattr(cbr, "persist_adjudication", lambda *a, **k: None)
     monkeypatch.setattr(
         cbr, "retime", lambda names, sf, runs=2: {"build_ivfadc_trained": 8.6}
@@ -272,7 +279,7 @@ def test_index_build_reference_rows_exist():
     assert set(ref.get("index_build", {})) == set(INDEX_BUILDS)
 
 
-def test_dead_build_probe_fails_loudly(monkeypatch, capsys):
+def test_dead_build_probe_fails_loudly(tmp_path, monkeypatch, capsys):
     """A bench whose index_build probe errored (or silently vanished)
     must NOT read as healthy (review r12): the reference carries build
     rows, the detail doesn't — that is the build family UNVERIFIED,
@@ -282,9 +289,8 @@ def test_dead_build_probe_fails_loudly(monkeypatch, capsys):
     ref["index_build"] = {"build_pq_codebook": 3.0}
     det = _detail({"q_a": 1.1})
     det["index_build"] = {"error": "RuntimeError: boom"}
-    monkeypatch.setattr(
-        cbr.json, "load", lambda f: ref if "REFERENCE" in f.name else det
-    )
+    _write_pair(tmp_path, ref, det)
+    monkeypatch.setattr(cbr, "ROOT", str(tmp_path))
     monkeypatch.setattr(
         cbr, "retime", lambda *a, **k: (_ for _ in ()).throw(AssertionError("retime"))
     )
@@ -292,7 +298,7 @@ def test_dead_build_probe_fails_loudly(monkeypatch, capsys):
     assert "UNVERIFIED" in capsys.readouterr().out
 
 
-def test_reanchored_rows_printed_every_run(monkeypatch, capsys):
+def test_reanchored_rows_printed_every_run(tmp_path, monkeypatch, capsys):
     """BASELINE.md's re-anchor policy: every upward reference re-anchor
     recorded in BENCH_REFERENCE's ``reanchored`` map is printed with its
     old/new values on EVERY run (healthy or not), so no future verdict
@@ -307,9 +313,8 @@ def test_reanchored_rows_printed_every_run(monkeypatch, capsys):
         }
     }
     det = _detail({"q_a": 1.1, "q_cube": 1.6})
-    monkeypatch.setattr(
-        cbr.json, "load", lambda f: ref if "REFERENCE" in f.name else det
-    )
+    _write_pair(tmp_path, ref, det)
+    monkeypatch.setattr(cbr, "ROOT", str(tmp_path))
     monkeypatch.setattr(
         cbr, "retime", lambda *a, **k: (_ for _ in ()).throw(AssertionError("retime"))
     )
