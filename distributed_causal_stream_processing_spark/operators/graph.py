@@ -31,6 +31,24 @@ from distributed_causal_stream_processing_spark.plans.registry import query
 _DAMP = 0.85
 _ITERS = 3
 
+# Plan-time broadcast ceiling for the per-superstep rank vector
+# (optimization round 15, guide §3.1): the rank side is O(nodes) —
+# 20k rows at sf0.1 — but it reaches each superstep through a
+# localCheckpoint, and a checkpointed LogicalRDD reports
+# UnknownPartitioning + default (huge) size stats, so Catalyst planned
+# SortMergeJoin and EnsureRequirements re-shuffled the full 2.39M-row
+# edge table EVERY superstep (measured: 2.57M shuffle records written
+# per superstep; AQE did flip the join to broadcast at runtime, but
+# only after both sides' shuffles were already written). Broadcasting
+# at PLAN time removes the edge exchange entirely. The hint is
+# data-adaptive, not unconditional: n_nodes is already computed
+# in-query, and past this ceiling the plain join (AQE-arbitrated)
+# returns — 10M (node, rank) rows ≈ 240 MB hashed relation, inside
+# the "few hundred MB is fine" broadcast envelope and far under the
+# 8 GB / 512M-row hard cap; beyond that scale the shuffle join is the
+# right plan anyway.
+_RANK_BCAST_MAX_NODES = 10_000_000
+
 
 @query(
     "q_graph_pagerank",
@@ -96,10 +114,24 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # itself stays load-bearing, or every superstep and the node count
     # would re-run the lineitem self-join + distinct, measured
     # 19.9 s → ~6 s at sf0.1 in round 2).
+    # ONE exchange for the whole edge build (optimization round 15,
+    # guide §2.4): distinct previously exchanged the ~2.39M pre-distinct
+    # pairs on (src, dst) and the degree window exchanged the ~2.39M
+    # distinct pairs again on src — 4.78M shuffle records, with the
+    # partial distinct reducing almost nothing (co-purchase pairs are
+    # near-unique). HashPartitioning(src) satisfies BOTH downstream
+    # requirements (ClusteredDistribution(src, dst) for distinct —
+    # src ⊆ {src, dst} — and ClusteredDistribution(src) for the
+    # window), so one explicit repartition on src lets distinct and the
+    # degree count run exchange-free in that layout: 4.78M → 2.39M
+    # records, one exchange instead of two (plan-pinned in
+    # plans/r15/q_graph_pagerank_after.txt). No partition count is
+    # given, so AQE still sizes the shuffle at any scale.
     contrib_base = (
         li.join(b, "l_orderkey")
         .filter(F.col("l_partkey") != F.col("dst_partkey"))
         .select(F.col("l_partkey").alias("src"), F.col("dst_partkey").alias("dst"))
+        .repartition("src")
         .distinct()
         .withColumn("d", F.count(F.lit(1)).over(W.partitionBy("src")))
         .localCheckpoint()
@@ -109,16 +141,22 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = contrib_base.select("src").distinct().localCheckpoint()
     n_nodes = nodes.count()
     ranks = nodes.select(F.col("src").alias("node"), F.lit(1.0 / n_nodes).alias("rank"))
-    # rank⋈edges is keyed-equi on src: AQE broadcasts the O(nodes) rank
-    # side while it fits and falls back to a co-partitioned shuffle
-    # join beyond — no explicit hint so the plan stays scale-correct.
-    # Per-round localCheckpoint is load-bearing for speed, not just plan
-    # depth: the materialized rank vector gives AQE exact size stats, so
-    # every superstep's join broadcasts (measured: chaining all three
-    # supersteps lazily into one job = 14.5 s vs 9.3 s at sf0.1).
+    # rank⋈edges is keyed-equi on src. The rank side is broadcast at
+    # PLAN time while n_nodes fits the ceiling (see
+    # _RANK_BCAST_MAX_NODES: the checkpointed rank vector's
+    # UnknownPartitioning/unknown-size stats made Catalyst plan SMJ and
+    # re-shuffle the full edge table every superstep; AQE's runtime
+    # broadcast flip came only after both shuffles were written) and
+    # falls back to the plain AQE-arbitrated join beyond it. Per-round
+    # localCheckpoint is load-bearing for speed, not just plan depth
+    # (measured: chaining all three supersteps lazily into one job =
+    # 14.5 s vs 9.3 s at sf0.1).
     for _ in range(_ITERS):
+        rank_side = (
+            F.broadcast(ranks) if n_nodes <= _RANK_BCAST_MAX_NODES else ranks
+        )
         ranks = (
-            contrib_base.join(ranks, contrib_base.src == ranks.node)
+            contrib_base.join(rank_side, contrib_base.src == rank_side.node)
             .select("dst", (F.col("rank") / F.col("d")).alias("c"))
             .groupBy("dst")
             .agg(

@@ -89,7 +89,48 @@ def q_causal_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     # regardless, so the limit is a backstop, not a cost.
     spark.conf.set("spark.sql.cteRecursionLevelLimit", "100000")
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
-    return spark.sql(causal_chains_sql(GAP_US))
+    # MATERIALIZE the next-pointer table once (optimization round 15,
+    # guide §2.4): Spark inlines the plain `linked` CTE into the
+    # recursive member, so every recursion step re-ran the events scan
+    # + unix_micros + the per-user window — one full 100k-record
+    # exchange and sort PER STEP, ~11 steps deep at sf0.1 (measured:
+    # execs at 0.3–0.5 s each, 100,000 shuffle records every step; the
+    # whole query 4.4–8.5 s). The pointer table is loop-invariant —
+    # the recursion only ever equi-joins it — so compute it once,
+    # localCheckpoint it, and recurse over the materialized view: the
+    # per-step cost drops to one hash join against a frontier that
+    # only shrinks. Same expressions, same recursion, identical rows
+    # (value-hash re-proven at sf0.001/0.01/0.1).
+    linked = spark.sql(
+        """
+        SELECT user_id, event_id, us,
+               lag(us)        OVER w AS prev_us,
+               lead(event_id) OVER w AS next_id,
+               lead(us)       OVER w AS next_us
+        FROM (SELECT user_id, event_id, unix_micros(ts) AS us FROM events)
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        """
+    ).localCheckpoint()
+    linked.createOrReplaceTempView("causal_chains_linked")
+    return spark.sql(
+        f"""
+        WITH RECURSIVE
+        chain (user_id, event_id, root_id, depth, us, next_id, next_us) AS (
+            SELECT user_id, event_id, event_id, 0, us, next_id, next_us
+            FROM causal_chains_linked
+            WHERE prev_us IS NULL OR us - prev_us > {GAP_US}
+            UNION ALL
+            SELECT l.user_id, l.event_id, c.root_id, c.depth + 1,
+                   l.us, l.next_id, l.next_us
+            FROM chain c
+            JOIN causal_chains_linked l
+              ON l.user_id = c.user_id AND l.event_id = c.next_id
+            WHERE c.next_us - c.us <= {GAP_US}
+        )
+        SELECT user_id, event_id, root_id, CAST(depth AS BIGINT) AS depth
+        FROM chain
+        """
+    )
 
 
 def causal_chains_sql(gap_us: int) -> str:
