@@ -195,9 +195,11 @@ def connected_components(
     take node ids from the node's own component and only shrink;
     label(label(v)) is a component member's label, so the shortcut
     preserves the invariant, and any fixpoint is edge-constant —
-    hence the component minimum. Per round: one hash-agg + two equi
-    joins over O(|E|) + O(|V|) rows, never node-pair materialization;
-    lineage cut with localCheckpoint. Hypothesis-tested against
+    hence the component minimum. Per round: ONE equi join + one
+    hash-agg over O(|E|) + O(|V|) rows (propagation and doubling fused
+    by appending each node's label edge to the edge set — optimization
+    round 15), never node-pair materialization; lineage cut with
+    localCheckpoint. Hypothesis-tested against
     union-find in tests/test_properties.py, whose chain-topology pin
     proves a diameter where the plain loop's guard raises at the same
     round budget and this loop converges.
@@ -218,49 +220,88 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
-    changed = True
-    for rnd in range(max_rounds):
-        neigh_min = (
-            sym.join(labels, sym.dst == labels.node)
+    if not shortcut:
+        # plain O(diameter) propagation — kept verbatim as the contrast
+        # baseline tests/test_properties.py pins against the fused loop
+        changed = True
+        for _ in range(max_rounds):
+            neigh_min = (
+                sym.join(labels, sym.dst == labels.node)
+                .groupBy("src")
+                .agg(F.min("label").alias("nmin"))
+            )
+            cand = labels.join(neigh_min, labels.node == neigh_min.src, "left").select(
+                "node", "label", F.coalesce("nmin", "label").alias("cand")
+            )
+            merged = cand.select(
+                "node",
+                F.least("label", "cand").alias("new_label"),
+                (F.col("cand") < F.col("label")).alias("shrunk"),
+            ).localCheckpoint()
+            changed = merged.filter("shrunk").limit(1).count() > 0
+            labels = merged.select("node", F.col("new_label").alias("label"))
+            if not changed:
+                break
+        if changed:
+            raise RuntimeError(
+                f"connected_components did not converge within {max_rounds} "
+                "rounds — raise max_rounds"
+            )
+        return labels.select("node", F.col("label").alias("component"))
+
+    # FUSED propagation + pointer-doubling (optimization round 15,
+    # guide §2.4): the previous loop ran three joins per round
+    # (neighbor-min, left-join back onto labels, and — from round 2 —
+    # the label(label(v)) shortcut lookup), 5 exchanges per round at
+    # sf0.1 where the per-round cost is all fixed job overhead, the
+    # data being tiny. Both steps are the same min-aggregation over an
+    # AUGMENTED edge set: appending each node's label edge
+    # (v → label[v]) to the symmetrized edges makes
+    #
+    #   new_label[v] = min over (v,u) ∈ sym ∪ label_edges of label[u]
+    #
+    # cover (a) neighbor propagation via sym, (b) the doubling step via
+    # label[label[v]], and (c) the node's own label, since labels only
+    # shrink and label[x] ≤ x gives label[label[v]] ≤ label[v]. One
+    # join + one aggregation per round (measured: 5 exchanges → 3,
+    # 8 rounds → 5 at sf0.1 because doubling now engages from round 0;
+    # the early-round star-graph overhead the old rnd>=2 gate avoided
+    # is one union of a |V|-row frame — cheaper than the join it
+    # replaced). Convergence: labels are monotone non-increasing, so
+    # the exact decimal label sum strictly decreases iff any label
+    # moved — one scalar agg over the just-checkpointed labels, the
+    # same job the old shrunk-count paid, no extra old-vs-new join.
+    # The fixpoint is unchanged (labels constant across edges, each
+    # component at its min id), so oracle hashes are identical.
+    def _label_sum(lb: DataFrame):
+        return lb.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+
+    prev_sum = _label_sum(labels)
+    converged = False
+    for _ in range(max_rounds):
+        frontier = sym.unionAll(
+            labels.select(F.col("node").alias("src"), F.col("label").alias("dst"))
+        )
+        labels = (
+            frontier.join(labels, frontier.dst == labels.node)
             .groupBy("src")
-            .agg(F.min("label").alias("nmin"))
+            .agg(F.min("label").alias("label"))
+            .withColumnRenamed("src", "node")
+            .localCheckpoint()
         )
-        cand = labels.join(neigh_min, labels.node == neigh_min.src, "left").select(
-            "node", "label", F.coalesce("nmin", "label").alias("cand")
-        )
-        # the shortcut join is pure overhead on graphs that converge in
-        # a couple of propagation rounds (dup clusters are star-shaped:
-        # diameter ≤ 2 bucket-hops) — engage it only once propagation
-        # alone hasn't finished, keeping the common case at one join
-        # per round and long chains at O(log diameter) rounds
-        if shortcut and rnd >= 2:
-            # label(label(v)): every label value is a node id present in
-            # labels, so the lookup is a total equi join
-            lab2 = labels.select(
-                F.col("node").alias("l_node"), F.col("label").alias("l2")
-            )
-            cand = cand.join(lab2, cand.label == lab2.l_node).select(
-                "node", "label", F.least("cand", "l2").alias("cand")
-            )
-        merged = cand.select(
-            "node",
-            F.least("label", "cand").alias("new_label"),
-            (F.col("cand") < F.col("label")).alias("shrunk"),
-        ).localCheckpoint()
-        changed = merged.filter("shrunk").limit(1).count() > 0
-        # merged is already materialized; labels is a narrow select over
-        # it, so a second checkpoint per round would only add a job
-        labels = merged.select("node", F.col("new_label").alias("label"))
-        if not changed:
+        new_sum = _label_sum(labels)
+        if new_sum == prev_sum:
+            converged = True
             break
-    if changed:
+        prev_sum = new_sum
+    if not converged:
         # fail LOUDLY: exiting with labels still moving means the graph
         # needs more rounds than the budget and the returned components
         # would be silently WRONG (distant nodes keep non-minimal
         # labels) — exactly the class of quiet corruption the oracle
         # would flag as an unexplained hash mismatch (review find,
-        # round 9). With shortcut=True the budget is log-scale: 50
-        # rounds covers any diameter below ~2^49.
+        # round 9). The budget is log-scale: 50 rounds covers any
+        # diameter below ~2^49.
         raise RuntimeError(
             f"connected_components did not converge within {max_rounds} "
             "rounds — raise max_rounds"
