@@ -146,6 +146,15 @@ def as_double(col) -> Column:
 
 
 def dot(a, b) -> Column:
+    # A/B'd in optimization round 15 (guide §1.2 "per-task work"): an
+    # unrolled ``a[0]*b[0] + ... + a[63]*b[63]`` getItem sum — fully
+    # codegen-able where this higher-order fold is CodegenFallback —
+    # MEASURED SLOWER on the heavy pair scorers and was reverted
+    # (q_dedup_embedding_ivf 4.8 → 7.2 s, q_dedup_embedding_pruned
+    # 4.4 → 9.5 s at sf0.1, min-of-2: the 127-node expression tree per
+    # sim column blows generated-method size past JIT limits, and the
+    # scorers evaluate sim twice via filter + select). Same conclusion
+    # as the round-14 vectorization A/B: the fold stays.
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
