@@ -41,6 +41,12 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
+    # The detail file must say how many cores it ran on: per-query
+    # comparisons against BENCH_REFERENCE.json (recorded at 32 cores)
+    # are meaningless for a low-core scaling run (ADVICE r15 — the
+    # driver's cpus=8 pass left a detail that statically flagged
+    # build_ivfadc_trained at 2.1x forever).
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark(app_name="dcsp-bench")
 
     queries = all_queries()
@@ -477,6 +483,7 @@ def main() -> None:
         "scaling": scaling,
         "index_build": index_build,
         "sf": sf,
+        "cpus": cpus,
     }
     with open(os.path.join(REPO_DIR, "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)

@@ -43,7 +43,7 @@ def __getattr__(name):  # pragma: no cover - thin lazy-import shims
         "asof_join_nearest": "operators.joins",
         "hamming1_variants": "operators.similarity",
         "chain_assign_stream": "streaming.causal",
-        "causal_chains_sql": "operators.recursion",
+        "causal_chains_frame": "operators.recursion",
         "connected_components": "operators.graph",
         "sessionize": "operators.windows",
         "causal_sequence_batch": "streaming.batch_views",
@@ -82,7 +82,7 @@ __all__ = [
     "asof_join_nearest",
     "hamming1_variants",
     "chain_assign_stream",
-    "causal_chains_sql",
+    "causal_chains_frame",
     "connected_components",
     "sessionize",
     "causal_sequence_batch",

@@ -22,6 +22,8 @@ breaks the value-hash (same lesson as the k-means centroid parity).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -47,7 +49,17 @@ _ITERS = 3
 # the "few hundred MB is fine" broadcast envelope and far under the
 # 8 GB / 512M-row hard cap; beyond that scale the shuffle join is the
 # right plan anyway.
-_RANK_BCAST_MAX_NODES = 10_000_000
+#
+# Memory floor the ceiling assumes (ADVICE r15): the hint bypasses AQE
+# arbitration below the ceiling, so every executor must hold one ~24 B/
+# row hashed relation per in-flight superstep — at the 10M ceiling
+# budget ≥ ~1 GiB of executor heap headroom for it (the tested config
+# is a 32 GiB local driver). Deployments with small executors should
+# lower the ceiling to taste; it is a plan-choice knob, not semantics —
+# either side of it computes identical ranks.
+_RANK_BCAST_MAX_NODES = int(
+    os.environ.get("SPARK_GRAFT_RANK_BCAST_MAX_NODES", 10_000_000)
+)
 
 
 @query(
@@ -274,7 +286,22 @@ def connected_components(
     # The fixpoint is unchanged (labels constant across edges, each
     # component at its min id), so oracle hashes are identical.
     def _label_sum(lb: DataFrame):
-        return lb.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+        # ADVICE r15: the certificate only works for numeric labels. A
+        # label column that cannot cast to decimal(38,0) sums to NULL,
+        # and None == None would declare convergence after round 1 —
+        # silently wrong components. All registered callers use bigint
+        # node ids; fail loudly for any generic caller that doesn't.
+        n, s = lb.agg(
+            F.count(F.lit(1)), F.sum(F.col("label").cast("decimal(38,0)"))
+        ).collect()[0]
+        if n > 0 and s is None:
+            raise TypeError(
+                "connected_components convergence certificate needs "
+                "numeric (castable to decimal) node ids; got a label "
+                "column that sums to NULL — use shortcut=False or "
+                "map ids to integers first"
+            )
+        return s
 
     prev_sum = _label_sum(labels)
     converged = False

@@ -80,6 +80,29 @@ def q_causal_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     yields root attribution and depth, and exercises Spark 4's
     recursive-CTE surface end-to-end against DuckDB's.
     """
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return causal_chains_frame(spark, GAP_US)
+
+
+def causal_chains_frame(spark: SparkSession, gap_us: int) -> DataFrame:
+    """The shipped happened-before walk over a registered ``events``
+    view — ONE builder shared by q_causal_chains and the hypothesis
+    property suite (ADVICE r15: the old causal_chains_sql seam kept the
+    pre-optimization inline-CTE text, so the property tests no longer
+    exercised the formulation that actually ships).
+
+    MATERIALIZE the next-pointer table once (optimization round 15,
+    guide §2.4): Spark inlines a plain ``linked`` CTE into the
+    recursive member, so every recursion step re-ran the events scan
+    + unix_micros + the per-user window — one full 100k-record
+    exchange and sort PER STEP, ~11 steps deep at sf0.1 (measured:
+    execs at 0.3–0.5 s each, 100,000 shuffle records every step; the
+    whole query 4.4–8.5 s). The pointer table is loop-invariant —
+    the recursion only ever equi-joins it — so compute it once,
+    localCheckpoint it, and recurse over the materialized view: the
+    per-step cost drops to one hash join against a frontier that
+    only shrinks. Same expressions, same recursion, identical rows
+    (value-hash re-proven at sf0.001/0.01/0.1)."""
     # Spark caps recursive CTEs at spark.sql.cteRecursionLevelLimit
     # (default 100) and THROWS past it, while the DuckDB oracle
     # recurses to fixpoint unbounded — a >100-deep chain (hourly events
@@ -88,19 +111,6 @@ def q_causal_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the shrinking-frontier recursion terminates at the longest chain
     # regardless, so the limit is a backstop, not a cost.
     spark.conf.set("spark.sql.cteRecursionLevelLimit", "100000")
-    load(spark, sf_dir, "events").createOrReplaceTempView("events")
-    # MATERIALIZE the next-pointer table once (optimization round 15,
-    # guide §2.4): Spark inlines the plain `linked` CTE into the
-    # recursive member, so every recursion step re-ran the events scan
-    # + unix_micros + the per-user window — one full 100k-record
-    # exchange and sort PER STEP, ~11 steps deep at sf0.1 (measured:
-    # execs at 0.3–0.5 s each, 100,000 shuffle records every step; the
-    # whole query 4.4–8.5 s). The pointer table is loop-invariant —
-    # the recursion only ever equi-joins it — so compute it once,
-    # localCheckpoint it, and recurse over the materialized view: the
-    # per-step cost drops to one hash join against a frontier that
-    # only shrinks. Same expressions, same recursion, identical rows
-    # (value-hash re-proven at sf0.001/0.01/0.1).
     linked = spark.sql(
         """
         SELECT user_id, event_id, us,
@@ -118,52 +128,19 @@ def q_causal_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
         chain (user_id, event_id, root_id, depth, us, next_id, next_us) AS (
             SELECT user_id, event_id, event_id, 0, us, next_id, next_us
             FROM causal_chains_linked
-            WHERE prev_us IS NULL OR us - prev_us > {GAP_US}
+            WHERE prev_us IS NULL OR us - prev_us > {gap_us}
             UNION ALL
             SELECT l.user_id, l.event_id, c.root_id, c.depth + 1,
                    l.us, l.next_id, l.next_us
             FROM chain c
             JOIN causal_chains_linked l
               ON l.user_id = c.user_id AND l.event_id = c.next_id
-            WHERE c.next_us - c.us <= {GAP_US}
-        )
-        SELECT user_id, event_id, root_id, CAST(depth AS BIGINT) AS depth
-        FROM chain
-        """
-    )
-
-
-def causal_chains_sql(gap_us: int) -> str:
-    """The Spark recursive-CTE text over a registered ``events`` view —
-    exposed so the hypothesis property suite can run the identical
-    query over generated event sets (tests/test_properties.py)."""
-    return f"""
-        WITH RECURSIVE
-        ev AS (
-            SELECT user_id, event_id, unix_micros(ts) AS us FROM events
-        ),
-        linked AS (
-            SELECT user_id, event_id, us,
-                   lag(us)        OVER w AS prev_us,
-                   lead(event_id) OVER w AS next_id,
-                   lead(us)       OVER w AS next_us
-            FROM ev
-            WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
-        ),
-        chain (user_id, event_id, root_id, depth, us, next_id, next_us) AS (
-            SELECT user_id, event_id, event_id, 0, us, next_id, next_us
-            FROM linked
-            WHERE prev_us IS NULL OR us - prev_us > {gap_us}
-            UNION ALL
-            SELECT l.user_id, l.event_id, c.root_id, c.depth + 1,
-                   l.us, l.next_id, l.next_us
-            FROM chain c
-            JOIN linked l ON l.user_id = c.user_id AND l.event_id = c.next_id
             WHERE c.next_us - c.us <= {gap_us}
         )
         SELECT user_id, event_id, root_id, CAST(depth AS BIGINT) AS depth
         FROM chain
         """
+    )
 
 
 # q_causal_deps relaxation budget: rounds needed = 1 + the maximum
@@ -389,7 +366,7 @@ def causal_dep_layers(events: DataFrame) -> DataFrame:
     us) frame — exposed so the hypothesis property suite can run the
     identical relaxation against a brute-force longest-path model on
     generated event sets (tests/test_properties.py), the same seam
-    causal_chains_sql provides for the recursion."""
+    causal_chains_frame provides for the recursion."""
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 

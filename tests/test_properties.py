@@ -314,7 +314,7 @@ def test_causal_chains_matches_bruteforce(spark, rows, gap):
     from pyspark.sql import functions as F
 
     from distributed_causal_stream_processing_spark.operators.recursion import (
-        causal_chains_sql,
+        causal_chains_frame,
     )
 
     df = spark.createDataFrame(
@@ -324,9 +324,11 @@ def test_causal_chains_matches_bruteforce(spark, rows, gap):
     df.select(
         "user_id", "event_id", F.col("t").cast("timestamp").alias("ts")
     ).createOrReplaceTempView("events")
+    # ADVICE r15: run the SHIPPED materialize-then-recurse builder, not
+    # a parallel SQL-text seam that can drift from it
     got = {
         (r.user_id, r.event_id): (r.root_id, r.depth)
-        for r in spark.sql(causal_chains_sql(gap * 1_000_000)).collect()
+        for r in causal_chains_frame(spark, gap * 1_000_000).collect()
     }
 
     by_key: dict[int, list] = {}

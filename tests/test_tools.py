@@ -108,6 +108,23 @@ def test_sf_mismatch_skips(tmp_path, monkeypatch, capsys):
     assert "sf mismatch" in capsys.readouterr().out
 
 
+def test_cpus_mismatch_skips(tmp_path, monkeypatch, capsys):
+    """ADVICE r15: a low-core scaling run (the driver benches at cpus=8
+    too) writes a detail whose timings are legitimately ~2x the 32-core
+    reference; the tripwire must skip, not flag."""
+    ref = _ref({"q_a": 1.0})
+    ref["cpus"] = 32
+    det = _detail({"q_a": 9.0})
+    det["cpus"] = 8
+    _write_pair(tmp_path, ref, det)
+    monkeypatch.setattr(cbr, "ROOT", str(tmp_path))
+    monkeypatch.setattr(
+        cbr, "retime", lambda *a, **k: (_ for _ in ()).throw(AssertionError)
+    )
+    assert cbr.main([]) == 0
+    assert "cpus mismatch" in capsys.readouterr().out
+
+
 def test_bench_self_adjudication_clears_noisy_window(monkeypatch):
     """VERDICT r08 item 1: bench.py's end-of-suite pass warm-retimes any
     query still past the band and the resulting adjudicated map makes
@@ -214,6 +231,13 @@ def test_committed_detail_is_healthy_against_reference():
         pytest.skip("no local BENCH_DETAIL.json — run bench.py first")
     if det.get("sf") != ref.get("sf"):
         return  # comparison skipped by design
+    if det.get("cpus") != ref.get("cpus"):
+        # ADVICE r15: a scaling run (e.g. the driver's cpus=8 pass) or a
+        # pre-stamp detail is not comparable to the 32-core reference
+        pytest.skip(
+            f"detail ran at cpus={det.get('cpus')}, reference is "
+            f"cpus={ref.get('cpus')} — not comparable"
+        )
     flagged, _, n = cbr.candidates(ref, det, 2.0)
     assert n > 100
     assert flagged == []

@@ -167,6 +167,17 @@ def main(argv: list[str] | None = None) -> int:
             f"sf={ref.get('sf')} — per-query comparison is meaningless; skipping"
         )
         return 0
+    # Same gate for core count (ADVICE r15): a scaling run at cpus=8
+    # legitimately times 2x slower than the 32-core reference; comparing
+    # them is not a regression signal. A detail without a cpus stamp
+    # predates the stamp (or came from another machine) — also skip.
+    if det.get("cpus") != ref.get("cpus"):
+        print(
+            f"cpus mismatch: detail ran at cpus={det.get('cpus')}, reference "
+            f"is cpus={ref.get('cpus')} — per-query comparison is "
+            "meaningless; skipping"
+        )
+        return 0
     # A dead build probe must not look healthy (review r12): if the
     # reference carries index_build rows but the detail's are missing
     # or error-valued, the build family is UNVERIFIED this run — the
