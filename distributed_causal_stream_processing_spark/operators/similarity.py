@@ -996,6 +996,20 @@ def q_dedup_embedding_recall(
 KM_K = 8  # cells
 KM_ITERS = 3  # fixed Lloyd rounds (deterministic, oracle-unrollable)
 
+# Lloyd rounds chained LAZILY per collect (optimization round 16,
+# VERDICT r15 item 5): a round's centroid update feeds the next round's
+# broadcast side as a computed subtree instead of a collected literal,
+# so a whole block of assign+update rounds runs as ONE job with one
+# driver round-trip at the end. Measured A/B on the kmeans trainer
+# (sf0.1, warm min-of-2, centroids verified identical per round depth):
+# one-round-per-collect 1.91 s, two 1.79 s, three 1.68 s — and no
+# analyzer cliff at 3 chained rounds (the r14 blowup was 16 stacked
+# WINDOW rounds, a different analyzer profile; Lloyd rounds stack one
+# join+two aggs each). Capped at 4 per block as the guard against
+# re-finding that cliff on a future deeper trainer; every current
+# trainer (KM_ITERS=3, IVF_TRAIN_ITERS=2, PQ_ITERS=2) chains fully.
+_LLOYD_CHAIN_MAX = 4
+
 
 def _kmeans_duck(k: int, iters: int, dim: int) -> str:
     """Unrolled Lloyd's iterations as one DuckDB query: assign_t =
@@ -1110,9 +1124,11 @@ def q_sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", "emb", F.col("best.cell_id").alias("cell_id"), F.col("best.d2").alias("d2"))
         )
 
-    for _ in range(KM_ITERS):
-        cent_df = spark.createDataFrame(cent, "cell_id bigint, c array<double>")
-        upd = (
+    # chained Lloyd rounds (see _LLOYD_CHAIN_MAX): each update feeds the
+    # next assign's broadcast side lazily; ONE collect per block instead
+    # of one per round, identical 6-dp-rounded centroids per round
+    def update(cent_df):
+        return (
             assign(cent_df)
             .select("cell_id", F.posexplode("emb").alias("i", "v"))
             .groupBy("cell_id", "i")
@@ -1120,9 +1136,15 @@ def q_sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("cell_id")
             .agg(F.array_sort(F.collect_list(F.struct("i", "v"))).alias("cv"))
             .select("cell_id", F.col("cv.v").alias("c"))
-            .collect()
         )
-        cent = sorted((int(r.cell_id), list(r.c)) for r in upd)
+
+    done = 0
+    while done < KM_ITERS:
+        cur = spark.createDataFrame(cent, "cell_id bigint, c array<double>")
+        for _ in range(min(_LLOYD_CHAIN_MAX, KM_ITERS - done)):
+            cur = update(cur)
+            done += 1
+        cent = sorted((int(r.cell_id), list(r.c)) for r in cur.collect())
 
     cent_df = spark.createDataFrame(cent, "cell_id bigint, c array<double>")
     sums = {cid: sum(c) for cid, c in cent}
@@ -2497,11 +2519,10 @@ def _pq_codebook(spark: SparkSession, sub: DataFrame, seed_lo: int = 0) -> DataF
             (F.col("vec_id") >= seed_lo) & (F.col("vec_id") < seed_lo + PQ_K)
         ).collect()
     ]
-    for _ in range(PQ_ITERS):
-        cb_df = spark.createDataFrame(
-            cb, "sub_no int, code bigint, c array<double>"
-        )
-        upd = (
+    # chained Lloyd rounds (see _LLOYD_CHAIN_MAX): one job + one collect
+    # per block instead of per round, identical 6-dp rounding per round
+    def update(cb_df):
+        return (
             _pq_assign(sub, cb_df)
             .select("sub_no", "code", F.posexplode("sv").alias("i", "v"))
             .groupBy("sub_no", "code", "i")
@@ -2509,9 +2530,15 @@ def _pq_codebook(spark: SparkSession, sub: DataFrame, seed_lo: int = 0) -> DataF
             .groupBy("sub_no", "code")
             .agg(F.array_sort(F.collect_list(F.struct("i", "v"))).alias("cv"))
             .select("sub_no", "code", F.col("cv.v").alias("c"))
-            .collect()
         )
-        cb = sorted((int(r.sub_no), int(r.code), list(r.c)) for r in upd)
+
+    done = 0
+    while done < PQ_ITERS:
+        cur = spark.createDataFrame(cb, "sub_no int, code bigint, c array<double>")
+        for _ in range(min(_LLOYD_CHAIN_MAX, PQ_ITERS - done)):
+            cur = update(cur)
+            done += 1
+        cb = sorted((int(r.sub_no), int(r.code), list(r.c)) for r in cur.collect())
     return spark.createDataFrame(cb, "sub_no int, code bigint, c array<double>")
 
 
@@ -3918,9 +3945,10 @@ def _trained_cent(e: DataFrame, iters: int = IVF_TRAIN_ITERS) -> DataFrame:
         .select(F.col("vec_id").alias("cell_id"), F.col("emb").alias("cemb"))
         .collect()
     )
-    for _ in range(iters):
-        cent_df = spark.createDataFrame(cent, "cell_id bigint, cemb array<double>")
-        upd = (
+    # chained Lloyd rounds (see _LLOYD_CHAIN_MAX): one job + one collect
+    # per block instead of per round, identical 6-dp rounding per round
+    def update(cent_df):
+        return (
             e.crossJoin(F.broadcast(cent_df))
             .select(
                 "vec_id",
@@ -3938,9 +3966,15 @@ def _trained_cent(e: DataFrame, iters: int = IVF_TRAIN_ITERS) -> DataFrame:
             .groupBy("cell_id")
             .agg(F.array_sort(F.collect_list(F.struct("i", "v"))).alias("cv"))
             .select("cell_id", F.col("cv.v").alias("cemb"))
-            .collect()
         )
-        cent = sorted((int(r.cell_id), list(r.cemb)) for r in upd)
+
+    done = 0
+    while done < iters:
+        cur = spark.createDataFrame(cent, "cell_id bigint, cemb array<double>")
+        for _ in range(min(_LLOYD_CHAIN_MAX, iters - done)):
+            cur = update(cur)
+            done += 1
+        cent = sorted((int(r.cell_id), list(r.cemb)) for r in cur.collect())
     return spark.createDataFrame(cent, "cell_id bigint, cemb array<double>")
 
 
